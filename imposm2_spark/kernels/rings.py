@@ -1,0 +1,198 @@
+"""Ring merging and multipolygon building — SURVEY.md A2/A3/A4, the engine core.
+
+Reference analog (semantics, not code): imposm/multipolygon.py::merge_rings —
+member ways sharing endpoints are stitched into closed rings, reversing ways as
+needed, order/direction invariant; unclosed leftovers are dropped (counted) —
+and imposm/multipolygon.py::ContainsRelationBuilder.build_relation_geometry —
+rings sorted by |area| desc, nested by containment into shells and holes
+(prepared-geometry `contains` in the reference; vectorized ray-cast here).
+Tag inheritance: imposm/multipolygon.py::RelationBuilderBase.handle_tags — a
+relation with no own interesting tags inherits the (largest) outer way's tags.
+
+These run per relation group inside groupBy(rel_id).applyInPandas; each group is
+small, so plain Python/NumPy loops here are batch-level, not row-level, work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import geom
+
+
+@dataclass
+class MergeResult:
+    rings: list[np.ndarray]  # closed, validity-filtered rings
+    dropped_unclosed: int = 0
+    dropped_invalid: int = 0
+
+
+def _key(pt: np.ndarray) -> tuple[float, float]:
+    return (float(pt[0]), float(pt[1]))
+
+
+def merge_rings(ways: list[np.ndarray]) -> MergeResult:
+    """Stitch way coordinate arrays into closed rings by endpoint matching.
+
+    Deterministic and invariant to member order and way direction: fragments are
+    processed in input order, but closure only depends on endpoint connectivity,
+    and every output ring is canonicalized (start at lexicographically smallest
+    vertex, CCW) so downstream output is stable under permutation/reversal.
+    """
+    fragments: list[np.ndarray] = []
+    closed: list[np.ndarray] = []
+    dropped_invalid = 0
+
+    for w in ways:
+        arr = geom.dedup_consecutive(np.asarray(w, dtype=np.float64).reshape(-1, 2))
+        if len(arr) < 2:
+            dropped_invalid += 1
+            continue
+        if np.array_equal(arr[0], arr[-1]):
+            closed.append(arr)
+        else:
+            fragments.append(arr)
+
+    # endpoint -> fragment index (open fragments only)
+    by_end: dict[tuple[float, float], list[int]] = {}
+    frags: list[np.ndarray | None] = list(fragments)
+
+    def register(i: int) -> None:
+        f = frags[i]
+        for pt in (f[0], f[-1]):
+            by_end.setdefault(_key(pt), []).append(i)
+
+    def unregister(i: int) -> None:
+        f = frags[i]
+        for pt in (f[0], f[-1]):
+            lst = by_end.get(_key(pt), [])
+            if i in lst:
+                lst.remove(i)
+
+    for i in range(len(frags)):
+        register(i)
+
+    dropped_unclosed = 0
+    for i in range(len(frags)):
+        if frags[i] is None:
+            continue
+        cur = frags[i]
+        unregister(i)
+        frags[i] = None
+        # grow `cur` until closed or stuck
+        while not np.array_equal(cur[0], cur[-1]):
+            cands = by_end.get(_key(cur[-1]), [])
+            nxt = next((j for j in cands if frags[j] is not None), None)
+            if nxt is None:
+                # try extending from the head by reversing
+                cands = by_end.get(_key(cur[0]), [])
+                nxt = next((j for j in cands if frags[j] is not None), None)
+                if nxt is None:
+                    break
+                cur = cur[::-1]
+            f = frags[nxt]
+            unregister(nxt)
+            frags[nxt] = None
+            if np.array_equal(f[0], cur[-1]):
+                cur = np.vstack([cur, f[1:]])
+            else:
+                cur = np.vstack([cur, f[::-1][1:]])
+        if np.array_equal(cur[0], cur[-1]):
+            closed.append(cur)
+        else:
+            dropped_unclosed += 1
+
+    rings: list[np.ndarray] = []
+    for r in closed:
+        if geom.ring_is_valid(r):
+            rings.append(_canonical_ring(geom.ensure_closed(geom.dedup_consecutive(r))))
+        else:
+            dropped_invalid += 1
+    return MergeResult(rings, dropped_unclosed, dropped_invalid)
+
+
+def _canonical_ring(ring: np.ndarray) -> np.ndarray:
+    """Rotate a closed ring to start at its lexicographically smallest vertex and
+    orient CCW — makes output rows identical under way order/direction permutation."""
+    body = ring[:-1]
+    order = np.lexsort((body[:, 1], body[:, 0]))
+    start = int(order[0])
+    rolled = np.vstack([body[start:], body[:start], body[start : start + 1]])
+    return geom.ensure_orientation(rolled, ccw=True)
+
+
+@dataclass
+class MultiPolygon:
+    # each polygon = [shell(CCW), hole(CW), ...]
+    polygons: list[list[np.ndarray]] = field(default_factory=list)
+    dropped_unclosed: int = 0
+    dropped_invalid: int = 0
+
+    @property
+    def area(self) -> float:
+        tot = 0.0
+        for rings in self.polygons:
+            tot += abs(geom.ring_signed_area(rings[0]))
+            for h in rings[1:]:
+                tot -= abs(geom.ring_signed_area(h))
+        return tot
+
+
+def build_multipolygon(merge: MergeResult) -> MultiPolygon:
+    """Nest closed rings into shells/holes (the `contains` strategy, J3/O6).
+
+    Rings sorted by |area| desc; a ring contained in an odd number of larger
+    rings is a hole of its smallest containing shell, else a shell — the same
+    asymptotic trick as the reference's area-sorted prepared-contains tests.
+    """
+    rings = sorted(merge.rings, key=lambda r: -abs(geom.ring_signed_area(r)))
+    shells: list[list[np.ndarray]] = []  # polygon ring lists
+    placed: list[np.ndarray] = []  # all rings placed so far (area desc)
+    shell_index: list[int | None] = []  # index into `shells` if ring is a shell
+
+    for ring in rings:
+        containers = [k for k, outer in enumerate(placed) if geom.ring_contains_ring(outer, ring)]
+        if len(containers) % 2 == 0:  # even nesting depth -> new shell
+            shells.append([geom.ensure_orientation(ring, ccw=True)])
+            placed.append(ring)
+            shell_index.append(len(shells) - 1)
+        else:
+            # hole of the smallest containing shell (area-sorted, so the last
+            # containing SHELL is the innermost one)
+            shell_containers = [k for k in containers if shell_index[k] is not None]
+            k = min(shell_containers, key=lambda k: abs(geom.ring_signed_area(placed[k])))
+            shells[shell_index[k]].append(geom.ensure_orientation(ring, ccw=False))
+            placed.append(ring)
+            shell_index.append(None)
+    return MultiPolygon(shells, merge.dropped_unclosed, merge.dropped_invalid)
+
+
+_UNINTERESTING = {"type", "name", "created_by", "source", "fixme"}
+
+
+def inherit_tags(
+    rel_tags: dict[str, str],
+    outer_ways: list[tuple[float, dict[str, str]]],
+) -> dict[str, str]:
+    """A4: if the relation has no own interesting tags, inherit from the largest
+    outer way; relation's own name/type survive either way."""
+    interesting = {k: v for k, v in rel_tags.items() if k not in _UNINTERESTING}
+    if interesting or not outer_ways:
+        return dict(rel_tags)
+    area, tags = max(outer_ways, key=lambda t: t[0])
+    merged = dict(tags)
+    merged.update(rel_tags)  # relation's own keys (type/name) win
+    return merged
+
+
+def way_tags_subsumed(way_tags: dict[str, str], rel_tags: dict[str, str]) -> bool:
+    """P4 exception check: a member way is suppressed unless it carries its own
+    distinct interesting tags beyond what the relation already expresses."""
+    extra = {
+        k: v
+        for k, v in way_tags.items()
+        if k not in _UNINTERESTING and rel_tags.get(k) != v
+    }
+    return not extra

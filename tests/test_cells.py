@@ -1,0 +1,114 @@
+"""Kernel tests: Morton/quadkey cell index (SURVEY.md §5.2 item 1)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imposm2_spark.kernels import cells
+
+
+def test_morton_roundtrip():
+    x = np.arange(0, 1 << 16, 997, dtype=np.int64)
+    y = (x * 31) % (1 << 16)
+    m = cells.morton_encode(x, y)
+    dx, dy = cells.morton_decode(m)
+    assert np.array_equal(dx, x)
+    assert np.array_equal(dy, y)
+
+
+def test_tile_formula_matches_fixture_spec():
+    # FIXTURES.md §4 golden formula at z=8
+    lon, lat = np.asarray([13.4]), np.asarray([52.5])
+    x, y = cells.lonlat_to_xy(lon, lat, 8)
+    assert x[0] == int((13.4 + 180) / 360 * 256)
+    import math
+
+    assert y[0] == int((1 - math.asinh(math.tan(math.radians(52.5))) / math.pi) / 2 * 256)
+
+
+def test_cell_encode_decode_roundtrip():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-85, 85, 1000)
+    for level in (0, 1, 8, 12, 16, 26):
+        c = cells.cell_encode(lon, lat, level)
+        lv, x, y = cells.cell_decode(c)
+        assert np.all(lv == level)
+        ex, ey = cells.lonlat_to_xy(lon, lat, level)
+        assert np.array_equal(x, ex)
+        assert np.array_equal(y, ey)
+        assert np.all(c >= 0)  # int64 sign-safe invariant
+        if level > 0:
+            assert np.all(c > 0)
+
+
+def test_parent_is_prefix():
+    lon = np.asarray([13.4, -73.98, 151.2])
+    lat = np.asarray([52.5, 40.75, -33.87])
+    c12 = cells.cell_encode(lon, lat, 12)
+    c8 = cells.cell_parent(c12, 8)
+    assert np.array_equal(c8, cells.cell_encode(lon, lat, 8))
+
+
+def test_parent_containment_via_bounds():
+    c = cells.cell_encode(np.asarray([13.4]), np.asarray([52.5]), 12)
+    lon_min, lat_min, lon_max, lat_max = cells.cell_bounds(c)
+    p = cells.cell_parent(c, 8)
+    plon_min, plat_min, plon_max, plat_max = cells.cell_bounds(p)
+    assert plon_min <= lon_min and plon_max >= lon_max
+    assert plat_min <= lat_min and plat_max >= lat_max
+
+
+def test_k_ring_cardinality_and_symmetry():
+    c = int(cells.cell_encode(np.asarray([13.4]), np.asarray([52.5]), 12)[0])
+    for r in (0, 1, 2, 3):
+        ring = cells.k_ring(c, r)
+        assert len(ring) == (2 * r + 1) ** 2  # interior cell, no clipping
+        assert len(set(ring.tolist())) == len(ring)
+        assert c in set(ring.tolist())
+        # symmetry: every member's k_ring(r) contains c
+        for m in ring.tolist():
+            assert c in set(cells.k_ring(int(m), r).tolist())
+
+
+def test_k_ring_shell_disjoint():
+    c = int(cells.cell_encode(np.asarray([0.0]), np.asarray([0.0]), 10)[0])
+    full = set(cells.k_ring(c, 2).tolist())
+    inner = set(cells.k_ring(c, 1).tolist())
+    shell = set(cells.k_ring_shell(c, 2).tolist())
+    assert shell == full - inner
+
+
+def test_k_ring_wraps_antimeridian_and_clips_poles():
+    west = int(cells.cell_encode(np.asarray([-179.99]), np.asarray([0.0]), 8)[0])
+    ring = cells.k_ring(west, 1)
+    assert len(ring) == 9  # x wraps, no loss
+    _, xs, _ = cells.cell_decode(ring)
+    assert (1 << 8) - 1 in xs.tolist()  # wrapped to far-east column
+    north = int(cells.cell_encode(np.asarray([0.0]), np.asarray([85.0]), 8)[0])
+    ring_n = cells.k_ring(north, 1)
+    assert len(ring_n) == 6  # y clipped at pole row
+
+
+def test_covering_cells_bbox():
+    cover = cells.covering_cells_bbox(13.0, 52.3, 13.8, 52.7, 12)
+    assert len(cover) > 1
+    assert len(set(cover.tolist())) == len(cover)
+    # every corner's cell is in the cover
+    for lon, lat in [(13.0, 52.3), (13.8, 52.7), (13.0, 52.7), (13.8, 52.3)]:
+        c = int(cells.cell_encode(np.asarray([lon]), np.asarray([lat]), 12)[0])
+        assert c in set(cover.tolist())
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(-180, 180, allow_nan=False),
+    lat=st.floats(-89, 89, allow_nan=False),
+    level=st.integers(0, 26),
+)
+def test_prop_point_inside_own_cell_bounds(lon, lat, level):
+    c = cells.cell_encode(np.asarray([lon]), np.asarray([lat]), level)
+    lon_min, lat_min, lon_max, lat_max = cells.cell_bounds(c)
+    assert lon_min[0] - 1e-9 <= lon <= lon_max[0] + 1e-9
+    clat = min(max(lat, -cells.MERC_LAT_MAX), cells.MERC_LAT_MAX)
+    assert lat_min[0] - 1e-6 <= clat <= lat_max[0] + 1e-6

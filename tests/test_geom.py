@@ -1,0 +1,150 @@
+"""Kernel tests: area/orientation/PIP/boundary rules, haversine, simplify, WKB."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imposm2_spark.kernels import geom, simplify, wkb
+
+SQ = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+HOLE = np.array([[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0], [1.0, 1.0]])  # CW
+
+
+def test_shoelace_sign_and_value():
+    assert geom.ring_signed_area(SQ) == 16.0  # CCW positive
+    assert geom.ring_signed_area(SQ[::-1]) == -16.0
+    assert geom.ring_signed_area(HOLE) == -1.0
+
+
+def test_orientation_normalize():
+    assert geom.ring_is_ccw(geom.ensure_orientation(SQ[::-1], ccw=True))
+    assert not geom.ring_is_ccw(geom.ensure_orientation(SQ, ccw=False))
+
+
+def test_validity_filter():
+    assert geom.ring_is_valid(SQ)
+    assert not geom.ring_is_valid(np.array([[0, 0], [1, 1], [0, 0]], float))  # zero area
+    assert not geom.ring_is_valid(np.array([[0, 0], [1, 0]], float))
+    # degenerate MP-09: 3 distinct collinear points -> zero area
+    assert not geom.ring_is_valid(np.array([[0, 0], [1, 1], [2, 2], [0, 0]], float))
+
+
+def test_pip_half_open_rule():
+    """FIXTURES §3: left/bottom edges inclusive, right/top exclusive —
+    disjoint rectangle tilings never double-match."""
+    px = np.array([2.0, 0.0, 4.0, 2.0, 2.0, 0.0, 4.0, 4.0, 0.0])
+    py = np.array([2.0, 2.0, 2.0, 0.0, 4.0, 0.0, 4.0, 0.0, 4.0])
+    inside = geom.points_in_rings(px, py, [SQ])
+    #           mid   left  right bottom top  BL    TR    BR    TL
+    expected = [True, True, False, True, False, True, False, False, False]
+    assert inside.tolist() == expected
+    # adjacent square sharing the right edge picks those points up exactly once
+    sq2 = SQ + np.array([4.0, 0.0])
+    inside2 = geom.points_in_rings(px, py, [sq2])
+    for a, b, x, y in zip(inside, inside2, px, py):
+        if 0 <= y < 4 and (x == 4.0):
+            assert (a, b) == (False, True), (x, y)
+            assert a != b or not a
+
+
+def test_pip_with_hole_even_odd():
+    px = np.array([1.5, 3.0, 0.5, 2.5])
+    py = np.array([1.5, 3.0, 0.5, 2.5])
+    inside = geom.points_in_rings(px, py, [SQ, HOLE])
+    assert inside.tolist() == [False, True, True, True]
+
+
+def test_ring_contains_ring_touching_vertex():
+    # MP-04: inner touches outer at a single vertex, still a hole
+    inner = np.array([[0.0, 0.0], [1.0, 0.5], [0.5, 1.0], [0.0, 0.0]])
+    assert geom.ring_contains_ring(SQ, inner)
+    outside = inner + np.array([10.0, 0.0])
+    assert not geom.ring_contains_ring(SQ, outside)
+
+
+def test_haversine_known_distance():
+    # Berlin -> Paris ~ 878 km
+    d = geom.haversine_m(np.r_[13.405], np.r_[52.52], np.r_[2.3522], np.r_[48.8566])
+    assert 870_000 < d[0] < 890_000
+    assert geom.haversine_m(np.r_[10.0], np.r_[50.0], np.r_[10.0], np.r_[50.0])[0] == 0.0
+
+
+def test_simplify_collinear_drop():
+    line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 0.001], [4, 0]], float)
+    out = simplify.simplify_line(line, 0.01)
+    assert np.array_equal(out, line[[0, -1]])
+    out2 = simplify.simplify_line(line, 0.0001)
+    assert len(out2) == 5
+
+
+def test_simplify_ring_collapse_returns_none():
+    assert simplify.simplify_ring(SQ, tolerance=1.0) is not None  # corners survive DP
+    assert simplify.simplify_ring(SQ, tolerance=10.0) is None  # whole ring collapses
+    tiny = np.array([[0, 0], [1e-9, 0], [1e-9, 1e-9], [0, 0]], float)
+    assert simplify.simplify_ring(tiny, tolerance=1.0) is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(-1e3, 1e3), st.floats(-1e3, 1e3)), min_size=2, max_size=60
+    ),
+    st.floats(0, 100),
+)
+def test_prop_simplify_subsequence_and_error(pts, tol):
+    line = np.asarray(pts, float)
+    out = simplify.simplify_line(line, tol)
+    # endpoints preserved
+    assert np.array_equal(out[0], line[0]) and np.array_equal(out[-1], line[-1])
+    # subsequence of input
+    i = 0
+    for p in out:
+        while i < len(line) and not np.array_equal(line[i], p):
+            i += 1
+        assert i < len(line)
+        i += 1
+    # dropped points are within tol of the simplified polyline
+    mask = simplify.dp_mask(line, tol)
+    kept_idx = np.flatnonzero(mask)
+    for a, b in zip(kept_idx[:-1], kept_idx[1:]):
+        seg = line[a + 1 : b]
+        if len(seg) == 0:
+            continue
+        d = line[b] - line[a]
+        ln = np.hypot(*d)
+        if ln == 0:
+            dist = np.hypot(seg[:, 0] - line[a, 0], seg[:, 1] - line[a, 1])
+        else:
+            dist = np.abs(d[0] * (line[a, 1] - seg[:, 1]) - d[1] * (line[a, 0] - seg[:, 0])) / ln
+        assert np.all(dist <= tol + 1e-9)
+
+
+def test_wkb_roundtrip():
+    t, (x, y) = wkb.parse_wkb(wkb.point_wkb(13.4, 52.5))
+    assert (t, x, y) == (wkb.WKB_POINT, 13.4, 52.5)
+    line = np.array([[0, 0], [1, 2], [3, 4]], float)
+    t, arr = wkb.parse_wkb(wkb.linestring_wkb(line))
+    assert t == wkb.WKB_LINESTRING and np.array_equal(arr, line)
+    t, rings = wkb.parse_wkb(wkb.polygon_wkb([SQ, HOLE]))
+    assert t == wkb.WKB_POLYGON and len(rings) == 2
+    assert np.array_equal(rings[0], SQ) and np.array_equal(rings[1], HOLE)
+    t, polys = wkb.parse_wkb(wkb.multipolygon_wkb([[SQ, HOLE], [SQ + 10.0]]))
+    assert t == wkb.WKB_MULTIPOLYGON and len(polys) == 2
+    assert np.array_equal(polys[1][0], SQ + 10.0)
+
+
+def test_nested_roundtrip():
+    nested = wkb.rings_to_nested([SQ, HOLE])
+    back = wkb.nested_to_rings(nested)
+    assert np.array_equal(back[0], SQ) and np.array_equal(back[1], HOLE)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    px=st.floats(-20, 20),
+    py=st.floats(-20, 20),
+)
+def test_prop_pip_matches_rectangle_arithmetic(px, py):
+    """PIP ray-cast == direct half-open bbox arithmetic on rectangles."""
+    inside = geom.points_in_rings(np.r_[px], np.r_[py], [SQ])[0]
+    assert inside == (0.0 <= px < 4.0 and 0.0 <= py < 4.0)

@@ -1,0 +1,137 @@
+"""Reference-parity ring-merge / multipolygon tests (FIXTURES.md MP-01..MP-09).
+
+These encode the imposm2 multipolygon unit-test shapes (SURVEY.md §5.1,
+imposm/test/test_multipolygon.py semantics) as pure-kernel tests; the full
+DataFrame path is covered in test_assemble.py.
+"""
+
+import itertools
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imposm2_spark.kernels import geom, rings
+
+OUTER = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+INNER = np.array([[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0], [2.0, 2.0]])
+
+
+def test_mp01_polygon_with_hole():
+    mp = rings.build_multipolygon(rings.merge_rings([OUTER, INNER]))
+    assert len(mp.polygons) == 1
+    shell, *holes = mp.polygons[0]
+    assert len(holes) == 1
+    assert abs(geom.ring_signed_area(shell)) == 100.0
+    assert abs(geom.ring_signed_area(holes[0])) == 4.0
+    assert mp.area == 96.0  # hole area subtracted
+    assert geom.ring_is_ccw(shell) and not geom.ring_is_ccw(holes[0])
+
+
+def test_mp02_split_reversed_unordered_ways():
+    """Outer ring split across 3 open ways, one reversed, members unordered —
+    merge must be order/direction invariant and produce identical rings."""
+    w1 = OUTER[0:2]  # (0,0)->(10,0)
+    w2 = OUTER[1:4]  # (10,0)->(10,10)->(0,10)
+    w3 = OUTER[3:5]  # (0,10)->(0,0)
+    variants = [
+        [w1, w2, w3],
+        [w3, w1, w2[::-1]],
+        [w2[::-1], w3[::-1], w1],
+        [w2, w3, w1[::-1]],
+    ]
+    outputs = []
+    for ways in variants:
+        res = rings.merge_rings(list(ways))
+        assert len(res.rings) == 1 and res.dropped_unclosed == 0
+        outputs.append(res.rings[0])
+    for out in outputs[1:]:
+        assert np.array_equal(out, outputs[0])
+
+
+def test_mp03_two_shells_one_hole():
+    far = OUTER + np.array([100.0, 0.0])
+    mp = rings.build_multipolygon(rings.merge_rings([OUTER, far, INNER]))
+    assert len(mp.polygons) == 2
+    sizes = sorted(len(p) for p in mp.polygons)
+    assert sizes == [1, 2]  # one bare shell, one shell+hole
+    with_hole = next(p for p in mp.polygons if len(p) == 2)
+    assert abs(geom.ring_signed_area(with_hole[1])) == 4.0
+    assert mp.area == 100.0 + 96.0
+
+
+def test_mp04_inner_touching_outer_vertex():
+    touching = np.array([[0.0, 0.0], [3.0, 1.0], [1.0, 3.0], [0.0, 0.0]])
+    mp = rings.build_multipolygon(rings.merge_rings([OUTER, touching]))
+    assert len(mp.polygons) == 1
+    assert len(mp.polygons[0]) == 2  # still classified as hole, no crash
+
+
+def test_mp05_unclosed_ring_dropped():
+    gap = np.array([[20.0, 0.0], [25.0, 0.0], [25.0, 5.0], [20.0, 5.0]])  # open, no mate
+    res = rings.merge_rings([OUTER, gap])
+    assert res.dropped_unclosed == 1
+    mp = rings.build_multipolygon(res)
+    assert len(mp.polygons) == 1 and mp.dropped_unclosed == 1
+
+
+def test_mp06_tag_inheritance():
+    rel_tags = {"type": "multipolygon"}
+    inherited = rings.inherit_tags(rel_tags, [(100.0, {"landuse": "forest"})])
+    assert inherited["landuse"] == "forest"
+    assert inherited["type"] == "multipolygon"
+    # relation WITH own interesting tags does not inherit
+    rel2 = {"type": "multipolygon", "landuse": "park"}
+    assert rings.inherit_tags(rel2, [(100.0, {"landuse": "forest"})])["landuse"] == "park"
+    # largest outer wins
+    multi = rings.inherit_tags(rel_tags, [(1.0, {"landuse": "meadow"}), (9.0, {"landuse": "forest"})])
+    assert multi["landuse"] == "forest"
+
+
+def test_mp07_mp08_way_suppression_rule():
+    rel = {"type": "multipolygon", "landuse": "forest"}
+    assert rings.way_tags_subsumed({"landuse": "forest"}, rel)  # MP-07 suppressed
+    assert rings.way_tags_subsumed({}, rel)
+    assert not rings.way_tags_subsumed({"landuse": "forest", "highway": "track"}, rel)  # MP-08
+
+
+def test_mp09_degenerate_zero_area():
+    degen = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [0.0, 0.0]])
+    res = rings.merge_rings([degen])
+    assert res.rings == [] and res.dropped_invalid == 1
+
+
+def test_nested_island_in_hole():
+    """Ring inside a hole is a new shell (depth parity), not a hole of a hole."""
+    island = np.array([[2.5, 2.5], [3.5, 2.5], [3.5, 3.5], [2.5, 3.5], [2.5, 2.5]])
+    mp = rings.build_multipolygon(rings.merge_rings([OUTER, INNER, island]))
+    assert len(mp.polygons) == 2
+    assert mp.area == (100.0 - 4.0) + 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    perm=st.permutations(range(3)),
+    flips=st.tuples(st.booleans(), st.booleans(), st.booleans()),
+)
+def test_prop_merge_invariant_under_order_and_direction(perm, flips):
+    parts = [OUTER[0:2], OUTER[1:4], OUTER[3:5]]
+    ways = [parts[i][:: -1 if flips[i] else 1] for i in perm]
+    res = rings.merge_rings(ways)
+    assert len(res.rings) == 1
+    baseline = rings.merge_rings(parts).rings[0]
+    assert np.array_equal(res.rings[0], baseline)
+
+
+def test_merge_many_fragments_shuffled():
+    """A 12-segment ring cut into single edges, shuffled+flipped deterministically."""
+    theta = np.linspace(0, 2 * np.pi, 13)
+    ring = np.c_[np.cos(theta), np.sin(theta)]
+    ring[-1] = ring[0]
+    edges = [ring[i : i + 2] for i in range(12)]
+    rng = np.random.default_rng(42)
+    order = rng.permutation(12)
+    ways = [edges[i][:: -1 if rng.integers(2) else 1] for i in order]
+    res = rings.merge_rings(ways)
+    assert len(res.rings) == 1 and res.dropped_unclosed == 0
+    assert len(res.rings[0]) == 13
