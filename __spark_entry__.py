@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship M1 spine on sf0.001: documents -> synthesize web-page
+                 shape -> HTML extract -> geotag -> PIP join -> tile counts.
+queries()      — one entry per implemented SURVEY.md §2 operator.
+oracle_sql()   — DuckDB-runnable ANSI SQL twins (identical column aliases).
+
+Implementation lives in imposm2_spark.plans.registry; this façade stays thin.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from imposm2_spark.plans.pipeline import spine
+    from imposm2_spark.sources import fixtures, testdata
+
+    docs = testdata.load(spark, "/root/testdata/sf0.001", "documents")
+    docs_web = testdata.synth_documents_web(docs)
+    polygons = fixtures.world_octants_df(spark, cell_level=4).unionByName(
+        fixtures.polygons_admin_df(spark, cell_level=4)
+    )
+    return spine(docs_web, polygons, zooms=(2, 5), cell_level=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from imposm2_spark.plans import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from imposm2_spark.plans import registry
+
+    return registry.oracle_sql()

@@ -1,0 +1,87 @@
+"""Benchmark: the M1 spine + headline operator queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <spine wall sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ..., ...}
+
+Spine input = driver documents table fanned out x SPARK_GRAFT_REPLICATION
+(default 100 -> 50k docs) through the full extract -> geotag -> PIP -> tile
+pipeline. Scaling protocol (BASELINE.md): run with SPARK_GRAFT_CPUS=8 then 32
+and compare docs/sec — automated in bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spine_df(spark, sf_dir: str, replication: int):
+    from imposm2_spark.plans.pipeline import spine
+    from imposm2_spark.sources import fixtures, testdata
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    docs_web = testdata.synth_documents_web(docs, replication=replication, spark=spark)
+    polygons = fixtures.world_octants_df(spark, cell_level=4).unionByName(
+        fixtures.polygons_admin_df(spark, cell_level=4)
+    )
+    return spine(docs_web, polygons, zooms=(2, 5), cell_level=4)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replication = int(os.environ.get("SPARK_GRAFT_REPLICATION", "100"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from imposm2_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="imposm2_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")},
+    )
+
+    # warm-up: JIT + Arrow workers (small replication)
+    build_spine_df(spark, sf_dir, 2).count()
+
+    t0 = time.perf_counter()
+    spine_df = build_spine_df(spark, sf_dir, replication)
+    n_tiles = spine_df.count()
+    spine_sec = time.perf_counter() - t0
+    n_docs = 500 * replication
+
+    from imposm2_spark.plans import registry
+
+    q_times: dict[str, float] = {"spine": round(spine_sec, 3)}
+    for name, fn in sorted(registry.queries().items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "spine_wall_sec(extract+geotag+pip+tiles)",
+                "value": round(spine_sec, 3),
+                "unit": "sec",
+                "queries": q_times,
+                "sf": sf,
+                "cpus": cpus,
+                "replication": replication,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / spine_sec, 1),
+                "n_result_tiles": n_tiles,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -109,4 +109,11 @@ def rings_to_nested(rings: list[np.ndarray]) -> list[list[list[float]]]:
 
 
 def nested_to_rings(nested) -> list[np.ndarray]:
-    return [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in nested]
+    """Robust to Arrow's object-dtype nested arrays (ndarray-of-ndarray)."""
+    out = []
+    for r in nested:
+        arr = np.asarray(r)
+        if arr.dtype == object:
+            arr = np.vstack([np.asarray(p, dtype=np.float64) for p in r])
+        out.append(np.asarray(arr, dtype=np.float64).reshape(-1, 2))
+    return out

@@ -1,0 +1,119 @@
+"""J4: point-in-polygon spatial join — cell prefilter + exact ray-cast refine.
+
+Graft addition (SURVEY.md J4); the reference's nearest analog is the prepared-
+geometry containment testing in imposm/multipolygon.py::ContainsRelationBuilder,
+which this reuses at the kernel level (kernels.geom ray cast, half-open rule).
+
+Two-phase plan (scales to 10^12 points):
+  1. PREFILTER — equi-join `point.cell == polygon.covering_cell` at `cell_level`.
+     Polygon side is exploded to one row per covering cell and broadcast when
+     small (the common case: polygon count << point count). Candidate pairs are
+     a tiny superset of the true result.
+  2. REFINE — exact even-odd ray cast per Arrow batch (pandas UDF); inside the
+     batch, points are grouped per polygon so each polygon's rings are decoded
+     once and tested vectorized across all its candidate points.
+
+Skew (O10a): one dense cell can dominate the shuffle when the polygon side is
+too big to broadcast. `salt_factor=k` replicates each polygon cell-row k ways
+and buckets points by a hash — spreading the hot cell over k shuffle partitions.
+With a broadcast polygon side there is no shuffle at all, so salting is off by
+default and AQE skew-join covers the moderate cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.spatial import cell_encode_col
+from ..kernels import geom
+from ..kernels.wkb import nested_to_rings
+
+DEFAULT_CELL_LEVEL = 12
+
+
+@F.pandas_udf(T.BooleanType())
+def _contains_udf(polygon_id: pd.Series, rings: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Exact PIP refine: vectorized per polygon within each Arrow batch."""
+    out = np.zeros(len(polygon_id), dtype=bool)
+    lon_v = lon.to_numpy(dtype=np.float64)
+    lat_v = lat.to_numpy(dtype=np.float64)
+    pid = polygon_id.to_numpy()
+    for p in pd.unique(pid):
+        idx = np.flatnonzero(pid == p)
+        first = rings.iloc[idx[0]]
+        ring_arrays = nested_to_rings(first)
+        out[idx] = geom.points_in_rings(lon_v[idx], lat_v[idx], ring_arrays)
+    return pd.Series(out)
+
+
+def explode_polygon_cells(polygons: DataFrame, salt_factor: int | None = None) -> DataFrame:
+    """(polygon_id, rings, cells) -> one row per covering cell [x salt replica]."""
+    exploded = polygons.select(
+        "polygon_id", "rings", F.explode("cells").alias("cell")
+    )
+    if salt_factor and salt_factor > 1:
+        exploded = exploded.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("salt")
+        )
+    return exploded
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str | Column = "lon",
+    lat: str | Column = "lat",
+    cell_level: int = DEFAULT_CELL_LEVEL,
+    broadcast_polygons: bool = True,
+    salt_factor: int | None = None,
+    keep_point_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inner spatial join: one output row per (point, containing polygon).
+
+    points:   any DataFrame with lon/lat columns (plus carried columns).
+    polygons: (polygon_id, rings ARRAY<ARRAY<ARRAY<DOUBLE>>>, cells ARRAY<LONG>)
+              where `cells` are level-`cell_level` covering cells (see
+              sources.fixtures.make_polygons_admin / operators.tiles.covering_cells).
+    """
+    lon_c = F.col(lon) if isinstance(lon, str) else lon
+    lat_c = F.col(lat) if isinstance(lat, str) else lat
+    pts = points.withColumn("_cell", cell_encode_col(lon_c, lat_c, cell_level))
+
+    poly_cells = explode_polygon_cells(polygons, salt_factor)
+    if broadcast_polygons:
+        poly_cells = F.broadcast(poly_cells)
+
+    if salt_factor and salt_factor > 1:
+        pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(lon_c, lat_c), F.lit(salt_factor)).cast("int")
+        )
+        cond = (pts["_cell"] == poly_cells["cell"]) & (pts["_salt"] == poly_cells["salt"])
+    else:
+        cond = pts["_cell"] == poly_cells["cell"]
+
+    candidates = pts.join(poly_cells, cond, "inner")
+    refined = candidates.where(
+        _contains_udf(F.col("polygon_id"), F.col("rings"), lon_c, lat_c)
+    )
+    drop = ["_cell", "cell", "rings"] + (["_salt", "salt"] if salt_factor and salt_factor > 1 else [])
+    out = refined.drop(*drop)
+    if keep_point_cols is not None:
+        out = out.select(*keep_point_cols, "polygon_id")
+    return out
+
+
+def pip_join_brute(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Oracle-grade brute force: cross join + exact refine (tests only)."""
+    cand = points.crossJoin(F.broadcast(polygons.select("polygon_id", "rings")))
+    return cand.where(
+        _contains_udf(F.col("polygon_id"), F.col("rings"), F.col(lon), F.col(lat))
+    ).drop("rings")

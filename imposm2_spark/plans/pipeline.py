@@ -1,0 +1,62 @@
+"""The M1 spine: documents -> extract -> geotag -> cell -> PIP join -> tiles.
+
+This is the flagship end-to-end flow (SURVEY.md §7 M1): the graft equivalent of
+imposm2's `--read` + `--write` run (imposm/app.py::main -> writer.py pipeline),
+with web documents playing the node-stream role (SURVEY.md §1.3).
+
+Shape of the physical plan (verified by tests/test_plans.py explain checks):
+  parquet/createDataFrame scan
+  -> Arrow-batched extract+geotag (the only Python stages)
+  -> codegen'd cell/tile arithmetic
+  -> broadcast-hash PIP prefilter join (no shuffle on the big side)
+  -> exact refine filter
+  -> single shuffle for the final tile aggregation
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geotag import geotag
+from ..functions.textx import extract_text
+from ..operators.pip import pip_join
+from ..operators.tiles import assign_point_tiles
+
+DEFAULT_ZOOMS = (8, 12)
+
+
+def extract_stage(docs: DataFrame) -> DataFrame:
+    """html -> extracted text (frozen spec v1), kept alongside the input text
+    column (if any) so parity can be asserted downstream."""
+    return docs.withColumn("text_extracted", extract_text("html"))
+
+
+def geotag_stage(docs: DataFrame) -> DataFrame:
+    g = geotag("url", "html")
+    return docs.withColumn("_geo", g).select(
+        "*", F.col("_geo.lon").alias("lon"), F.col("_geo.lat").alias("lat")
+    ).drop("_geo")
+
+
+def spine(
+    docs: DataFrame,
+    polygons: DataFrame,
+    zooms: tuple[int, ...] = DEFAULT_ZOOMS,
+    cell_level: int = 12,
+    salt_factor: int | None = None,
+) -> DataFrame:
+    """Full M1 flow -> tile counts (z, x, y, n_docs) per zoom level."""
+    enriched = geotag_stage(extract_stage(docs))
+    joined = pip_join(
+        enriched,
+        polygons,
+        cell_level=cell_level,
+        salt_factor=salt_factor,
+        keep_point_cols=["url", "lon", "lat"],
+    )
+    tiled = assign_point_tiles(joined, list(zooms))
+    return tiled.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("polygon_id").alias("n_polygons"),
+    )

@@ -1,0 +1,193 @@
+"""Deterministic synthetic fixtures (FIXTURES.md) — seed=42, index-derived only.
+
+- documents_web: the graft's primary input shape (url, warc_ts, html, text, lang)
+  with an analytically-constructed golden `text` column (NOT produced by running
+  the extractor — so extractor tests are meaningful).
+- polygons_admin: 25 polygons incl. overlaps, a hole, and the Berlin dense box.
+- osm fixture tables: nodes/ways/relations grid + MP-01..09 parity cases
+  (reference analog: imposm/test/test_multipolygon.py input shapes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from ..functions import geotag
+from ..kernels import cells as kcells
+
+_VOCAB = [
+    "data", "spark", "tile", "river", "mountain", "city", "index", "vector",
+    "raster", "crawl", "page", "query", "join", "cell", "ring", "polygon",
+    "stream", "batch", "shuffle", "broadcast",
+]
+
+ENTITY_SNIPPET = "&amp; &lt; &#65;"
+ENTITY_DECODED = "& < A"
+NESTED_SNIPPET = "<b>bold <i>deep</i></b> tail"
+NESTED_TEXT = "bold deep tail"
+
+BERLIN = (13.0, 52.3, 13.8, 52.7)  # dense-cell skew box
+_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def _words(i: int) -> str:
+    """Seeded token sequence: 5 + (i mod 7) words chosen by index arithmetic."""
+    n = 5 + (i % 7)
+    return " ".join(_VOCAB[(i * 7 + j * 13) % len(_VOCAB)] for j in range(n))
+
+
+def _coords(i: int) -> tuple[float, float]:
+    """Deterministic (lon, lat); every 5th row (i%5==0) inside the Berlin box
+    => 20% skew into one dense cell (FIXTURES §1)."""
+    if i % 5 == 0:
+        lon = BERLIN[0] + ((i * 37) % 800) / 1000.0  # [13.0, 13.8)
+        lat = BERLIN[1] + ((i * 53) % 400) / 1000.0  # [52.3, 52.7)
+    else:
+        lon = ((i * 9973) % 3_600_000) / 10_000.0 - 180.0
+        lat = ((i * 7919) % 1_700_000) / 10_000.0 - 85.0
+    return round(lon, 4), round(lat, 4)
+
+
+def make_documents_web(n: int) -> pd.DataFrame:
+    """FIXTURES §1 documents_web table with golden text + golden lon/lat."""
+    rows = []
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for i in range(n):
+        url = f"https://example.org/p/{i:08d}"
+        lon, lat = _coords(i)
+        has_meta = i % 10 != 0
+        words = _words(i)
+        body_extra = ""
+        text_extra = ""
+        if i % 17 == 0:
+            body_extra = f"<p>{ENTITY_SNIPPET}</p><p>{NESTED_SNIPPET}</p>"
+            text_extra = f" {ENTITY_DECODED} {NESTED_TEXT}"
+        meta = (
+            f'<meta name="geo.position" content="{lat};{lon}"/>' if has_meta else ""
+        )
+        html = (
+            f"<html><head><title>T{i}</title>{meta}<style>.x{{}}</style></head>"
+            f"<body><script>var a=1;</script><h1>T{i}</h1><p>{words}</p>"
+            f"{body_extra}</body></html>"
+        ).encode("utf-8")
+        text = f"T{i} T{i} {words}{text_extra}"
+        if not has_meta:  # golden geotag = url-hash fallback
+            lon, lat = geotag.fallback_lon(url), geotag.fallback_lat(url)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": epoch + dt.timedelta(seconds=i % 86400),
+                "html": html,
+                "text": text,
+                "lang": _LANGS[i % 5],
+                "golden_lon": lon,
+                "golden_lat": lat,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_polygons_admin(cell_level: int = 12) -> pd.DataFrame:
+    """FIXTURES §3: 25 polygons with covering cells at `cell_level`.
+
+    polygon_id 0..19: disjoint 4x5 grid of rectangles tiling [-10,10]^2
+    20..22: overlapping rectangles (docs can match 2 polygons)
+    23: rectangle with a hole
+    24: the Berlin dense box (skew target)
+    """
+
+    def rect(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+        )
+
+    polys: list[tuple[int, str, int, list[np.ndarray]]] = []
+    pid = 0
+    for r in range(5):
+        for c in range(4):
+            x0, y0 = -10.0 + c * 5.0, -10.0 + r * 4.0
+            polys.append((pid, f"grid_{r}_{c}", 6, [rect(x0, y0, x0 + 5.0, y0 + 4.0)]))
+            pid += 1
+    polys.append((20, "overlap_a", 4, [rect(20.0, 20.0, 24.0, 24.0)]))
+    polys.append((21, "overlap_b", 4, [rect(22.0, 22.0, 26.0, 26.0)]))
+    polys.append((22, "overlap_c", 4, [rect(23.0, 23.0, 23.5, 23.5)]))
+    polys.append((23, "holed", 4, [rect(30.0, 30.0, 34.0, 34.0), rect(31.0, 31.0, 33.0, 33.0)[::-1].copy()]))
+    polys.append((24, "berlin_box", 4, [rect(*BERLIN)]))
+
+    rows = []
+    for pid, name, lvl, rings in polys:
+        xs = np.vstack(rings)
+        cover = kcells.covering_cells_bbox(
+            float(xs[:, 0].min()), float(xs[:, 1].min()),
+            float(xs[:, 0].max()), float(xs[:, 1].max()), cell_level,
+        )
+        rows.append(
+            {
+                "polygon_id": pid,
+                "name": name,
+                "admin_level": lvl,
+                "rings": [r.tolist() for r in rings],
+                "cells": cover.tolist(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_world_octants(cell_level: int = 4) -> pd.DataFrame:
+    """8 polygons tiling the mercator world (4 lon bands x 2 lat bands): every
+    geotagged document matches exactly one — used by entry()/bench so the
+    flagship spine always produces rows regardless of point distribution."""
+
+    def rect(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+        )
+
+    rows = []
+    pid = 1000
+    for i, (x0, x1) in enumerate([(-180, -90), (-90, 0), (0, 90), (90, 180)]):
+        for j, (y0, y1) in enumerate([(-85.06, 0), (0, 85.06)]):
+            ring = rect(float(x0), float(y0), float(x1), float(y1))
+            cover = kcells.covering_cells_bbox(
+                x0, max(y0, -85.05), x1 - 1e-9, min(y1, 85.05), cell_level
+            )
+            rows.append(
+                {
+                    "polygon_id": pid,
+                    "name": f"octant_{i}_{j}",
+                    "admin_level": 1,
+                    "rings": [ring.tolist()],
+                    "cells": cover.tolist(),
+                }
+            )
+            pid += 1
+    return pd.DataFrame(rows)
+
+
+def world_octants_df(spark, cell_level: int = 4):
+    return spark.createDataFrame(
+        make_world_octants(cell_level), schema=POLYGONS_ADMIN_SCHEMA
+    )
+
+
+DOCUMENTS_WEB_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "golden_lon double, golden_lat double"
+)
+POLYGONS_ADMIN_SCHEMA = (
+    "polygon_id long, name string, admin_level int, "
+    "rings array<array<array<double>>>, cells array<long>"
+)
+
+
+def documents_web_df(spark, n: int):
+    return spark.createDataFrame(make_documents_web(n), schema=DOCUMENTS_WEB_SCHEMA)
+
+
+def polygons_admin_df(spark, cell_level: int = 12):
+    return spark.createDataFrame(
+        make_polygons_admin(cell_level), schema=POLYGONS_ADMIN_SCHEMA
+    )

@@ -1,0 +1,132 @@
+"""Driver testdata loaders (S1 scan role) + derived deterministic point sets.
+
+The sandbox's Iceberg-table stand-in is plain parquet (SURVEY.md Appendix A);
+`load` is the single scan entry so a real Iceberg catalog can slot in later.
+
+`derived_points` assigns each document a deterministic (lon, lat) by integer
+arithmetic on doc_id — the SQL-expressible twin of the blake2b url-hash geotag
+(functions.geotag), used by every DuckDB-oracle-checked spatial query so the
+oracle can reproduce it exactly (see plans.registry PTS_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table not in TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# lon in [-180, 180), lat in [-85, 85) on a 0.0001-degree grid — exact in f64
+LON_MOD, LAT_MOD = 3_600_000, 1_700_000
+LON_MUL, LAT_MUL = 9973, 7919
+
+
+def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ((F.col("doc_id") * LON_MUL) % LON_MOD / 10_000.0 - 180.0).alias("lon"),
+        ((F.col("doc_id") * LAT_MUL) % LAT_MOD / 10_000.0 - 85.0).alias("lat"),
+    )
+
+
+PTS_SQL = f"""
+SELECT doc_id,
+       ((doc_id * {LON_MUL}) % {LON_MOD}) / 10000.0 - 180.0 AS lon,
+       ((doc_id * {LAT_MUL}) % {LAT_MOD}) / 10000.0 - 85.0  AS lat
+FROM documents
+"""
+
+# dense variant: every document lands in [-20, 20)^2 so polygon-join queries
+# have non-vacuous results at every sf (the admin grid covers [-10, 10]^2)
+DENSE_MOD = 400_000
+
+
+def derived_points_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ((F.col("doc_id") * LON_MUL) % DENSE_MOD / 10_000.0 - 20.0).alias("lon"),
+        ((F.col("doc_id") * LAT_MUL) % DENSE_MOD / 10_000.0 - 20.0).alias("lat"),
+    )
+
+
+PTS_DENSE_SQL = f"""
+SELECT doc_id,
+       ((doc_id * {LON_MUL}) % {DENSE_MOD}) / 10000.0 - 20.0 AS lon,
+       ((doc_id * {LAT_MUL}) % {DENSE_MOD}) / 10000.0 - 20.0 AS lat
+FROM documents
+"""
+
+
+def synth_documents_web(
+    docs: DataFrame, replication: int | None = None, spark: SparkSession | None = None
+) -> DataFrame:
+    """Wrap the driver `documents` table into the input_hint web-page shape
+    (url, warc_ts, html, text, lang) with pure Column ops — no Python boundary.
+
+    Every 10th document omits the geo.position meta tag so the geotag fallback
+    path is exercised. With `replication`, the table is fanned out R times via
+    a parallel range x broadcast cross join (bench-scale input without reading
+    bigger files; partition count follows the range, so parallelism is free).
+    """
+    if replication and replication > 1:
+        if spark is None:
+            raise ValueError("spark session required for replication")
+        reps = spark.range(0, replication, numPartitions=max(32, replication // 4))
+        docs = reps.withColumnRenamed("id", "rep").join(F.broadcast(docs))
+    else:
+        docs = docs.withColumn("rep", F.lit(0))
+
+    uid = F.col("doc_id") + F.col("rep") * F.lit(1_000_000)
+    lon = (uid * LON_MUL) % LON_MOD / 10_000.0 - 180.0
+    lat = (uid * LAT_MUL) % LAT_MOD / 10_000.0 - 85.0
+    meta = F.when(
+        uid % 10 != 0,
+        F.concat(
+            F.lit('<meta name="geo.position" content="'),
+            lat.cast("string"),
+            F.lit(";"),
+            lon.cast("string"),
+            F.lit('"/>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>D"),
+            uid.cast("string"),
+            F.lit("</title>"),
+            meta,
+            F.lit("</head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+        "utf-8",
+    )
+    return docs.select(
+        F.concat(F.lit("https://example.org/d/"), F.lpad(uid.cast("string"), 10, "0")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

@@ -1,0 +1,74 @@
+"""Driver-gate rehearsal: run every queries() entry vs its DuckDB oracle.
+
+Mirrors CORRECTNESS_r{N}.json: row count + schema (column names) + order-
+insensitive value equality, at sf0.001 (fast) — the driver runs sf0.01.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from imposm2_spark.sources.testdata import TABLES
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(_norm(r[i])) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+    if name not in oracles:
+        assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    res = duck.execute(oracles[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    got = _rows_to_multiset(spark_cols, [tuple(r) for r in spark_rows])
+    want = _rows_to_multiset(duck_cols, duck_rows)
+    mism = [i for i, (a, b) in enumerate(zip(got, want)) if a != b][:3]
+    assert got == want, f"{name}: first mismatches {[(got[i], want[i]) for i in mism]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"z", "x", "y", "n_docs", "n_polygons"}
+    assert sum(r.n_docs for r in rows if r.z == 2) >= 500  # every doc lands in an octant

@@ -1,0 +1,205 @@
+"""Spark-side spatial ops: JVM column math == NumPy kernels; PIP join; tiles.
+
+Also asserts the physical-plan properties SURVEY.md §4 demands: broadcast
+prefilter join, no Python in the cell/tile arithmetic (codegen check).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from imposm2_spark.functions import spatial
+from imposm2_spark.kernels import cells as kcells
+from imposm2_spark.kernels import geom
+from imposm2_spark.operators.pip import pip_join, pip_join_brute
+from imposm2_spark.operators.tiles import assign_point_tiles, assign_polygon_tiles
+from imposm2_spark.sources import fixtures
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    rng = np.random.default_rng(42)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon": np.round(rng.uniform(-180, 180, n), 6),
+            "lat": np.round(rng.uniform(-85, 85, n), 6),
+        }
+    )
+    # force some into polygons: grid area and berlin box
+    pdf.loc[:499, "lon"] = np.round(rng.uniform(-10, 10, 500), 6)
+    pdf.loc[:499, "lat"] = np.round(rng.uniform(-10, 10, 500), 6)
+    pdf.loc[500:699, "lon"] = np.round(rng.uniform(13.0, 13.8, 200), 6)
+    pdf.loc[500:699, "lat"] = np.round(rng.uniform(52.3, 52.7, 200), 6)
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_cell_encode_col_matches_kernel(spark, points_df):
+    df, pdf = points_df
+    for level in (0, 5, 12, 16, 26):
+        got = (
+            df.select("pid", spatial.cell_encode_col(F.col("lon"), F.col("lat"), level).alias("c"))
+            .orderBy("pid")
+            .collect()
+        )
+        expected = kcells.cell_encode(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), level)
+        assert [r.c for r in got] == expected.tolist(), f"level {level}"
+
+
+def test_cell_encode_col_null_and_nan(spark):
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, float("nan"), 10.0), (3, 10.0, None), (4, 13.4, 52.5)],
+        "pid long, lon double, lat double",
+    )
+    rows = df.select("pid", spatial.cell_encode_col(F.col("lon"), F.col("lat"), 12).alias("c")).collect()
+    by_id = {r.pid: r.c for r in rows}
+    assert by_id[1] == -1 and by_id[2] == -1 and by_id[3] == -1
+    assert by_id[4] == int(kcells.cell_encode(np.r_[13.4], np.r_[52.5], 12)[0])
+
+
+def test_cell_parent_col_matches_kernel(spark, points_df):
+    df, pdf = points_df
+    got = (
+        df.select(
+            "pid",
+            spatial.cell_parent_col(
+                spatial.cell_encode_col(F.col("lon"), F.col("lat"), 12), 12, 8
+            ).alias("p"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    expected = kcells.cell_parent(
+        kcells.cell_encode(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 12), 8
+    )
+    assert [r.p for r in got] == expected.tolist()
+
+
+def test_tile_xy_matches_kernel(spark, points_df):
+    df, pdf = points_df
+    for z in (8, 12):
+        got = (
+            df.select("pid", spatial.tile_x(F.col("lon"), z).alias("x"), spatial.tile_y(F.col("lat"), z).alias("y"))
+            .orderBy("pid")
+            .collect()
+        )
+        ex, ey = kcells.lonlat_to_xy(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), z)
+        assert [r.x for r in got] == ex.tolist(), f"z={z}"
+        assert [r.y for r in got] == ey.tolist(), f"z={z}"
+
+
+def test_cell_math_stays_jvm_side(spark, points_df):
+    """The index arithmetic must not cross into Python (SURVEY O12)."""
+    df, _ = points_df
+    plan = (
+        df.select(spatial.cell_encode_col(F.col("lon"), F.col("lat"), 12))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pip_join_matches_brute_force(spark, points_df):
+    df, _ = points_df
+    polys = fixtures.polygons_admin_df(spark)
+    fast = pip_join(df, polys, keep_point_cols=["pid"]).collect()
+    brute = pip_join_brute(df, polys).select("pid", "polygon_id").collect()
+    fast_set = {(r.pid, r.polygon_id) for r in fast}
+    brute_set = {(r.pid, r.polygon_id) for r in brute}
+    assert fast_set == brute_set
+    assert len(fast_set) > 400  # grid + berlin points actually land
+
+
+def test_pip_join_salted_identical(spark, points_df):
+    df, _ = points_df
+    polys = fixtures.polygons_admin_df(spark)
+    plain = {(r.pid, r.polygon_id) for r in pip_join(df, polys, keep_point_cols=["pid"]).collect()}
+    salted = {
+        (r.pid, r.polygon_id)
+        for r in pip_join(
+            df, polys, keep_point_cols=["pid"], salt_factor=8, broadcast_polygons=False
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_pip_join_overlapping_polygons_emit_both(spark):
+    pts = spark.createDataFrame([(1, 23.2, 23.2)], "pid long, lon double, lat double")
+    polys = fixtures.polygons_admin_df(spark)
+    got = sorted(r.polygon_id for r in pip_join(pts, polys, keep_point_cols=["pid"]).collect())
+    assert got == [20, 21, 22]
+
+
+def test_pip_join_hole_excluded(spark):
+    pts = spark.createDataFrame(
+        [(1, 32.0, 32.0), (2, 30.5, 30.5)], "pid long, lon double, lat double"
+    )
+    polys = fixtures.polygons_admin_df(spark)
+    got = {(r.pid, r.polygon_id) for r in pip_join(pts, polys, keep_point_cols=["pid"]).collect()}
+    assert got == {(2, 23)}  # point 1 is inside the hole
+
+
+def test_pip_join_is_broadcast(spark, points_df):
+    df, _ = points_df
+    polys = fixtures.polygons_admin_df(spark)
+    plan = pip_join(df, polys)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_point_tiles_match_fixture_formula(spark, points_df):
+    df, pdf = points_df
+    out = assign_point_tiles(df.select("pid", "lon", "lat"), [8, 12]).collect()
+    assert len(out) == 2 * len(pdf)
+    lon = pdf.set_index("pid")["lon"]
+    lat = pdf.set_index("pid")["lat"]
+    for r in out:
+        ex, ey = kcells.lonlat_to_xy(np.r_[lon[r.pid]], np.r_[lat[r.pid]], r.z)
+        assert (r.x, r.y) == (int(ex[0]), int(ey[0]))
+
+
+def test_polygon_covering_tiles(spark):
+    polys = fixtures.polygons_admin_df(spark)
+    out = assign_polygon_tiles(polys.where(F.col("polygon_id") == 24), [8, 12]).collect()
+    by_z = {}
+    for r in out:
+        by_z.setdefault(r.z, set()).add((r.x, r.y))
+    # berlin box [13.0,13.8]x[52.3,52.7] at z=8 spans tiles x in {137}, y in {83,84}
+    ex0, ey0 = kcells.lonlat_to_xy(np.r_[13.0], np.r_[52.7], 8)
+    ex1, ey1 = kcells.lonlat_to_xy(np.r_[13.8 - 1e-9], np.r_[52.3], 8)
+    expected_z8 = {
+        (x, y)
+        for x in range(int(ex0[0]), int(ex1[0]) + 1)
+        for y in range(int(ey0[0]), int(ey1[0]) + 1)
+    }
+    assert by_z[8] == expected_z8
+    assert len(by_z[12]) > len(by_z[8])
+    # every z12 tile's parent z8 tile is in the z8 cover
+    for x, y in by_z[12]:
+        assert (x >> 4, y >> 4) in by_z[8]
+
+
+def test_pip_refine_centroid_vs_cells(spark):
+    """Candidate cells are a superset: points in a polygon's bbox but outside
+    the polygon must be dropped by refine."""
+    tri = pd.DataFrame(
+        [
+            {
+                "polygon_id": 99,
+                "name": "tri",
+                "admin_level": 2,
+                "rings": [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 0.0]]],
+                "cells": kcells.covering_cells_bbox(0, 0, 10, 10, 12).tolist(),
+            }
+        ]
+    )
+    polys = spark.createDataFrame(tri, schema=fixtures.POLYGONS_ADMIN_SCHEMA)
+    pts = spark.createDataFrame(
+        [(1, 9.0, 1.0), (2, 1.0, 9.0)], "pid long, lon double, lat double"
+    )
+    got = {r.pid for r in pip_join(pts, polys, keep_point_cols=["pid"]).collect()}
+    assert got == {1}  # (1,9) is in bbox cover but outside the triangle

@@ -1,0 +1,101 @@
+"""F-HTML / F-GEO: frozen extractor golden bytes + geotag determinism.
+
+The north-rule invariant: byte-identical extracted text per url, stable across
+Arrow batch sizes and row order (SURVEY.md §5.2 items 1, 3, 5).
+"""
+
+import pytest
+
+from imposm2_spark.functions import geotag, textx
+from imposm2_spark.sources import fixtures
+
+
+def test_extractor_golden_cases():
+    cases = [
+        (b"<html><body><p>hello world</p></body></html>", "hello world"),
+        (b"<p>a</p><script>var x = '<b>no</b>';</script><p>b</p>", "a b"),
+        (b"<style>p {color: red}</style><p>styled</p>", "styled"),
+        (b"<p>&amp; &lt; &#65; &quot;</p>", '& < A "'),
+        (b"<p>nested <b>bold <i>deep</i></b> tail</p>", "nested bold deep tail"),
+        (b"<p>  lots \t of\n\nspace  </p>", "lots of space"),
+        (b"", ""),
+        (b"plain no tags", "plain no tags"),
+        ("<p>unicode é中文</p>".encode(), "unicode é中文"),
+        (b"<p>broken utf8 \xff\xfe</p>", "broken utf8 ��"),
+        (b"<script>only script</script>", ""),
+        # script is a raw-text (CDATA) element: content ends at FIRST close tag,
+        # so "b" re-enters text; stray close tag ignored (HTML5 behavior)
+        (b"<script><script>a</script>b</script>c", "b c"),
+    ]
+    for html, expected in cases:
+        assert textx.extract_text_bytes(html) == expected, html
+    assert textx.extract_text_bytes(None) is None
+
+
+def test_extractor_matches_fixture_golden_column():
+    df = fixtures.make_documents_web(120)
+    extracted = textx.extract_text_series(df["html"])
+    mismatches = df[extracted != df["text"]]
+    assert len(mismatches) == 0, mismatches[["url", "text"]].head()
+
+
+def test_extractor_idempotent_on_own_output():
+    df = fixtures.make_documents_web(40)
+    for t in df["text"]:
+        assert textx.extract_text_bytes(f"<p>{t}</p>".encode()) == t or "&" in t or "<" in t
+
+
+def test_geotag_meta_and_fallback():
+    df = fixtures.make_documents_web(60)
+    for _, row in df.iterrows():
+        lon, lat = geotag.geotag_pair(row["url"], row["html"])
+        assert lon == pytest.approx(row["golden_lon"], abs=1e-9)
+        assert lat == pytest.approx(row["golden_lat"], abs=1e-9)
+        assert -180.0 <= lon < 180.0
+        assert -geotag.LAT_CLAMP <= lat <= geotag.LAT_CLAMP
+
+
+def test_geotag_fallback_deterministic():
+    u = "https://example.org/p/00000010"
+    assert geotag.fallback_lon(u) == geotag.fallback_lon(u)
+    assert geotag.fallback_lon(u) != geotag.fallback_lat(u)
+    assert geotag.geotag_pair(u, None) == (geotag.fallback_lon(u), geotag.fallback_lat(u))
+    # malformed meta falls back
+    assert geotag.geotag_pair(u, b'<meta name="geo.position" content="garbage">') == (
+        geotag.fallback_lon(u),
+        geotag.fallback_lat(u),
+    )
+
+
+@pytest.mark.spark
+def test_extract_udf_batch_invariance(spark):
+    """Byte-identical output at maxRecordsPerBatch 100 vs 10000 (north rule)."""
+    pdf = fixtures.make_documents_web(500)
+    df = spark.createDataFrame(pdf, schema=fixtures.DOCUMENTS_WEB_SCHEMA)
+    results = {}
+    for batch in ("100", "10000"):
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch)
+        out = (
+            df.withColumn("tx", textx.extract_text("html"))
+            .select("url", "tx")
+            .collect()
+        )
+        results[batch] = {r.url: r.tx for r in out}
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    assert results["100"] == results["10000"]
+    golden = dict(zip(pdf["url"], pdf["text"]))
+    assert results["10000"] == golden  # byte-identical per url
+
+
+@pytest.mark.spark
+def test_geotag_udf_matches_golden(spark):
+    pdf = fixtures.make_documents_web(300)
+    df = spark.createDataFrame(pdf, schema=fixtures.DOCUMENTS_WEB_SCHEMA)
+    from imposm2_spark.plans.pipeline import geotag_stage
+
+    rows = geotag_stage(df).select("url", "lon", "lat").collect()
+    golden = {r["url"]: (r["golden_lon"], r["golden_lat"]) for _, r in pdf.iterrows()}
+    for r in rows:
+        glon, glat = golden[r.url]
+        assert r.lon == pytest.approx(glon, abs=1e-9)
+        assert r.lat == pytest.approx(glat, abs=1e-9)
