@@ -1,0 +1,100 @@
+"""The full import pipeline: OSM-model elements -> mapped geometry tables.
+
+Reference analog: imposm --write (imposm/writer.py::ImposmWriter, SURVEY.md
+§3.2). The reference's CRITICAL ORDER (relations before ways so member ways get
+marked) becomes a plain dataflow dependency: the relation output's inserted_ways
+feeds the way pass's anti-join — no sequencing code.
+
+Scale shape:
+  * relations are prefiltered to interesting types before any join (S3 spirit);
+  * J1 coord-resolve runs ONLY for ways that either match a spec or are members
+    of an interesting relation (left_semi prune) — at planet scale most ways are
+    untagged interior geometry, so this prunes the workhorse shuffle's left side;
+  * per-table outputs stay lazy; materialization goes through sources.catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import mapping as M
+from ..operators.assemble import (
+    assemble_relations,
+    assemble_ways,
+    node_points,
+    suppress_inserted_ways,
+    way_linestrings,
+    way_polygons,
+)
+
+INTERESTING_RELATION_TYPES = ("multipolygon", "boundary")
+
+
+def import_tables(
+    spark: SparkSession,
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    specs: list[M.TableSpec],
+) -> dict[str, DataFrame]:
+    """-> {table_name: DataFrame with id, mapped field columns, geometry cols}."""
+    point_specs = [s for s in specs if s.geom_type == M.GEOM_POINT]
+    line_specs = [s for s in specs if s.geom_type == M.GEOM_LINESTRING]
+    poly_specs = [s for s in specs if s.geom_type == M.GEOM_POLYGON]
+
+    out: dict[str, DataFrame] = {}
+
+    # ---- node pass (points) ----
+    if point_specs:
+        routed_nodes = M.route(nodes, point_specs, spark)
+        pts = node_points(nodes).select("id", "wkb")
+        routed_pts = routed_nodes.join(pts, "id")
+        for s in point_specs:
+            out[s.name] = M.apply_fields(routed_pts, s)
+
+    # ---- shared way assembly, pruned to needed ways ----
+    routed_ways = M.route(ways, line_specs + poly_specs, spark).cache()
+    interesting_rels = relations.where(
+        F.element_at("tags", "type").isin(*INTERESTING_RELATION_TYPES)
+    )
+    member_way_ids = interesting_rels.select(
+        F.explode("members").alias("m")
+    ).where(F.col("m.type") == "way").select(F.col("m.ref").alias("id")).distinct()
+    needed = routed_ways.select("id").distinct().unionByName(member_way_ids).distinct()
+    pruned_ways = ways.join(needed, "id", "left_semi")
+    aw = assemble_ways(pruned_ways, nodes.select("id", "lon", "lat")).cache()
+
+    # ---- relation pass (before way pass, by dependency) ----
+    rel_out = assemble_relations(interesting_rels, aw).cache()
+    if poly_specs:
+        rel_elements = rel_out.select(
+            F.col("rel_id").alias("id"), "tags", "polygons", "area", "wkb"
+        )
+        routed_rels = M.route(rel_elements, poly_specs, spark)
+        for s in poly_specs:
+            out[s.name] = M.apply_fields(routed_rels, s)
+
+    # ---- way pass with P4 suppression ----
+    surviving = suppress_inserted_ways(aw, rel_out)
+    if line_specs:
+        lines = way_linestrings(surviving).select("id", "coords", "wkb")
+        routed_lines = routed_ways.join(lines, "id")
+        for s in line_specs:
+            out[s.name] = M.apply_fields(routed_lines, s)
+    if poly_specs:
+        polys = way_polygons(surviving).select("id", "rings", "area", "wkb")
+        routed_polys = routed_ways.join(polys, "id")
+        for s in poly_specs:
+            way_tbl = M.apply_fields(routed_polys, s)
+            rel_tbl = out[s.name]
+            # relation rows carry `polygons` (multi), way rows `rings` (single) —
+            # unify to the table schema: polygons + area + wkb
+            rel_cols = rel_tbl.columns
+            way_unified = way_tbl.withColumn(
+                "polygons", F.array(F.col("rings"))
+            ).drop("rings")
+            out[s.name] = rel_tbl.unionByName(
+                way_unified.select(*rel_cols), allowMissingColumns=False
+            )
+    return out

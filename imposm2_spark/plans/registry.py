@@ -323,3 +323,158 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mapping engine (P1-P3, F1-F10): a deterministic tag matrix derived from
+# doc_id drives the REAL route/build_tables path (MAP column + broadcast-join
+# router); the oracle reproduces the semantics with plain CASE SQL.
+# ---------------------------------------------------------------------------
+_TAG_CASES_SQL = """
+SELECT doc_id,
+  CASE doc_id % 7 WHEN 0 THEN 'city' WHEN 1 THEN 'town' WHEN 2 THEN 'village'
+                  WHEN 3 THEN 'hamlet' WHEN 4 THEN 'metropolis' WHEN 5 THEN 'suburb'
+                  ELSE 'locality' END AS place_v,
+  CASE doc_id % 5 WHEN 0 THEN 'primary' WHEN 1 THEN 'residential'
+                  WHEN 2 THEN 'motorway' WHEN 3 THEN 'footway' ELSE NULL END AS highway_v,
+  CASE doc_id % 4 WHEN 0 THEN 'yes' WHEN 1 THEN '-1' WHEN 2 THEN 'no' ELSE NULL END AS oneway_v,
+  CASE WHEN doc_id % 6 = 0 THEN 'yes' ELSE NULL END AS bridge_v,
+  CASE WHEN doc_id % 8 = 0 THEN '2' ELSE NULL END AS layer_v,
+  CASE doc_id % 3 WHEN 0 THEN CAST(doc_id * 13 AS VARCHAR) WHEN 1 THEN 'many' ELSE NULL END AS pop_v,
+  'n' || CAST(doc_id AS VARCHAR) AS name_v
+FROM documents
+"""
+
+
+def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    place = (
+        F.when(d % 7 == 0, "city").when(d % 7 == 1, "town").when(d % 7 == 2, "village")
+        .when(d % 7 == 3, "hamlet").when(d % 7 == 4, "metropolis").when(d % 7 == 5, "suburb")
+        .otherwise("locality")
+    )
+    highway = (
+        F.when(d % 5 == 0, "primary").when(d % 5 == 1, "residential")
+        .when(d % 5 == 2, "motorway").when(d % 5 == 3, "footway")
+    )
+    oneway = F.when(d % 4 == 0, "yes").when(d % 4 == 1, "-1").when(d % 4 == 2, "no")
+    bridge = F.when(d % 6 == 0, "yes")
+    layer = F.when(d % 8 == 0, "2")
+    pop = F.when(d % 3 == 0, (d * 13).cast("string")).when(d % 3 == 1, "many")
+    name = F.concat(F.lit("n"), d.cast("string"))
+    tags = F.map_filter(
+        F.create_map(
+            F.lit("place"), place,
+            F.lit("highway"), highway,
+            F.lit("oneway"), oneway,
+            F.lit("bridge"), bridge,
+            F.lit("layer"), layer,
+            F.lit("population"), pop,
+            F.lit("name"), name,
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return docs.select(d.alias("id"), tags.alias("tags"))
+
+
+@register(
+    "mapping_route",
+    oracle=f"""
+WITH t AS ({_TAG_CASES_SQL})
+SELECT doc_id AS id, 'places' AS tbl, 'place' AS matched_key, place_v AS matched_value
+FROM t WHERE place_v IN ('country','state','region','county','city','town','village','hamlet','suburb','locality')
+UNION ALL
+SELECT doc_id, 'mainroads', 'highway', highway_v
+FROM t WHERE highway_v IN ('motorway','motorway_link','trunk','trunk_link','primary','primary_link','secondary','secondary_link')
+UNION ALL
+SELECT doc_id, 'minorroads', 'highway', highway_v
+FROM t WHERE highway_v IN ('tertiary','tertiary_link','residential','unclassified','road','living_street','service','track')
+""",
+)
+def q_mapping_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.mapping import route
+
+    els = _tag_elements(spark, sf_dir)
+    routed = route(els, [dm.PLACES, dm.MAINROADS, dm.MINORROADS], spark)
+    return routed.select(
+        "id", F.col("table").alias("tbl"), "matched_key", "matched_value"
+    )
+
+
+@register(
+    "mapping_fields_mainroads",
+    oracle=f"""
+WITH t AS ({_TAG_CASES_SQL})
+SELECT doc_id AS id,
+       name_v AS name,
+       highway_v AS type,
+       false AS tunnel,
+       (bridge_v IS NOT NULL) AS bridge,
+       CASE oneway_v WHEN 'yes' THEN 1 WHEN '-1' THEN -1 ELSE 0 END AS oneway,
+       (CASE highway_v WHEN 'primary' THEN 10 WHEN 'motorway' THEN 14 ELSE 0 END
+        + COALESCE(CAST(layer_v AS INTEGER), 0) * 10
+        + CASE WHEN bridge_v IS NOT NULL THEN 1 ELSE 0 END) AS z_order
+FROM t
+WHERE highway_v IN ('motorway','primary')
+""",
+)
+def q_mapping_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.mapping import build_tables
+
+    els = _tag_elements(spark, sf_dir)
+    tables = build_tables(els, [dm.MAINROADS], spark)
+    return tables["mainroads"].select(
+        "id", "name", "type", "tunnel", "bridge", "oneway", "z_order"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geometry assembly + generalization (A2-A4/G4/G6): not SQL-expressible —
+# registered as rows-only checks; exact semantics are golden-tested in
+# tests/test_assemble.py / test_generalize_deploy.py against FIXTURES MP-01..09.
+# ---------------------------------------------------------------------------
+@register("relation_multipolygon_assembly")
+def q_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.assemble import assemble_relations, assemble_ways
+
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    aw = assemble_ways(ways, nodes.select("id", "lon", "lat"))
+    rels = assemble_relations(relations, aw)
+    return rels.select(
+        "rel_id", F.round("area", 9).alias("area"), "n_rings",
+        "dropped_unclosed", "dropped_invalid",
+        F.sort_array("inserted_ways").alias("inserted_ways"),
+    )
+
+
+@register("import_pipeline_landusages")
+def q_import_landusages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..plans.import_pipeline import import_tables
+
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    out = import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES, dm.MINORROADS])
+    return out["landusages"].select("id", "name", "type", F.round("area", 9).alias("area"))
+
+
+@register("generalized_landusages")
+def q_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.generalize import generalized_table
+    from ..plans.import_pipeline import import_tables
+
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    out = import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES])
+    gen = generalized_table(out["landusages"], tolerance=0.5, where=F.col("area") > 50.0)
+    return gen.select("id", "type", F.round("area", 9).alias("area"))
+
+
+@register("polygon_covering_tiles_z8")
+def q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tiles import assign_polygon_tiles
+
+    polys = fixtures.polygons_admin_df(spark)
+    return assign_polygon_tiles(polys, [8])

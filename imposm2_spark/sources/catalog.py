@@ -1,0 +1,112 @@
+"""S7/S8/S9: materialization sink, atomic deploy swap, spatial write ordering.
+
+Reference analogs:
+  S7 imposm/db/postgis.py::PostgisDB — CREATE TABLE + batched INSERT + GiST
+     index after load. Here: parquet (Iceberg-shaped API) writes, with
+     `sortWithinPartitions(cell)` standing in for index/CLUSTER locality (S9,
+     imposm/db/postgis.py::optimize) so tile-range reads touch few row groups.
+  S8 deploy swap — imposm2 renames osm_new_* -> osm_* -> osm_old_* atomically
+     (--deploy-production-tables). Here: versioned directories + an atomically
+     renamed MANIFEST pointer file (parquet fallback for Iceberg's snapshot
+     swap; same zero-partial-state guarantee for readers who resolve through
+     the pointer).
+
+Layout under a deploy root:
+    <root>/tables/<table>/v<NNN>/...parquet
+    <root>/CURRENT            (json: {"table": "vNNN", ...}, atomic rename)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.spatial import cell_encode_col
+
+CURRENT = "CURRENT"
+
+
+def write_spatial(
+    df: DataFrame,
+    path: str,
+    lon: str | None = "lon",
+    lat: str | None = "lat",
+    cell_level: int = 8,
+    partitions: int | None = None,
+) -> None:
+    """S9: range-partition + sort by Morton cell before writing, so spatially
+    adjacent rows land in the same files (the CLUSTER-on-GiST analog)."""
+    if lon and lat and lon in df.columns and lat in df.columns:
+        df = df.withColumn("_cell", cell_encode_col(F.col(lon), F.col(lat), cell_level))
+        n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        df = (
+            df.repartitionByRange(int(n), "_cell")
+            .sortWithinPartitions("_cell")
+            .drop("_cell")
+        )
+    df.write.mode("overwrite").parquet(path)
+
+
+class Deploy:
+    """Atomic multi-table publish (S8)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, CURRENT)
+
+    def current(self) -> dict[str, str]:
+        p = self._pointer_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def table_path(self, table: str, version: str | None = None) -> str:
+        v = version or self.current().get(table)
+        if v is None:
+            raise KeyError(f"table {table!r} not deployed")
+        return os.path.join(self.root, "tables", table, v)
+
+    def stage(self, table: str, df: DataFrame, **write_kwargs) -> str:
+        """Write a NEW version directory (not yet visible to readers)."""
+        cur = self.current().get(table)
+        nxt = f"v{(int(cur[1:]) + 1) if cur else 1:03d}"
+        write_spatial(df, os.path.join(self.root, "tables", table, nxt), **write_kwargs)
+        return nxt
+
+    def publish(self, staged: dict[str, str]) -> None:
+        """Atomically flip the pointer to the staged versions (all tables at
+        once — the prefix-swap analog). Readers resolving through CURRENT never
+        see partial state: os.replace is atomic on POSIX."""
+        new = dict(self.current())
+        new.update(staged)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".current_")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new, f, sort_keys=True)
+        os.replace(tmp, self._pointer_path())
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(table))
+
+    def remove_backups(self, keep: int = 1) -> list[str]:
+        """--remove-backup-tables: delete all but the current (+keep-1) versions."""
+        import shutil
+
+        removed = []
+        cur = self.current()
+        for table, vcur in cur.items():
+            tdir = os.path.join(self.root, "tables", table)
+            versions = sorted(os.listdir(tdir))
+            live = set(versions[-keep:]) | {vcur}
+            for v in versions:
+                if v not in live:
+                    shutil.rmtree(os.path.join(tdir, v))
+                    removed.append(f"{table}/{v}")
+        return removed

@@ -136,6 +136,143 @@ def make_polygons_admin(cell_level: int = 12) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+OSM_NODES_SCHEMA = "id long, lon double, lat double, tags map<string,string>"
+OSM_WAYS_SCHEMA = "id long, refs array<long>, tags map<string,string>"
+OSM_RELATIONS_SCHEMA = (
+    "id long, members array<struct<ref:long, type:string, role:string>>, "
+    "tags map<string,string>"
+)
+
+
+def make_osm_fixture() -> tuple[list, list, list]:
+    """FIXTURES §2: reference-parity multipolygon cases MP-01..09 plus a street
+    grid. Returns (nodes, ways, relations) row lists; ids are fixed so goldens
+    are stable. Node ids: 1000*case + k. Way ids: case*10 + j. Relation ids:
+    = case number (1..9). Grid uses ids >= 100000."""
+    nodes, ways, relations = [], [], []
+
+    def add_nodes(case: int, pts: list[tuple[float, float]], start: int = 0) -> list[int]:
+        ids = []
+        for k, (x, y) in enumerate(pts, start=start):
+            nid = case * 1000 + k
+            nodes.append((nid, float(x), float(y), {}))
+            ids.append(nid)
+        return ids
+
+    def square(cx: float, cy: float, r: float) -> list[tuple[float, float]]:
+        return [(cx - r, cy - r), (cx + r, cy - r), (cx + r, cy + r), (cx - r, cy + r)]
+
+    # MP-01: closed outer square + closed inner square, type=multipolygon landuse=park
+    o = add_nodes(1, square(5, 5, 5))
+    i = add_nodes(1, square(5, 5, 1), start=10)
+    ways.append((11, o + o[:1], {}))
+    ways.append((12, i + i[:1], {}))
+    relations.append(
+        (1, [(11, "way", "outer"), (12, "way", "inner")],
+         {"type": "multipolygon", "landuse": "park"})
+    )
+
+    # MP-02: outer ring split across 3 open ways, one reversed, members unordered
+    o = add_nodes(2, square(5, 5, 5))
+    ways.append((21, [o[0], o[1]], {}))
+    ways.append((22, [o[3], o[2], o[1]], {}))  # reversed direction
+    ways.append((23, [o[3], o[0]], {}))
+    relations.append(
+        (2, [(22, "way", ""), (23, "way", "outer"), (21, "way", "")],
+         {"type": "multipolygon", "natural": "water"})
+    )
+
+    # MP-03: two outers + one inner inside the first
+    o1 = add_nodes(3, square(5, 5, 5))
+    o2 = add_nodes(3, square(100, 5, 4), start=10)
+    i1 = add_nodes(3, square(5, 5, 1), start=20)
+    ways.append((31, o1 + o1[:1], {}))
+    ways.append((32, o2 + o2[:1], {}))
+    ways.append((33, i1 + i1[:1], {}))
+    relations.append(
+        (3, [(31, "way", "outer"), (32, "way", "outer"), (33, "way", "inner")],
+         {"type": "multipolygon", "landuse": "forest"})
+    )
+
+    # MP-04: inner touching outer at one vertex
+    o = add_nodes(4, square(5, 5, 5))
+    i = add_nodes(4, [(0.0, 0.0), (3.0, 1.0), (1.0, 3.0)], start=10)
+    ways.append((41, o + o[:1], {}))
+    ways.append((42, i + i[:1], {}))
+    relations.append(
+        (4, [(41, "way", "outer"), (42, "way", "inner")],
+         {"type": "multipolygon", "landuse": "park"})
+    )
+
+    # MP-05: one good outer + one unclosed fragment (gap, no mate)
+    o = add_nodes(5, square(5, 5, 5))
+    frag = add_nodes(5, [(20.0, 0.0), (25.0, 0.0), (25.0, 5.0)], start=10)
+    ways.append((51, o + o[:1], {}))
+    ways.append((52, frag, {}))
+    relations.append(
+        (5, [(51, "way", "outer"), (52, "way", "outer")],
+         {"type": "multipolygon", "landuse": "meadow"})
+    )
+
+    # MP-06: relation with only type tag; outer way tagged landuse=forest
+    o = add_nodes(6, square(5, 5, 5))
+    ways.append((61, o + o[:1], {"landuse": "forest"}))
+    relations.append((6, [(61, "way", "outer")], {"type": "multipolygon"}))
+
+    # MP-07: outer way tagged identically to relation
+    o = add_nodes(7, square(5, 5, 5))
+    ways.append((71, o + o[:1], {"landuse": "park"}))
+    relations.append(
+        (7, [(71, "way", "outer")], {"type": "multipolygon", "landuse": "park"})
+    )
+
+    # MP-08: outer way with extra distinct tag highway=track
+    o = add_nodes(8, square(5, 5, 5))
+    ways.append((81, o + o[:1], {"landuse": "park", "highway": "track"}))
+    relations.append(
+        (8, [(81, "way", "outer")], {"type": "multipolygon", "landuse": "park"})
+    )
+
+    # MP-09: degenerate zero-area ring
+    pts = add_nodes(9, [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)])
+    ways.append((91, pts + pts[:1], {}))
+    relations.append(
+        (9, [(91, "way", "outer")], {"type": "multipolygon", "landuse": "grass"})
+    )
+
+    # grid filler: 10x10 node lattice at 0.01 deg; streets (open) + blocks (closed)
+    base = 100_000
+    for r in range(10):
+        for c in range(10):
+            nodes.append((base + r * 10 + c, 20.0 + c * 0.01, 20.0 + r * 0.01, {}))
+    wid = 100_000
+    for r in range(10):  # horizontal streets
+        refs = [base + r * 10 + c for c in range(10)]
+        tags = {"highway": "residential", "name": f"street {r}"} if r % 3 == 0 else {}
+        ways.append((wid, refs, tags))
+        wid += 1
+    for r in range(9):  # blocks (closed squares)
+        for c in range(9):
+            a = base + r * 10 + c
+            refs = [a, a + 1, a + 11, a + 10, a]
+            ways.append((wid, refs, {"building": "yes"}))
+            wid += 1
+    return nodes, ways, relations
+
+
+def osm_dfs(spark):
+    nodes, ways, relations = make_osm_fixture()
+    return (
+        spark.createDataFrame(nodes, OSM_NODES_SCHEMA),
+        spark.createDataFrame(ways, OSM_WAYS_SCHEMA),
+        spark.createDataFrame(
+            [(rid, [{"ref": r, "type": t, "role": ro} for r, t, ro in m], tags)
+             for rid, m, tags in relations],
+            OSM_RELATIONS_SCHEMA,
+        ),
+    )
+
+
 def make_world_octants(cell_level: int = 4) -> pd.DataFrame:
     """8 polygons tiling the mercator world (4 lon bands x 2 lat bands): every
     geotagged document matches exactly one — used by entry()/bench so the

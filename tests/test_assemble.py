@@ -1,0 +1,158 @@
+"""Reference-parity assembly tests through the FULL DataFrame path (SURVEY §5.2
+item 2): nodes/ways/relations fixtures -> J1 join -> A1 collect -> A2-A4 kernel
+-> P4 suppression. MP-01..09 semantics asserted end-to-end, plus partition- and
+batch-invariance (item 5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from imposm2_spark.kernels import geom, wkb
+from imposm2_spark.operators.assemble import (
+    assemble_relations,
+    assemble_ways,
+    node_points,
+    suppress_inserted_ways,
+    way_linestrings,
+    way_polygons,
+)
+from imposm2_spark.sources import fixtures
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def assembled(spark):
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    coords = nodes.select("id", "lon", "lat")
+    aw = assemble_ways(ways, coords)
+    rels = assemble_relations(relations, aw).cache()
+    return nodes, ways, aw, rels
+
+
+def _rel(rels, rid):
+    rows = rels.where(F.col("rel_id") == rid).collect()
+    return rows[0] if rows else None
+
+
+def test_mp01_hole_area_subtracted(assembled):
+    *_, rels = assembled
+    r = _rel(rels, 1)
+    assert len(r.polygons) == 1 and len(r.polygons[0]) == 2
+    assert r.area == pytest.approx(100.0 - 4.0)
+    assert r.tags["landuse"] == "park"
+    t, polys = wkb.parse_wkb(bytes(r.wkb))
+    assert t == wkb.WKB_MULTIPOLYGON and len(polys) == 1 and len(polys[0]) == 2
+
+
+def test_mp02_split_reversed_unordered(assembled):
+    *_, rels = assembled
+    r = _rel(rels, 2)
+    assert len(r.polygons) == 1 and len(r.polygons[0]) == 1
+    assert r.area == pytest.approx(100.0)
+    assert r.dropped_unclosed == 0
+
+
+def test_mp03_two_shells_one_hole(assembled):
+    *_, rels = assembled
+    r = _rel(rels, 3)
+    assert len(r.polygons) == 2
+    assert sorted(len(p) for p in r.polygons) == [1, 2]
+    assert r.area == pytest.approx((100.0 - 4.0) + 64.0)
+
+
+def test_mp04_touching_inner_is_hole(assembled):
+    *_, rels = assembled
+    r = _rel(rels, 4)
+    assert len(r.polygons) == 1 and len(r.polygons[0]) == 2
+
+
+def test_mp05_unclosed_dropped_counted(assembled):
+    *_, rels = assembled
+    r = _rel(rels, 5)
+    assert len(r.polygons) == 1
+    assert r.dropped_unclosed == 1
+    assert r.area == pytest.approx(100.0)
+
+
+def test_mp06_tag_inheritance(assembled):
+    *_, rels = assembled
+    r = _rel(rels, 6)
+    assert r.tags["landuse"] == "forest"
+    assert r.tags["type"] == "multipolygon"
+    assert 61 in r.inserted_ways
+
+
+def test_mp07_identical_way_suppressed(assembled):
+    *_, rels = assembled
+    assert 71 in _rel(rels, 7).inserted_ways
+
+
+def test_mp08_distinct_tagged_way_not_suppressed(assembled):
+    *_, rels = assembled
+    assert 81 not in _rel(rels, 8).inserted_ways
+
+
+def test_mp09_degenerate_relation_empty(assembled):
+    *_, rels = assembled
+    assert _rel(rels, 9) is None  # no buildable polygon -> no output row
+
+
+def test_p4_suppression_anti_join(assembled, spark):
+    _, _, aw, rels = assembled
+    kept = suppress_inserted_ways(aw, rels)
+    kept_ids = {r.id for r in kept.select("id").collect()}
+    assert 61 not in kept_ids and 71 not in kept_ids  # suppressed
+    assert 81 in kept_ids  # MP-08 exception
+    assert 100_000 in kept_ids  # grid ways untouched
+
+
+def test_way_assembly_order_and_polygons(assembled):
+    _, _, aw, _ = assembled
+    rows = {r.id: r.coords for r in aw.collect()}
+    # street 0: 10 grid nodes in ref order
+    street = rows[100_000]
+    assert len(street) == 10
+    assert street[0] == [20.0, 20.0]
+    assert street[-1] == [pytest.approx(20.09), 20.0]
+    polys = way_polygons(aw.where(F.col("id") == 100_010))
+    p = polys.collect()[0]
+    assert p.area == pytest.approx(0.0001)
+    t, rings = wkb.parse_wkb(bytes(p.wkb))
+    assert t == wkb.WKB_POLYGON and geom.ring_is_ccw(np.asarray(rings[0]))
+
+
+def test_way_linestrings_validity(assembled, spark):
+    _, _, aw, _ = assembled
+    ls = way_linestrings(aw)
+    n_streets = ls.where(F.col("id") < 100_010).where(F.col("id") >= 100_000).count()
+    assert n_streets == 10
+    one = ls.where(F.col("id") == 100_003).collect()[0]
+    t, arr = wkb.parse_wkb(bytes(one.wkb))
+    assert t == wkb.WKB_LINESTRING and len(arr) == 10
+
+
+def test_node_points_wkb(assembled, spark):
+    nodes, *_ = assembled
+    pts = node_points(nodes.where(F.col("id") == 100_000)).collect()
+    t, (x, y) = wkb.parse_wkb(bytes(pts[0].wkb))
+    assert (t, x, y) == (wkb.WKB_POINT, 20.0, 20.0)
+
+
+def test_assembly_partition_invariance(spark):
+    """Identical relation output under different shuffle partitioning and
+    input row order (FIXTURES invariance requirement)."""
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    coords = nodes.select("id", "lon", "lat")
+
+    def run(ways_df, nparts):
+        aw = assemble_ways(ways_df.repartition(nparts), coords)
+        rels = assemble_relations(relations, aw)
+        return {
+            (r.rel_id, r.area, str(r.polygons), tuple(sorted(r.inserted_ways)))
+            for r in rels.collect()
+        }
+
+    a = run(ways, 2)
+    b = run(ways.orderBy(F.rand(seed=7)), 16)
+    assert a == b

@@ -1,0 +1,100 @@
+"""G6 generalized tables, U1 union views, S7-S9 deploy swap."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from imposm2_spark.kernels import wkb
+from imposm2_spark.operators import defaultmapping as dm
+from imposm2_spark.operators.generalize import (
+    generalized_lines,
+    generalized_table,
+    union_view,
+)
+from imposm2_spark.plans.import_pipeline import import_tables
+from imposm2_spark.sources import fixtures
+from imposm2_spark.sources.catalog import Deploy
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def landusages(spark):
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    return import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES])["landusages"].cache()
+
+
+def test_generalized_table_simplifies_and_drops(spark, landusages):
+    gen = generalized_table(landusages, tolerance=0.5, where=F.col("area") > 50.0)
+    rows = {r.id: r for r in gen.collect()}
+    # only large relations survive the where-clause
+    assert all(r.area > 50.0 for r in rows.values())
+    # a square at tol 0.5 keeps its 5 closure points (corners > tol)
+    r1 = rows[1]
+    assert len(r1.polygons[0][0]) == 5
+    t, polys = wkb.parse_wkb(bytes(r1.wkb))
+    assert t == wkb.WKB_MULTIPOLYGON
+
+
+def test_generalized_table_collapse_drops_feature(spark, landusages):
+    # at tolerance 100 every 10x10 square collapses -> empty table
+    gen = generalized_table(landusages, tolerance=100.0)
+    assert gen.count() == 0
+
+
+def test_generalized_lines(spark):
+    df = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [1.0, 0.001], [2.0, 0.0], [3.0, -0.001], [4.0, 0.0]])],
+        "id long, coords array<array<double>>",
+    )
+    out = generalized_lines(df, tolerance=0.01).collect()[0]
+    assert out.coords == [[0.0, 0.0], [4.0, 0.0]]
+
+
+def test_union_view_null_padding(spark, landusages):
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    tables = import_tables(spark, nodes, ways, relations, [dm.MINORROADS, dm.LANDUSAGES])
+    v = union_view({"minorroads": tables["minorroads"], "landusages": tables["landusages"]})
+    assert "src_table" in v.columns
+    assert "z_order" in v.columns and "area" in v.columns
+    rows = v.collect()
+    land = [r for r in rows if r.src_table == "landusages"]
+    roads = [r for r in rows if r.src_table == "minorroads"]
+    assert all(r.z_order is None for r in land)  # NULL-padded
+    assert all(r.area is None for r in roads)
+    assert len(land) > 0 and len(roads) > 0
+
+
+def test_deploy_swap_atomic(spark, tmp_path):
+    dep = Deploy(str(tmp_path))
+    df1 = spark.createDataFrame([(1, 13.0, 52.0), (2, -70.0, 40.0)], "id long, lon double, lat double")
+    v1 = dep.stage("pts", df1)
+    dep.publish({"pts": v1})
+    assert dep.read(spark, "pts").count() == 2
+
+    df2 = spark.createDataFrame([(3, 0.0, 0.0)], "id long, lon double, lat double")
+    v2 = dep.stage("pts", df2)
+    # staged but not published: readers still see v1
+    assert dep.read(spark, "pts").count() == 2
+    dep.publish({"pts": v2})
+    assert {r.id for r in dep.read(spark, "pts").collect()} == {3}
+    # backup removal keeps only current
+    removed = dep.remove_backups()
+    assert removed == ["pts/v001"]
+    assert dep.read(spark, "pts").count() == 1
+
+
+def test_write_spatial_orders_by_cell(spark, tmp_path):
+    rng = np.random.default_rng(42)
+    df = spark.createDataFrame(
+        [(int(i), float(lon), float(lat)) for i, (lon, lat) in enumerate(
+            zip(rng.uniform(-170, 170, 500), rng.uniform(-80, 80, 500)))],
+        "id long, lon double, lat double",
+    )
+    from imposm2_spark.sources.catalog import write_spatial
+
+    path = str(tmp_path / "spatial")
+    write_spatial(df, path, partitions=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    assert {r.id for r in back.collect()} == set(range(500))
