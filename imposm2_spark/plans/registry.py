@@ -99,6 +99,58 @@ def q_pip_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# kNN join (J5): 3 nearest grid sites per dense point. Both the broadcast
+# brute-force baseline and the k-ring-expansion scale path are EXACT (the ring
+# bound proves global correctness), so both share one SQL oracle. Distance =
+# planar Euclidean in normalized web-mercator units (operators.knn docstring).
+# ---------------------------------------------------------------------------
+_SITES_SQL = """
+SELECT (r.r * 4 + c.c) AS site_id,
+       -10.0 + c.c * 5.0 + 2.5 AS slon, -10.0 + r.r * 4.0 + 2.0 AS slat
+FROM (SELECT unnest(generate_series(0, 4)) AS r) r,
+     (SELECT unnest(generate_series(0, 3)) AS c) c
+"""
+
+_MERC = "(1.0 - ln(tan(radians({lat})) + sqrt(tan(radians({lat}))*tan(radians({lat})) + 1.0)) / pi()) / 2.0"
+
+_KNN_ORACLE = f"""
+WITH pts AS ({PTS_DENSE_SQL}), sites AS ({_SITES_SQL}),
+m AS (SELECT doc_id, (lon + 180.0) / 360.0 AS pmx, {_MERC.format(lat='lat')} AS pmy FROM pts),
+sm AS (SELECT site_id, (slon + 180.0) / 360.0 AS smx, {_MERC.format(lat='slat')} AS smy FROM sites)
+SELECT doc_id, site_id, rank FROM (
+  SELECT m.doc_id, sm.site_id,
+         row_number() OVER (PARTITION BY m.doc_id
+             ORDER BY (m.pmx-sm.smx)*(m.pmx-sm.smx) + (m.pmy-sm.smy)*(m.pmy-sm.smy), sm.site_id) AS rank
+  FROM m, sm) t
+WHERE rank <= 3
+"""
+
+
+def _grid_sites(spark: SparkSession) -> DataFrame:
+    return spark.range(20).select(
+        F.col("id").alias("site_id"),
+        (F.lit(-10.0) + (F.col("id") % 4) * 5.0 + F.lit(2.5)).alias("slon"),
+        (F.lit(-10.0) + F.floor(F.col("id") / 4) * 4.0 + F.lit(2.0)).alias("slat"),
+    )
+
+
+@register("knn_brute_3", oracle=_KNN_ORACLE)
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import knn_join_brute
+
+    return knn_join_brute(derived_points_dense(spark, sf_dir), _grid_sites(spark), k=3)
+
+
+@register("knn_kring_3", oracle=_KNN_ORACLE)
+def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import knn_join
+
+    return knn_join(
+        derived_points_dense(spark, sf_dir), _grid_sites(spark), k=3, level=6
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup (training-data op): hash-groupBy on md5(text).
 # ---------------------------------------------------------------------------
 @register(

@@ -1,0 +1,74 @@
+"""J5 kNN join: k-ring expansion ≡ brute force, fallback path, determinism.
+
+Reference basis: SURVEY.md J5 (graft addition — imposm2 delegated nearest-
+neighbor to PostGIS `<->`); semantics defined in operators/knn.py docstring.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from imposm2_spark.operators.knn import knn_join, knn_join_brute
+
+pytestmark = pytest.mark.spark
+
+
+def _points(spark, n=200, spread=60.0):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 9973) % 10_000 / 10_000.0 * spread - spread / 2).alias("lon"),
+        ((F.col("id") * 7919) % 10_000 / 10_000.0 * spread - spread / 2).alias("lat"),
+    )
+
+
+def _sites(spark, n=30, spread=50.0):
+    return spark.range(n).select(
+        F.col("id").alias("site_id"),
+        ((F.col("id") * 31) % 100 / 100.0 * spread - spread / 2).alias("slon"),
+        ((F.col("id") * 17) % 100 / 100.0 * spread - spread / 2).alias("slat"),
+    )
+
+
+def _as_set(df):
+    return {(r.doc_id, r.site_id, r.rank) for r in df.collect()}
+
+
+def test_kring_equals_brute(spark):
+    pts, sites = _points(spark), _sites(spark)
+    brute = _as_set(knn_join_brute(pts, sites, k=4))
+    for level in (4, 6, 8):
+        kring = _as_set(knn_join(pts, sites, k=4, level=level))
+        assert kring == brute, f"level={level}"
+
+
+def test_desert_points_use_fallback(spark):
+    # all sites clustered near (0, 0); points near (150, 70) never satisfy the
+    # ring bound at level 8 within rings (1, 2) -> exercised fallback is exact
+    pts = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(150.0) + F.col("id") * 0.01).alias("lon"),
+        (F.lit(70.0) + F.col("id") * 0.01).alias("lat"),
+    )
+    sites = _sites(spark, n=10, spread=2.0)
+    got = _as_set(knn_join(pts, sites, k=3, level=8, rings=(1, 2)))
+    want = _as_set(knn_join_brute(pts, sites, k=3))
+    assert got == want
+    assert len(got) == 20 * 3
+
+
+def test_k_larger_than_sites(spark):
+    pts = _points(spark, n=10)
+    sites = _sites(spark, n=3)
+    out = knn_join(pts, sites, k=5, level=5)
+    counts = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)  # capped at |sites|, no dupes
+
+
+def test_rank_is_dense_and_deterministic(spark):
+    pts, sites = _points(spark, n=50), _sites(spark)
+    out = knn_join(pts, sites, k=3, level=6)
+    agg = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum("rank").alias("s")
+    ).collect()
+    assert all(r.n == 3 and r.s == 6 for r in agg)
+    again = _as_set(knn_join(pts, sites, k=3, level=6))
+    assert again == _as_set(out)
