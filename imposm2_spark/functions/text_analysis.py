@@ -1,0 +1,131 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Graft additions (no imposm2 analog — the reference's scalar-function surface is
+the FieldType DSL, SURVEY.md §2.8; these extend it for web-text curation):
+language-ID, quality scoring, token counting, and document fingerprinting.
+
+Design rule: everything here is a pure Column expression built from JVM
+higher-order functions (transform/aggregate/filter) — whole-stage codegen,
+zero Python boundary, and each has a textually-parallel DuckDB oracle in
+plans.registry. Integer hashing uses a rolling 31-polynomial mod 1e9+7 so
+Spark and the oracle agree bit-for-bit (no float hashing).
+
+ASCII caveat: `ascii()` (both engines) returns the leading codepoint; the
+rolling hash is therefore codepoint-faithful only for ASCII text — fine for
+fingerprint/dedup roles (stability matters, not linguistics), documented here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CHAR_MOD = 1_000_000_007  # rolling-hash modulus (shared with operators.dedup)
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# tiny built-in stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "that", "for", "it"),
+    "de": ("der", "die", "und", "das", "ist", "von", "zu", "mit", "den", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "du", "que"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "una", "es"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # deterministic argmax tiebreak
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens (trimmed); empty text -> empty array."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), "\\s+")
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text)).cast("long")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (letters/digits/punct runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def char_hash(s: Column) -> Column:
+    """Rolling 31-polynomial hash of a string's codepoints, mod CHAR_MOD."""
+    return F.aggregate(
+        F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % CHAR_MOD,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = rolling hash of the full text."""
+    return char_hash(text)
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-ratio language heuristic over {en, de, fr, es}.
+
+    Winner = most stopword hits; ties break by LANG_ORDER; zero hits -> 'und'
+    (undetermined, BCP-47 convention).
+    """
+    toks = ws_tokens(text)
+    hits = {lang: _stopword_hits(toks, lang) for lang in LANG_ORDER}
+    # lang wins iff it strictly beats all earlier langs and >= all later ones
+    expr = F.lit(None).cast("string")
+    for lang in reversed(LANG_ORDER):
+        cond = hits[lang] > 0
+        for prior in LANG_ORDER[: LANG_ORDER.index(lang)]:
+            cond = cond & (hits[lang] > hits[prior])
+        for later in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]:
+            cond = cond & (hits[lang] >= hits[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return F.coalesce(expr, F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (each a pure Column, ratios in [0, 1])."""
+    n_chars = F.length(text).cast("long")
+    toks = ws_tokens(text)
+    n_tokens = F.size(toks).cast("long")
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    punct_chars = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
+    stop_hits = _stopword_hits(toks, "en")
+    safe_chars = F.greatest(n_chars, F.lit(1).cast("long"))
+    safe_toks = F.greatest(n_tokens, F.lit(1).cast("long"))
+    # ratios are UNROUNDED here (exact int quotients); callers round at the
+    # output boundary so derived scores don't compound rounding differences
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha_chars / safe_chars,
+        "punct_ratio": punct_chars / safe_chars,
+        "stopword_ratio": stop_hits / safe_toks,
+        "mean_token_len": F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        )
+        / safe_toks,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score: weighted blend of the feature ratios.
+
+    score = 0.5*alpha_ratio + 0.3*stopword_ratio + 0.2*min(n_tokens/100, 1)
+            - 0.5*punct_ratio,  clamped to [0, 1] (unrounded; round at output).
+    """
+    f = quality_features(text)
+    raw = (
+        F.lit(0.5) * f["alpha_ratio"]
+        + F.lit(0.3) * f["stopword_ratio"]
+        + F.lit(0.2) * F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+        - F.lit(0.5) * f["punct_ratio"]
+    )
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))

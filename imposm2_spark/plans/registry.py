@@ -530,3 +530,330 @@ def q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     polys = fixtures.polygons_admin_df(spark)
     return assign_polygon_tiles(polys, [8])
+
+
+# ===========================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal) — first-class graft components; oracles generated from the SAME
+# Python constants as the engine (functions.text_analysis, operators.dedup)
+# so the two sides cannot drift.
+# ===========================================================================
+from ..functions.text_analysis import (  # noqa: E402
+    BPE_TOKEN_RE,
+    CHAR_MOD,
+    LANG_ORDER,
+    LANG_STOPWORDS,
+)
+from ..operators.dedup import _COMBINE, MINHASH_P, PERMS  # noqa: E402
+
+_CHASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, b) -> (a*31 + b) % {CHAR_MOD})"
+)
+
+_TOKH_SQL = f"list_transform(string_split(text, ' '), s -> {_CHASH_SQL.format(s='s')})"
+
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, len(h)-2), "
+    f"i -> (((h[i]*{_COMBINE} + h[i+1]) % {CHAR_MOD})*{_COMBINE} + h[i+2]) % {CHAR_MOD})"
+)
+
+_WS_TOKS_SQL = (
+    "CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def _stop_in(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ta.token_count_ws(F.col("text")).alias("n_ws"),
+        ta.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id, {_CHASH_SQL.format(s='text')} AS fp FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('en')}))) AS h_en,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('de')}))) AS h_de,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('fr')}))) AS h_fr,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('es')}))) AS h_es
+FROM t)
+SELECT doc_id, CASE
+  WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+  WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+  WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr'
+  WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
+  ELSE 'und' END AS lang_pred
+FROM h
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", ta.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality",
+    # float outputs rounded at 6 (not 9): round-at-9 can disagree by 1e-9
+    # between BigDecimal-HALF_UP (Spark) and x*1e9-based rounding (DuckDB)
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_WS_TOKS_SQL} AS toks FROM documents),
+f AS (SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / CAST(greatest(length(text), 1) AS DOUBLE) AS r_alpha,
+  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+        / CAST(greatest(length(text), 1) AS DOUBLE) AS r_punct,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('en')})))
+        / CAST(greatest(len(toks), 1) AS DOUBLE) AS r_stop
+FROM t)
+SELECT doc_id, n_chars, n_tokens,
+  round(r_alpha, 6) AS alpha_ratio, round(r_punct, 6) AS punct_ratio,
+  round(r_stop, 6) AS stopword_ratio,
+  round(greatest(0.0, least(1.0,
+      0.5*r_alpha + 0.3*r_stop
+      + 0.2*least(n_tokens/100.0, 1.0) - 0.5*r_punct)), 6) AS score
+FROM f
+""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text_analysis as ta
+
+    docs = load(spark, sf_dir, "documents")
+    feats = ta.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(ta.quality_score(F.col("text")), 6).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup dedup — fully oracle-checked (same permutation
+# constants, same integer hashing; see operators/dedup.py docstring).
+# ---------------------------------------------------------------------------
+_MH_EXPRS = ",\n    ".join(
+    f"list_min(list_transform(shs, h -> ({a}*h + {b}) % {MINHASH_P})) AS m{j}"
+    for j, (a, b) in enumerate(PERMS)
+)
+_BAND_EXPRS = ",\n    ".join(
+    f"((((m{4*b}*{_COMBINE} + m{4*b+1}) % {MINHASH_P})*{_COMBINE} + m{4*b+2}) % {MINHASH_P}"
+    f" * {_COMBINE} + m{4*b+3}) % {MINHASH_P} AS band{b}"
+    for b in range(4)
+)
+
+_MINHASH_ORACLE = f"""
+WITH th AS (
+  SELECT doc_id, {_TOKH_SQL} AS h FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shs FROM th WHERE len(h) >= 3
+),
+sig AS (SELECT doc_id, shs, {_MH_EXPRS} FROM sh),
+bands AS (SELECT doc_id, shs, {_BAND_EXPRS} FROM sig),
+bl AS (
+  SELECT doc_id, shs, b.band_idx, [band0, band1, band2, band3][b.band_idx + 1] AS band_key
+  FROM bands, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shs AS sa, b.shs AS sb
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
+        / len(list_distinct(list_concat(sa, sb))), 9) AS jaccard
+FROM cand
+WHERE round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
+        / len(list_distinct(list_concat(sa, sb))), 9) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard_adjacent",
+    oracle=f"""
+WITH th AS (SELECT doc_id, {_TOKH_SQL} AS h FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shs FROM th WHERE len(h) >= 3)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(list_distinct(a.shs), list_distinct(b.shs))) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shs, b.shs))), 9) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""",
+)
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import SHINGLE_N, ngram_jaccard_pairs, token_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    eligible = docs.where(F.size(token_hashes(F.col("text"))) >= SHINGLE_N)
+    ids = eligible.select(F.col("doc_id"))
+    pairs = ids.select(F.col("doc_id").alias("doc_a")).join(
+        ids.select(F.col("doc_id").alias("doc_b")),
+        F.col("doc_b") == F.col("doc_a") + 1,
+    )
+    return ngram_jaccard_pairs(eligible, pairs)
+
+
+@register(
+    "dedup_simhash_clusters",
+    oracle=f"""
+WITH th AS (SELECT doc_id, {_TOKH_SQL} AS h FROM documents),
+fp AS (SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 31), b ->
+    CASE WHEN 2 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(h, t -> CAST(floor(t / pow(2.0, b)) AS BIGINT) % 2)),
+            (x, y) -> x + y) > len(h)
+         THEN 1 ELSE 0 END)),
+    (acc, v) -> acc*2 + v) AS simhash
+FROM th)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_id
+FROM fp GROUP BY simhash HAVING count(*) > 1
+""",
+)
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_clusters(docs)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search + near-dup.
+# ---------------------------------------------------------------------------
+_EMB_NORMED_SQL = """
+SELECT vec_id, v, list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)),
+                              (a, b) -> a + b) AS nn
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+"""
+
+_COS_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+    "i -> {a}.v[i]*{b}.v[i])), (x, y) -> x + y) / sqrt({a}.nn*{b}.nn)"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH n AS ({_EMB_NORMED_SQL}),
+q AS (SELECT vec_id AS qid, v, nn FROM n WHERE vec_id < 10)
+SELECT qid, vec_id, rank FROM (
+  SELECT q.qid, n.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_COS_SQL.format(a='q', b='n')} DESC, n.vec_id ASC) AS rank
+  FROM q JOIN n ON n.vec_id <> q.qid) t
+WHERE rank <= 5
+""",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import cosine_topk_brute
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_brute(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register("ann_cosine_topk_lsh")  # approximate -> rows-only; recall pytest-gated
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_neardup_window",
+    oracle=f"""
+WITH n AS ({_EMB_NORMED_SQL})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS_SQL.format(a='a', b='b')}, 9) AS sim
+FROM n a JOIN n b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+WHERE round({_COS_SQL.format(a='a', b='b')}, 9) >= 0.3
+""",
+)
+def q_neardup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import embedding_neardup_window
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_window(emb, threshold=0.3, window=20)
+
+
+@register("embedding_neardup_lsh")  # approximate -> rows-only; pytest-gated
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import embedding_neardup_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; Spark-side shape real) — rows-only.
+# ---------------------------------------------------------------------------
+@register("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import media_features, synth_media
+
+    docs = load(spark, sf_dir, "documents")
+    feats = media_features(synth_media(docs))
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.element_at("features", 1), 9).alias("f0"),
+        F.round(F.element_at("features", 16), 9).alias("f15"),
+    )
+
+
+@register("multimodal_frame_sample")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import frame_sample, synth_media
+
+    docs = load(spark, sf_dir, "documents")
+    frames = frame_sample(synth_media(docs), frame_bytes=64, every=2)
+    return frames.select("media_id", "frame_idx", F.length("frame").alias("frame_len"))

@@ -1,0 +1,164 @@
+"""Dedup + similarity-search operators: recall on planted dups, invariance.
+
+Covers the approximate (rows-only-oracle) paths: MinHash-LSH recall against
+brute-force Jaccard ground truth, embedding-LSH recall on planted near-dups,
+SimHash behavior, multimodal batch-shape invariance.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+pytestmark = pytest.mark.spark
+
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog table scan hash join sort merge "
+    "filter spark batch row value key window part line order agg"
+).split()
+
+
+def _corpus(spark, n=120, dup_every=10):
+    """Deterministic texts; every dup_every-th doc is a near-copy of doc i-1
+    (one token changed) and every 2*dup_every-th an exact copy."""
+    rows = []
+    for i in range(n):
+        words = [_VOCAB[(i * 7 + j * 13) % len(_VOCAB)] for j in range(30)]
+        if i % (2 * dup_every) == 1 and i > 1:
+            base = [_VOCAB[((i - 1) * 7 + j * 13) % len(_VOCAB)] for j in range(30)]
+            words = base  # exact copy of i-1
+        elif i % dup_every == 1 and i > 1:
+            base = [_VOCAB[((i - 1) * 7 + j * 13) % len(_VOCAB)] for j in range(30)]
+            base[15] = "changed"
+            words = base  # near copy of i-1
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _brute_jaccard_pairs(df, threshold):
+    from imposm2_spark.operators.dedup import ngram_jaccard_pairs
+
+    ids = df.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("doc_a")).join(
+        ids.select(F.col("doc_id").alias("doc_b")), F.col("doc_b") > F.col("doc_a")
+    )
+    out = ngram_jaccard_pairs(df, pairs)
+    return {(r.doc_a, r.doc_b) for r in out.where(F.col("jaccard") >= threshold).collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    from imposm2_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _corpus(spark)
+    truth = _brute_jaccard_pairs(docs, 0.5)
+    assert len(truth) >= 10  # fixture actually plants dups
+    got = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # precision is exact by construction (verify step); recall should be high
+    assert got <= truth
+    assert len(got) / len(truth) >= 0.9
+
+
+def test_minhash_max_bucket_drops_boilerplate(spark):
+    from imposm2_spark.operators.dedup import minhash_lsh_pairs
+
+    same = spark.createDataFrame(
+        [(i, "all the same boilerplate text body here") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    n_all = minhash_lsh_pairs(same, threshold=0.5, max_bucket=None).count()
+    assert n_all == 50 * 49 // 2
+    n_capped = minhash_lsh_pairs(same, threshold=0.5, max_bucket=10).count()
+    assert n_capped == 0  # boilerplate bucket dropped, not exploded
+
+
+def test_simhash_identical_texts_cluster(spark):
+    from imposm2_spark.operators.dedup import simhash, simhash_clusters
+
+    docs = _corpus(spark)
+    clusters = simhash_clusters(docs).collect()
+    assert len(clusters) >= 1  # exact copies share fingerprints
+    # near-copies have small hamming distance
+    fp = docs.select("doc_id", simhash(F.col("text")).alias("s"))
+    vals = {r.doc_id: r.s for r in fp.collect()}
+    near = [(i, i - 1) for i in range(2, 120) if i % 10 == 1 and i % 20 != 1]
+    for a, b in near:
+        ham = bin(vals[a] ^ vals[b]).count("1")
+        assert ham <= 8, f"near-dup pair ({a},{b}) hamming {ham}"
+
+
+def _emb_df(spark, n=300, dim=64, n_dup_pairs=20):
+    """Planted near-dup pairs (0,1), (2,3), ... (2p, 2p+1): odd rows are tiny
+    perturbations of the PRECEDING emitted row (cosine ~0.9999)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = []
+    finals = []
+    for i in range(n):
+        v = base[i].copy()
+        if i % 2 == 1 and i < 2 * n_dup_pairs:
+            v = finals[i - 1] + rng.standard_normal(dim).astype(np.float32) * 0.01
+        finals.append(v)
+        rows.append((i, [float(x) for x in v]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_embedding_neardup_lsh_finds_planted(spark):
+    from imposm2_spark.operators.ann import embedding_neardup_lsh
+
+    emb = _emb_df(spark)
+    got = {(r.vec_a, r.vec_b) for r in embedding_neardup_lsh(emb, threshold=0.95).collect()}
+    planted = {(2 * p, 2 * p + 1) for p in range(20)}
+    # exact-signature buckets: only hamming-0 pairs collide (~86% of planted
+    # at sim 0.9999 with 16 planes) — recall gate reflects that
+    assert len(got & planted) / len(planted) >= 0.7
+    assert all(b > a for a, b in got)  # verify step: no malformed pairs
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    from imposm2_spark.operators.ann import cosine_topk_brute, cosine_topk_lsh
+
+    emb = _emb_df(spark)
+    queries = emb.where(F.col("vec_id") < 16)  # 8 planted pairs among queries
+    brute = {(r.qid, r.vec_id) for r in cosine_topk_brute(emb, queries, k=1).collect()}
+    approx = {(r.qid, r.vec_id) for r in cosine_topk_lsh(emb, queries, k=1).collect()}
+    # hamming-1 multiprobe: near-dup partners (hamming <= 1) are candidates
+    hits = len(brute & approx)
+    assert hits / len(brute) >= 0.8
+    assert all(q < 16 for q, _ in approx)
+
+
+def test_multimodal_features_batch_invariance(spark):
+    from imposm2_spark.functions.multimodal import media_features, synth_media
+
+    docs = _corpus(spark, n=60)
+    media = synth_media(docs)
+    a = media_features(media.repartition(1)).collect()
+    b = media_features(media.repartition(7)).collect()
+    norm = lambda rows: sorted((r.media_id, r.kind, r.n_bytes, tuple(r.features)) for r in rows)
+    assert norm(a) == norm(b)
+    r0 = norm(a)[0]
+    assert len(r0[3]) == 16 and abs(sum(r0[3]) - 1.0) < 1e-9
+
+
+def test_multimodal_frame_sample_shape(spark):
+    from imposm2_spark.functions.multimodal import frame_sample, synth_media
+
+    docs = _corpus(spark, n=20)
+    frames = frame_sample(synth_media(docs), frame_bytes=32, every=2).collect()
+    assert all(r.frame_idx % 2 == 0 for r in frames)
+    assert all(len(r.frame) <= 32 for r in frames)
+    assert len({r.media_id for r in frames}) == 20
+
+
+def test_decode_media_is_stubbed():
+    from imposm2_spark.functions.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "png")
