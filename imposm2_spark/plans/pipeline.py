@@ -60,3 +60,45 @@ def spine(
         F.count("*").alias("n_docs"),
         F.countDistinct("polygon_id").alias("n_polygons"),
     )
+
+
+def spine_resumable(
+    spark,
+    docs: DataFrame,
+    polygons: DataFrame,
+    checkpoint_root: str,
+    input_fingerprint: str,
+    zooms: tuple[int, ...] = DEFAULT_ZOOMS,
+    cell_level: int = 12,
+) -> DataFrame:
+    """The spine with M6 durable stage boundaries (plans.checkpoint).
+
+    Stage cuts sit where recompute is expensive and the output is much
+    smaller than the input — the checkpointed frames drop `html`:
+      enrich   : scan + Arrow extract/geotag (Python-boundary cost)
+      pip_join : shuffle/broadcast join + exact refine (join cost)
+    The final tile aggregation is cheap relative to its input and stays
+    uncheckpointed. A restart replays only missing/invalidated stages.
+    """
+    from .checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(checkpoint_root)
+    enriched = mgr.stage(
+        spark,
+        "enrich",
+        lambda: geotag_stage(extract_stage(docs)).drop("html"),
+        input_fingerprint=input_fingerprint,
+    )
+    joined = mgr.stage(
+        spark,
+        "pip_join",
+        lambda: pip_join(
+            enriched, polygons, cell_level=cell_level, keep_point_cols=["url", "lon", "lat"]
+        ),
+        parents=("enrich",),
+    )
+    tiled = assign_point_tiles(joined, list(zooms))
+    return tiled.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("polygon_id").alias("n_polygons"),
+    )

@@ -1,0 +1,126 @@
+"""Structured Streaming ingest: incremental document arrival -> enriched sink.
+
+Reference context: imposm2 has NO incremental path (SURVEY.md §2.9) — its
+consistency story is full re-import + atomic prefix swap (S8). Diff/replication
+support arrived in imposm3. This module is the graft's incremental analog,
+built on Structured Streaming file sources instead of OSM diff files:
+
+  * `stream_ingest` — readStream over a landing directory of document parquet
+    (the Iceberg-table stand-in), per-microbatch extract+geotag enrichment
+    (same Arrow kernels as the batch spine — code shared, not forked), parquet
+    append sink. Exactly-once per input file via the streaming checkpoint
+    (file-source tracking + idempotent sink commit); `availableNow` drains the
+    backlog and stops, so batch backfills and continuous tailing share one
+    code path.
+  * `stream_tile_counts` — event-time windowed aggregation (warc_ts) with a
+    watermark for late documents: counts per (window, tile) in update mode,
+    the streaming twin of the spine's tile groupBy.
+
+At production scale the landing dir is an object-store prefix and the sink an
+Iceberg table (sources.catalog); the streaming checkpoint dir carries offsets
++ sink metadata, making restarts resume from the last committed microbatch —
+the streaming counterpart of plans.checkpoint for the batch path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.spatial import cell_encode_col
+from ..plans.pipeline import extract_stage, geotag_stage
+
+DOCUMENTS_WEB_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def read_document_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over the landing directory (schema fixed, §1.2:
+    never infer schemas in engine paths)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_WEB_SCHEMA)
+        .option("maxFilesPerTrigger", 8)  # bound microbatch size at scale
+        .parquet(landing_dir)
+    )
+
+
+def enrich(docs: DataFrame, cell_level: int = 12) -> DataFrame:
+    """Shared enrichment: extract + geotag + cell id, html dropped post-use."""
+    out = geotag_stage(extract_stage(docs))
+    return out.withColumn(
+        "cell", cell_encode_col(F.col("lon"), F.col("lat"), cell_level)
+    ).drop("html")
+
+
+def stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cell_level: int = 12,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the incremental ingest; returns the StreamingQuery handle.
+
+    `available_now=True` processes the current backlog then finishes (backfill
+    mode); False leaves the query tailing the directory (continuous mode).
+    """
+    src = read_document_stream(spark, landing_dir)
+    enriched = (transform or (lambda df: enrich(df, cell_level)))(src)
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_tile_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    zoom: int = 8,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Watermarked event-time tile counts, delivered via foreachBatch.
+
+    Late documents beyond `watermark` are dropped deterministically; state for
+    closed windows is evicted (bounded memory at unbounded input).
+    """
+    from ..functions.spatial import tile_x, tile_y
+
+    src = read_document_stream(spark, landing_dir)
+    enriched = geotag_stage(src).withWatermark("warc_ts", watermark)
+    counts = (
+        enriched.groupBy(
+            F.window("warc_ts", window).alias("w"),
+            tile_x(F.col("lon"), zoom).alias("x"),
+            tile_y(F.col("lat"), zoom).alias("y"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("w.start").alias("window_start"), "x", "y", "n_docs")
+    )
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

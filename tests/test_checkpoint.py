@@ -1,0 +1,153 @@
+"""M6 resume tests (SURVEY.md §5.2.6): skip-completed restart, invalidation,
+partial-write recovery, lineage + per-partition metrics."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from imposm2_spark.plans.checkpoint import MANIFEST, TMP_SUFFIX, CheckpointManager, fingerprint_of
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _run_pipeline(spark, root, calls, fp="v1"):
+    """Two-stage pipeline; `calls` records which stage builders actually ran."""
+    mgr = CheckpointManager(root)
+
+    def s1():
+        calls.append("s1")
+        return spark.range(100).select(
+            F.col("id"), (F.col("id") * 3).alias("v")
+        ).repartition(4)
+
+    df1 = mgr.stage(spark, "stage1", s1, input_fingerprint=fp)
+
+    def s2():
+        calls.append("s2")
+        return df1.groupBy((F.col("id") % 5).alias("k")).agg(F.sum("v").alias("s"))
+
+    df2 = mgr.stage(spark, "stage2", s2, parents=("stage1",))
+    return mgr, df2
+
+
+def test_first_run_writes_manifests(spark, root):
+    calls = []
+    mgr, df2 = _run_pipeline(spark, root, calls)
+    assert calls == ["s1", "s2"]
+    m1 = mgr.manifest("stage1")
+    assert m1["total_rows"] == 100
+    assert len(m1["partitions"]) == 4
+    assert sum(p["rows"] for p in m1["partitions"]) == 100
+    assert all(p["bytes"] > 0 for p in m1["partitions"])
+    assert df2.count() == 5
+
+
+def test_restart_skips_completed_stages(spark, root):
+    calls = []
+    _, first = _run_pipeline(spark, root, calls)
+    first_rows = sorted((r.k, r.s) for r in first.collect())
+
+    calls2 = []
+    mgr2, second = _run_pipeline(spark, root, calls2)
+    assert calls2 == []  # both stages skipped — builders never invoked
+    assert mgr2.results["stage1"].skipped and mgr2.results["stage2"].skipped
+    assert sorted((r.k, r.s) for r in second.collect()) == first_rows
+
+
+def test_fingerprint_change_invalidates_chain(spark, root):
+    calls = []
+    _run_pipeline(spark, root, calls, fp="v1")
+    calls2 = []
+    _run_pipeline(spark, root, calls2, fp="v2")
+    # stage1 input changed -> recompute; stage2's parent digest changed too
+    assert calls2 == ["s1", "s2"]
+
+
+def test_downstream_only_recompute(spark, root):
+    calls = []
+    _run_pipeline(spark, root, calls)
+    shutil.rmtree(os.path.join(root, "stage2"))
+    calls2 = []
+    _run_pipeline(spark, root, calls2)
+    assert calls2 == ["s2"]  # stage1 untouched, stage2 rebuilt
+
+
+def test_partial_write_is_discarded(spark, root):
+    calls = []
+    _run_pipeline(spark, root, calls)
+    # simulate a crash: leftover tmp dir + a final dir without _SUCCESS
+    os.makedirs(os.path.join(root, "stage1" + TMP_SUFFIX), exist_ok=True)
+    os.remove(os.path.join(root, "stage1", "_SUCCESS"))
+    calls2 = []
+    _run_pipeline(spark, root, calls2)
+    assert "s1" in calls2  # incomplete stage not trusted
+    assert not os.path.exists(os.path.join(root, "stage1" + TMP_SUFFIX))
+
+
+def test_corrupt_manifest_recomputes(spark, root):
+    calls = []
+    _run_pipeline(spark, root, calls)
+    with open(os.path.join(root, "stage1", MANIFEST), "w") as f:
+        f.write("{not json")
+    calls2 = []
+    _run_pipeline(spark, root, calls2)
+    assert calls2 == ["s1", "s2"]
+
+
+def test_lineage_and_metrics(spark, root):
+    calls = []
+    mgr, _ = _run_pipeline(spark, root, calls)
+    chain = mgr.lineage("stage2")
+    assert [m["stage_id"] for m in chain] == ["stage1", "stage2"]
+    assert chain[1]["parents"] == ["stage1"]
+    met = mgr.metrics()
+    assert met["stage1"]["rows"] == 100 and met["stage1"]["n_partitions"] == 4
+    assert met["stage2"]["skipped"] is False
+    # manifest is valid json on disk with a digest covering partition stats
+    with open(os.path.join(root, "stage2", MANIFEST)) as f:
+        m = json.load(f)
+    assert m["digest"] == fingerprint_of(
+        m["input_fingerprint"],
+        *[f"{p['file']}:{p['rows']}:{p['bytes']}" for p in m["partitions"]],
+    )
+
+
+def test_spine_resumable_end_to_end(spark, tmp_path):
+    """Integration: the real spine resumes and matches the plain spine."""
+    from imposm2_spark.plans.pipeline import spine, spine_resumable
+    from imposm2_spark.sources import fixtures, testdata
+
+    docs = testdata.synth_documents_web(
+        testdata.load(spark, "/root/testdata/sf0.001", "documents")
+    )
+    polys = fixtures.world_octants_df(spark, cell_level=4)
+    want = sorted(
+        (r.z, r.x, r.y, r.n_docs, r.n_polygons)
+        for r in spine(docs, polys, zooms=(2,), cell_level=4).collect()
+    )
+    root = str(tmp_path / "spine_ckpt")
+    kw = dict(zooms=(2,), cell_level=4, input_fingerprint="sf0.001")
+    got1 = sorted(
+        (r.z, r.x, r.y, r.n_docs, r.n_polygons)
+        for r in spine_resumable(spark, docs, polys, root, **kw).collect()
+    )
+    assert got1 == want
+    # restart: stages skipped (manifests intact), identical output
+    from imposm2_spark.plans.checkpoint import CheckpointManager
+
+    got2 = sorted(
+        (r.z, r.x, r.y, r.n_docs, r.n_polygons)
+        for r in spine_resumable(spark, docs, polys, root, **kw).collect()
+    )
+    assert got2 == want
+    mgr = CheckpointManager(root)
+    assert mgr.manifest("enrich")["total_rows"] == 500
+    assert mgr.manifest("pip_join")["parents"] == ["enrich"]

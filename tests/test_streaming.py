@@ -1,0 +1,95 @@
+"""Structured Streaming ingest: exactly-once file processing, resume across
+query restarts, watermark-windowed tile counts (SURVEY.md §2.9 graft path)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from imposm2_spark.sources import testdata
+
+pytestmark = pytest.mark.spark
+
+
+def _land_batches(spark, landing, n_batches=2):
+    """Split sf0.001 documents into arrival batches, one parquet file each."""
+    docs = testdata.synth_documents_web(
+        testdata.load(spark, "/root/testdata/sf0.001", "documents")
+    )
+    total = 0
+    for b in range(n_batches):
+        part = docs.where(F.crc32(F.col("url")) % n_batches == b)
+        part.coalesce(1).write.parquet(os.path.join(landing, f"batch{b}"))
+        total += part.count()
+    return total
+
+
+def test_stream_ingest_exactly_once_and_resume(spark, tmp_path):
+    from imposm2_spark.streaming import stream_ingest
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    n1 = _land_batches(spark, landing, n_batches=1)
+    q = stream_ingest(spark, landing + "/*", out, ckpt, cell_level=6)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == n1
+    assert {"url", "lon", "lat", "cell", "text_extracted"} <= set(got1.columns)
+    assert "html" not in got1.columns  # payload projected away at the sink
+
+    # second query run over the SAME checkpoint: nothing new -> no duplicates
+    q2 = stream_ingest(spark, landing + "/*", out, ckpt, cell_level=6)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+    # new arrivals -> only the new file is processed (file-source offsets)
+    docs2 = testdata.synth_documents_web(
+        testdata.load(spark, "/root/testdata/sf0.001", "documents")
+    ).limit(37).withColumn("url", F.concat(F.lit("late/"), F.col("url")))
+    docs2.coalesce(1).write.parquet(os.path.join(landing, "batch_late"))
+    q3 = stream_ingest(spark, landing + "/*", out, ckpt, cell_level=6)
+    q3.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == n1 + 37
+    # enrichment identical to the batch path for the same urls
+    from imposm2_spark.plans.pipeline import extract_stage, geotag_stage
+
+    batch = geotag_stage(
+        extract_stage(
+            testdata.synth_documents_web(
+                testdata.load(spark, "/root/testdata/sf0.001", "documents")
+            )
+        )
+    ).select("url", "lon", "lat")
+    joined = final.select("url", F.col("lon").alias("slon"), F.col("lat").alias("slat")).join(
+        batch, "url"
+    )
+    mismatch = joined.where(
+        (F.col("slon") != F.col("lon")) | (F.col("slat") != F.col("lat"))
+    ).count()
+    assert mismatch == 0
+
+
+def test_stream_tile_counts_watermark(spark, tmp_path):
+    from imposm2_spark.streaming import stream_tile_counts
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _land_batches(spark, landing, n_batches=1)
+
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append([tuple(r) for r in df.collect()])
+
+    q = stream_tile_counts(
+        spark, landing + "/*", str(tmp_path / "ckpt2"), sink, zoom=4
+    )
+    q.awaitTermination(120)
+    rows = [r for b in batches for r in b]
+    assert len(rows) > 0
+    assert sum(r[3] for r in rows) == 500  # every doc lands in one tile window
+    assert all(r[1] is not None and r[2] is not None for r in rows)
