@@ -50,11 +50,12 @@ def main() -> None:
     # warm-up: JIT + Arrow workers (small replication)
     build_spine_df(spark, sf_dir, 2).count()
 
+    n_base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     t0 = time.perf_counter()
     spine_df = build_spine_df(spark, sf_dir, replication)
     n_tiles = spine_df.count()
     spine_sec = time.perf_counter() - t0
-    n_docs = 500 * replication
+    n_docs = n_base * replication
 
     from imposm2_spark.plans import registry
 

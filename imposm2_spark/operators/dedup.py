@@ -58,8 +58,11 @@ def token_hashes(text: F.Column) -> F.Column:
 
 
 def shingle_hashes(th: F.Column) -> F.Column:
-    """Word-3-gram hashes from token hashes: ((h_i*C + h_i+1)*C + h_i+2) mod M."""
-    return F.transform(
+    """Word-3-gram hashes from token hashes: ((h_i*C + h_i+1)*C + h_i+2) mod M.
+
+    <SHINGLE_N tokens -> empty array (guarded: sequence(1, n) DESCENDS for
+    n < 1, which would index element_at(th, 0) and fail)."""
+    grams = F.transform(
         F.sequence(F.lit(1), F.size(th) - (SHINGLE_N - 1)),
         lambda i: (
             (
@@ -69,6 +72,9 @@ def shingle_hashes(th: F.Column) -> F.Column:
             + F.element_at(th, i + 2)
         )
         % CHAR_MOD,
+    )
+    return F.when(F.size(th) >= SHINGLE_N, grams).otherwise(
+        F.array().cast("array<long>")
     )
 
 

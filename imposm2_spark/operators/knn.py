@@ -132,7 +132,11 @@ def knn_join(
     if broadcast_sites:
         s = F.broadcast(s)
 
-    remaining = p
+    # each round both filters `remaining` (anti-join) and checks emptiness,
+    # and the returned union re-reads every round's frontier — persist each
+    # round or the lineage re-executes quadratically. Caches are narrow (id +
+    # 4 doubles/point) and reclaimed by the ContextCleaner once out of scope.
+    remaining = p.persist()
     accepted: list[DataFrame] = []
     for r in rings:
         if remaining.isEmpty():
@@ -167,7 +171,7 @@ def knn_join(
         accepted.append(
             topk.join(sat, point_id, "left_semi").select(point_id, site_id, "rank")
         )
-        remaining = remaining.join(sat, point_id, "left_anti")
+        remaining = remaining.join(sat, point_id, "left_anti").persist()
 
     # stragglers (site deserts / huge kth distance): exact broadcast fallback
     fallback_pts = remaining.select(point_id, F.col("_pmx"), F.col("_pmy"))

@@ -46,19 +46,28 @@ def spine(
     cell_level: int = 12,
     salt_factor: int | None = None,
 ) -> DataFrame:
-    """Full M1 flow -> tile counts (z, x, y, n_docs) per zoom level."""
-    enriched = geotag_stage(extract_stage(docs))
+    """Full M1 flow -> per-tile (z, x, y, n_docs, n_polygons, sum_chars).
+
+    sum_chars aggregates length(text_extracted) so the extraction stage is a
+    CONSUMED part of the plan — without a consumer Catalyst's column pruning
+    (correctly) deletes the extract UDF and the flagship query silently stops
+    measuring it.
+    """
+    enriched = geotag_stage(extract_stage(docs)).withColumn(
+        "n_chars", F.length("text_extracted").cast("long")
+    )
     joined = pip_join(
         enriched,
         polygons,
         cell_level=cell_level,
         salt_factor=salt_factor,
-        keep_point_cols=["url", "lon", "lat"],
+        keep_point_cols=["url", "lon", "lat", "n_chars"],
     )
     tiled = assign_point_tiles(joined, list(zooms))
     return tiled.groupBy("z", "x", "y").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("polygon_id").alias("n_polygons"),
+        F.sum("n_chars").alias("sum_chars"),
     )
 
 
@@ -86,14 +95,19 @@ def spine_resumable(
     enriched = mgr.stage(
         spark,
         "enrich",
-        lambda: geotag_stage(extract_stage(docs)).drop("html"),
+        lambda: geotag_stage(extract_stage(docs))
+        .withColumn("n_chars", F.length("text_extracted").cast("long"))
+        .drop("html"),
         input_fingerprint=input_fingerprint,
     )
     joined = mgr.stage(
         spark,
         "pip_join",
         lambda: pip_join(
-            enriched, polygons, cell_level=cell_level, keep_point_cols=["url", "lon", "lat"]
+            enriched,
+            polygons,
+            cell_level=cell_level,
+            keep_point_cols=["url", "lon", "lat", "n_chars"],
         ),
         parents=("enrich",),
     )
@@ -101,4 +115,5 @@ def spine_resumable(
     return tiled.groupBy("z", "x", "y").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("polygon_id").alias("n_polygons"),
+        F.sum("n_chars").alias("sum_chars"),
     )

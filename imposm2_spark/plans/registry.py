@@ -731,16 +731,21 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """,
 )
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import SHINGLE_N, ngram_jaccard_pairs, token_hashes
+    from ..operators.dedup import SHINGLE_N, jaccard, shingle_hashes, token_hashes
 
     docs = load(spark, sf_dir, "documents")
-    eligible = docs.where(F.size(token_hashes(F.col("text"))) >= SHINGLE_N)
-    ids = eligible.select(F.col("doc_id"))
-    pairs = ids.select(F.col("doc_id").alias("doc_a")).join(
-        ids.select(F.col("doc_id").alias("doc_b")),
-        F.col("doc_b") == F.col("doc_a") + 1,
+    # compute the (expensive) shingle table ONCE, then equi-self-join on the
+    # adjacent-id key — three separate plan branches would re-hash 3x
+    sh = (
+        docs.select("doc_id", token_hashes(F.col("text")).alias("th"))
+        .where(F.size("th") >= SHINGLE_N)
+        .select("doc_id", shingle_hashes(F.col("th")).alias("shs"))
     )
-    return ngram_jaccard_pairs(eligible, pairs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+    return a.join(b, F.col("doc_b") == F.col("doc_a") + 1).select(
+        "doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("jaccard")
+    )
 
 
 @register(
@@ -857,3 +862,127 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     frames = frame_sample(synth_media(docs), frame_bytes=64, every=2)
     return frames.select("media_id", "frame_idx", F.length("frame").alias("frame_len"))
+
+
+# ---------------------------------------------------------------------------
+# The Morton cell index itself, proven against an independent engine: the
+# oracle rebuilds _spread_bits/tile math in DuckDB SQL from the SAME step
+# constants (functions.spatial._SPREAD_STEPS) — G8's core primitive.
+# ---------------------------------------------------------------------------
+from ..functions.spatial import _SPREAD_STEPS  # noqa: E402
+from ..kernels.cells import LEVEL_SHIFT, MERC_LAT_MAX  # noqa: E402
+
+
+def _spread_sql(e: str) -> str:
+    e = f"({e} & 4294967295)"
+    for s, m in _SPREAD_STEPS:
+        e = f"(({e} | ({e} << {s})) & {m})"
+    return e
+
+
+def _cell_sql(level: int) -> str:
+    n = 1 << level
+    tx = f"greatest(0, least({n - 1}, CAST(floor((lon + 180.0) / 360.0 * {float(n)}) AS BIGINT)))"
+    merc = (
+        f"ln(tan(radians(greatest({-MERC_LAT_MAX}, least({MERC_LAT_MAX}, lat)))) + "
+        f"sqrt(tan(radians(greatest({-MERC_LAT_MAX}, least({MERC_LAT_MAX}, lat))))*"
+        f"tan(radians(greatest({-MERC_LAT_MAX}, least({MERC_LAT_MAX}, lat)))) + 1.0))"
+    )
+    ty = f"greatest(0, least({n - 1}, CAST(floor((1.0 - {merc} / pi()) / 2.0 * {float(n)}) AS BIGINT)))"
+    return (
+        f"({level << int(LEVEL_SHIFT)} | ({_spread_sql('tx')} | ({_spread_sql('ty')} << 1)))",
+        tx,
+        ty,
+    )
+
+
+_CELL12, _TX12, _TY12 = _cell_sql(12)
+
+
+@register(
+    "cell_encode_z12",
+    oracle=f"""
+WITH pts AS ({PTS_SQL}),
+xy AS (SELECT doc_id, {_TX12} AS tx, {_TY12} AS ty FROM pts)
+SELECT doc_id, {_CELL12} AS cell FROM xy
+""",
+)
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.spatial import cell_encode_col
+
+    pts = derived_points(spark, sf_dir)
+    return pts.select(
+        "doc_id", cell_encode_col(F.col("lon"), F.col("lat"), 12).alias("cell")
+    )
+
+
+@register(
+    "cell_parent_rollup",
+    oracle=f"""
+WITH pts AS ({PTS_SQL}),
+xy AS (SELECT doc_id, {_TX12} AS tx, {_TY12} AS ty FROM pts),
+cells AS (SELECT doc_id, {_CELL12} AS cell FROM xy)
+SELECT ({6 << int(LEVEL_SHIFT)} | ((cell & {(1 << int(LEVEL_SHIFT)) - 1}) >> 12)) AS parent_cell,
+       count(*) AS n_docs
+FROM cells GROUP BY 1
+""",
+)
+def q_cell_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.spatial import cell_encode_col, cell_parent_col
+
+    pts = derived_points(spark, sf_dir)
+    cells = pts.select(
+        "doc_id", cell_encode_col(F.col("lon"), F.col("lat"), 12).alias("cell")
+    )
+    return cells.groupBy(
+        cell_parent_col(F.col("cell"), 12, 6).alias("parent_cell")
+    ).agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Haversine distance column (engine's measured-distance primitive).
+# ---------------------------------------------------------------------------
+@register(
+    "haversine_to_origin",
+    oracle=f"""
+WITH pts AS ({PTS_SQL})
+SELECT doc_id,
+  round(2.0 * 6371008.8 * asin(sqrt(
+      pow(sin(radians(lat) / 2), 2)
+      + cos(radians(0.0)) * cos(radians(lat)) * pow(sin(radians(lon) / 2), 2)
+  )), 4) AS dist_m
+FROM pts
+""",
+)
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.spatial import haversine_m_col
+
+    pts = derived_points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        F.round(
+            haversine_m_col(F.lit(0.0), F.lit(0.0), F.col("lon"), F.col("lat")), 4
+        ).alias("dist_m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing (date functions over events.ts).
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_windows",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+    )

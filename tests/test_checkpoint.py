@@ -130,13 +130,13 @@ def test_spine_resumable_end_to_end(spark, tmp_path):
     )
     polys = fixtures.world_octants_df(spark, cell_level=4)
     want = sorted(
-        (r.z, r.x, r.y, r.n_docs, r.n_polygons)
+        (r.z, r.x, r.y, r.n_docs, r.n_polygons, r.sum_chars)
         for r in spine(docs, polys, zooms=(2,), cell_level=4).collect()
     )
     root = str(tmp_path / "spine_ckpt")
     kw = dict(zooms=(2,), cell_level=4, input_fingerprint="sf0.001")
     got1 = sorted(
-        (r.z, r.x, r.y, r.n_docs, r.n_polygons)
+        (r.z, r.x, r.y, r.n_docs, r.n_polygons, r.sum_chars)
         for r in spine_resumable(spark, docs, polys, root, **kw).collect()
     )
     assert got1 == want
@@ -144,7 +144,7 @@ def test_spine_resumable_end_to_end(spark, tmp_path):
     from imposm2_spark.plans.checkpoint import CheckpointManager
 
     got2 = sorted(
-        (r.z, r.x, r.y, r.n_docs, r.n_polygons)
+        (r.z, r.x, r.y, r.n_docs, r.n_polygons, r.sum_chars)
         for r in spine_resumable(spark, docs, polys, root, **kw).collect()
     )
     assert got2 == want

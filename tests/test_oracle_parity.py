@@ -70,5 +70,6 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) == {"z", "x", "y", "n_docs", "n_polygons"}
+    assert set(df.columns) == {"z", "x", "y", "n_docs", "n_polygons", "sum_chars"}
+    assert all(r.sum_chars > 0 for r in rows)  # extraction actually ran
     assert sum(r.n_docs for r in rows if r.z == 2) >= 500  # every doc lands in an octant

@@ -1,0 +1,92 @@
+"""Physical-plan shape assertions (SURVEY.md §4 O1/O2/O11/O12 guarantees).
+
+These lock in the properties that make the engine scale: predicate pushdown
+reaching the parquet scan, column pruning, map-side partial aggregation,
+broadcast joins for small sides, and no gratuitous shuffles. A regression
+here is a 100x cost bug at 100 TB even when results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from imposm2_spark.plans import registry
+from imposm2_spark.sources import fixtures, testdata
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def n_exchanges(plan):
+    """Count shuffle operators once (formatted mode lists each node twice:
+    tree line '+- Exchange (n)' and detail header '(n) Exchange')."""
+    import re
+
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+def test_pricing_summary_pushdown_pruning_partial_agg(spark):
+    p = plan_of(registry.queries()["pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: 6 of 16 lineitem columns read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>" in p
+    assert "partial_sum" in p  # map-side combine before the exchange
+    assert n_exchanges(p) == 1  # exactly one shuffle (the groupBy)
+
+
+def test_revenue_by_region_broadcasts_dims(spark):
+    p = plan_of(registry.queries()["join_revenue_by_region"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2  # nation + region never shuffle
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+
+
+def test_tile_assign_is_shuffle_free(spark):
+    p = plan_of(registry.queries()["tile_assign_z8"](spark, SF))
+    assert "Exchange" not in p  # pure codegen'd projection
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # JVM-only
+
+
+def test_pip_join_broadcasts_polygons_no_point_shuffle(spark):
+    from imposm2_spark.operators.pip import pip_join
+
+    pts = testdata.derived_points_dense(spark, SF)
+    polys = fixtures.polygons_admin_df(spark)
+    p = plan_of(pip_join(pts, polys, keep_point_cols=["doc_id"]))
+    assert "BroadcastHashJoin" in p  # cell-equi prefilter join, polygons small
+    # the (big) point side reaches the join without any exchange
+    assert p.count("Exchange") == p.count("Exchange hashpartitioning") == 0 or (
+        "Exchange" not in p.split("BroadcastHashJoin")[0]
+    )
+
+
+def test_mapping_route_uses_broadcast(spark):
+    p = plan_of(registry.queries()["mapping_route"](spark, SF))
+    assert "BroadcastHashJoin" in p  # the mapping spec is broadcast (J8)
+
+
+def test_text_ops_stay_jvm_side(spark):
+    # text analysis + dedup hashing must not cross the Python boundary
+    for name in ("text_fingerprint", "text_quality", "dedup_simhash_clusters"):
+        p = plan_of(registry.queries()[name](spark, SF))
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+
+
+def test_spine_python_stages_are_arrow_batched(spark):
+    docs = testdata.synth_documents_web(testdata.load(spark, SF, "documents"))
+    polys = fixtures.world_octants_df(spark, cell_level=4)
+    from imposm2_spark.plans.pipeline import spine
+
+    p = plan_of(spine(docs, polys, zooms=(2,), cell_level=4))
+    assert "ArrowEvalPython" in p  # extract/geotag vectorized, Arrow transfer
+    assert "BatchEvalPython" not in p  # never row-at-a-time Python
+    assert "BroadcastHashJoin" in p  # PIP prefilter broadcast
+
+
+def test_dedup_exact_single_shuffle(spark):
+    p = plan_of(registry.queries()["dedup_exact"](spark, SF))
+    assert n_exchanges(p) == 1
+    assert "partial_min" in p or "partial_count" in p  # map-side combine
