@@ -167,19 +167,27 @@ def embedding_neardup_window(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine near-dup pairs over the bounded id window (oracle twin)."""
+    """Exact cosine near-dup pairs over the bounded id window (oracle twin).
+
+    Plan shape matters: the naive range predicate (b > a AND b <= a + w)
+    compiles to a BroadcastNestedLoopJoin scoring |corpus|^2 pairs. Instead
+    the candidate ids are GENERATED (explode of 1..window) and both sides
+    attach by equi-join — two hash joins, |corpus| x window scored pairs,
+    and the cosine is computed exactly once per pair."""
+    pair_ids = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_d"),
+    ).select("vec_a", (F.col("vec_a") + F.col("_d")).alias("vec_b"))
     a = corpus.select(
         F.col(id_col).alias("vec_a"), _as_double(F.col(vec_col)).alias("_va")
     )
     b = corpus.select(
         F.col(id_col).alias("vec_b"), _as_double(F.col(vec_col)).alias("_vb")
     )
-    pairs = a.join(
-        b,
-        (F.col("vec_b") > F.col("vec_a")) & (F.col("vec_b") <= F.col("vec_a") + window),
-    )
     return (
-        pairs.select(
+        pair_ids.join(a, "vec_a")
+        .join(b, "vec_b")  # inner join drops ids past the corpus end
+        .select(
             "vec_a",
             "vec_b",
             F.round(cosine_sim(F.col("_va"), F.col("_vb")), 9).alias("sim"),

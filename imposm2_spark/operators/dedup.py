@@ -167,8 +167,13 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash(text: F.Column) -> F.Column:
-    th = token_hashes(text)
+def simhash_from_hashes(th: F.Column) -> F.Column:
+    """SimHash from a PRECOMPUTED token-hash array column.
+
+    Higher-order functions are interpreted (not codegen'd), and the 32-bit
+    loop references the token array once per bit — passing `text` directly
+    would re-run the O(chars) rolling hash 32x per row. Callers materialize
+    the hash array in a prior projection (see simhash_clusters)."""
     n = F.size(th)
 
     def bit_sum(b: F.Column) -> F.Column:
@@ -186,11 +191,18 @@ def simhash(text: F.Column) -> F.Column:
     )
 
 
+def simhash(text: F.Column) -> F.Column:
+    """Single-column convenience form (tests); hot paths use the two-phase
+    simhash_clusters plan to avoid re-hashing per bit."""
+    return simhash_from_hashes(token_hashes(text))
+
+
 def simhash_clusters(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Docs sharing a SimHash fingerprint — near-dup clusters in one groupBy."""
-    fp = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    th = docs.select(F.col(id_col), token_hashes(F.col(text_col)).alias("_th"))
+    fp = th.select(F.col(id_col), simhash_from_hashes(F.col("_th")).alias("simhash"))
     return (
         fp.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
