@@ -393,6 +393,8 @@ SELECT doc_id,
   CASE WHEN doc_id % 6 = 0 THEN 'yes' ELSE NULL END AS bridge_v,
   CASE WHEN doc_id % 8 = 0 THEN '2' ELSE NULL END AS layer_v,
   CASE doc_id % 3 WHEN 0 THEN CAST(doc_id * 13 AS VARCHAR) WHEN 1 THEN 'many' ELSE NULL END AS pop_v,
+  CASE WHEN doc_id % 2 = 0 THEN 'administrative' ELSE NULL END AS boundary_v,
+  CASE WHEN doc_id % 11 = 0 THEN 'x' ELSE CAST(doc_id % 9 AS VARCHAR) END AS admin_v,
   'n' || CAST(doc_id AS VARCHAR) AS name_v
 FROM documents
 """
@@ -414,6 +416,8 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge = F.when(d % 6 == 0, "yes")
     layer = F.when(d % 8 == 0, "2")
     pop = F.when(d % 3 == 0, (d * 13).cast("string")).when(d % 3 == 1, "many")
+    boundary = F.when(d % 2 == 0, "administrative")
+    admin = F.when(d % 11 == 0, "x").otherwise((d % 9).cast("string"))
     name = F.concat(F.lit("n"), d.cast("string"))
     tags = F.map_filter(
         F.create_map(
@@ -423,6 +427,8 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("bridge"), bridge,
             F.lit("layer"), layer,
             F.lit("population"), pop,
+            F.lit("boundary"), boundary,
+            F.lit("admin_level"), admin,
             F.lit("name"), name,
         ),
         lambda k, v: v.isNotNull(),
@@ -986,3 +992,56 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining field-type truth tables (SURVEY §2.8): ZOrder (F9), Integer (F6)
+# on PLACES; OneOfInt (F7) incl. field_filter row-drop semantics on ADMIN.
+# ---------------------------------------------------------------------------
+_PLACE_RANKS = ("country", "state", "region", "county", "city",
+                "town", "village", "hamlet", "suburb", "locality")
+_ZORDER_CASE = "CASE place_v " + " ".join(
+    f"WHEN '{v}' THEN {i + 1}" for i, v in enumerate(_PLACE_RANKS)
+) + " ELSE 0 END"
+
+
+@register(
+    "mapping_fields_places",
+    oracle=f"""
+WITH t AS ({_TAG_CASES_SQL})
+SELECT doc_id AS id,
+       name_v AS name,
+       place_v AS type,
+       {_ZORDER_CASE} AS z_order,
+       TRY_CAST(pop_v AS INTEGER) AS population
+FROM t
+WHERE place_v IN ({", ".join(f"'{v}'" for v in _PLACE_RANKS)})
+""",
+)
+def q_mapping_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.mapping import build_tables
+
+    els = _tag_elements(spark, sf_dir)
+    tables = build_tables(els, [dm.PLACES], spark)
+    return tables["places"].select("id", "name", "type", "z_order", "population")
+
+
+@register(
+    "mapping_admin_levels",
+    oracle=f"""
+WITH t AS ({_TAG_CASES_SQL})
+SELECT doc_id AS id, name_v AS name, boundary_v AS type,
+       TRY_CAST(admin_v AS INTEGER) AS admin_level
+FROM t
+WHERE boundary_v = 'administrative'
+  AND TRY_CAST(admin_v AS INTEGER) IN (1, 2, 3, 4, 5, 6)
+""",
+)
+def q_mapping_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.mapping import build_tables
+
+    els = _tag_elements(spark, sf_dir)
+    tables = build_tables(els, [dm.ADMIN], spark)
+    return tables["admin"].select("id", "name", "type", "admin_level")
