@@ -1045,3 +1045,24 @@ def q_mapping_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     els = _tag_elements(spark, sf_dir)
     tables = build_tables(els, [dm.ADMIN], spark)
     return tables["admin"].select("id", "name", "type", "admin_level")
+
+
+# ---------------------------------------------------------------------------
+# Salted PIP join (O10a skew path) — same oracle as pip_join_grid: salting
+# must be a pure physical rewrite with identical output rows.
+# ---------------------------------------------------------------------------
+@register(
+    "pip_join_grid_salted",
+    oracle=f"""
+WITH pts AS ({PTS_DENSE_SQL}), grid AS ({_GRID_SQL})
+SELECT p.doc_id, g.polygon_id
+FROM pts p JOIN grid g
+  ON p.lon >= g.x0 AND p.lon < g.x1 AND p.lat >= g.y0 AND p.lat < g.y1
+""",
+)
+def q_pip_join_grid_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derived_points_dense(spark, sf_dir)
+    polys = fixtures.polygons_admin_df(spark).where(F.col("polygon_id") < 20)
+    return pip_join(
+        pts, polys, keep_point_cols=["doc_id"], salt_factor=8, broadcast_polygons=False
+    ).select("doc_id", "polygon_id")

@@ -90,3 +90,23 @@ def test_dedup_exact_single_shuffle(spark):
     p = plan_of(registry.queries()["dedup_exact"](spark, SF))
     assert n_exchanges(p) == 1
     assert "partial_min" in p or "partial_count" in p  # map-side combine
+
+
+def test_spine_batch_size_invariance(spark):
+    """§5.2.5: identical results across Arrow batch sizes (the classic
+    vectorized-UDF bug class: state leaking across batch boundaries)."""
+    from imposm2_spark.plans.pipeline import spine
+
+    docs = testdata.synth_documents_web(testdata.load(spark, SF, "documents"))
+    polys = fixtures.world_octants_df(spark, cell_level=4)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    orig = spark.conf.get(key)
+    try:
+        results = []
+        for batch in ("64", "10000"):
+            spark.conf.set(key, batch)
+            rows = spine(docs, polys, zooms=(2,), cell_level=4).collect()
+            results.append(sorted(map(tuple, rows)))
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set(key, orig)
