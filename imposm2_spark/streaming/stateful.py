@@ -1,0 +1,96 @@
+"""Custom stateful streaming operator: cross-microbatch exact dedup.
+
+Graft addition (SURVEY.md §2.9 + training-data ops): in a continuous ingest,
+duplicate documents arrive across microbatches, so a stateless per-batch
+dropDuplicates misses repeats that span batches. This operator keeps
+first-seen state per content hash via applyInPandasWithState — the idiomatic
+Spark construct for custom stateful streaming logic (the engine's only
+stateful-API surface; everything else is stateless or watermark-managed).
+
+Semantics: emit a document iff its md5(text) was never seen before (within
+the state retention window); state per hash = first-seen url + count, with a
+processing-time timeout so state is bounded at unbounded input (hashes idle
+longer than `state_ttl` are evicted and may re-emit — documented trade-off,
+identical to production dedup-cache behavior).
+
+Scale notes: state is hash-partitioned across executors by the groupBy key;
+per-key state is ~100 bytes; the timeout bounds total state to (arrival rate
+x ttl). For exact-forever dedup at 10^12 docs, the batch MinHash/exact passes
+(operators.dedup) remain the right tool; this operator is the low-latency
+stream-side filter in front of them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_url", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("text_hash", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_prior_copies", T.LongType()),
+    ]
+)
+
+
+def make_dedup_fn(state_ttl_ms: int):
+    """Bind the state TTL (applyInPandasWithState passes no user args)."""
+
+    def fn(key, pdfs, state: GroupState):
+        (text_hash,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        first_url, n_seen = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("url", kind="stable")
+            for row in pdf.itertuples(index=False):
+                if n_seen == 0:
+                    out.append((text_hash, row.url, row.text, 0))
+                    first_url = row.url
+                n_seen += 1
+        state.update((first_url, n_seen))
+        state.setTimeoutDuration(state_ttl_ms)
+        if not out:
+            return iter(())
+        return iter(
+            [pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])]
+        )
+
+    return fn
+
+
+def stream_dedup_exact(
+    docs: DataFrame, state_ttl_ms: int = 24 * 3_600_000
+) -> DataFrame:
+    """Stateful streaming dedup: keeps the first document per md5(text).
+
+    Input: a STREAMING DataFrame with (url, text) columns. Output stream:
+    (text_hash, url, text, n_prior_copies) — exactly one row per distinct
+    text within the state retention window.
+    """
+    keyed = docs.select(F.md5("text").alias("text_hash"), "url", "text").groupBy(
+        "text_hash"
+    )
+    return keyed.applyInPandasWithState(
+        make_dedup_fn(state_ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -93,3 +93,57 @@ def test_stream_tile_counts_watermark(spark, tmp_path):
     assert len(rows) > 0
     assert sum(r[3] for r in rows) == 500  # every doc lands in one tile window
     assert all(r[1] is not None and r[2] is not None for r in rows)
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: repeats in later microbatches suppressed."""
+    from imposm2_spark.streaming.stateful import stream_dedup_exact
+
+    landing = str(tmp_path / "landing3")
+    os.makedirs(landing)
+    rows1 = [(f"u{i}", f"text body {i % 20}") for i in range(40)]  # 20 distinct
+    spark.createDataFrame(rows1, ["url", "text"]).coalesce(1).write.parquet(
+        landing + "/b0"
+    )
+
+    src = (
+        spark.readStream.schema("url string, text string").parquet(landing + "/*")
+    )
+    out_batches = []
+
+    def sink(df, epoch):
+        out_batches.append([tuple(r) for r in df.collect()])
+
+    q = (
+        stream_dedup_exact(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = [r for b in out_batches for r in b]
+    assert len(first) == 20  # within-batch dedup
+    assert all(r[3] == 0 for r in first)
+
+    # second arrival: 10 repeats + 5 new texts -> only the 5 new emitted
+    rows2 = [(f"v{i}", f"text body {i}") for i in range(10)] + [
+        (f"w{i}", f"fresh text {i}") for i in range(5)
+    ]
+    spark.createDataFrame(rows2, ["url", "text"]).coalesce(1).write.parquet(
+        landing + "/b1"
+    )
+    out_batches.clear()
+    q2 = (
+        stream_dedup_exact(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    second = [r for b in out_batches for r in b]
+    texts = sorted(r[2] for r in second)
+    assert texts == [f"fresh text {i}" for i in range(5)]  # repeats suppressed via state
