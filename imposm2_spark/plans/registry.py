@@ -1066,3 +1066,45 @@ def q_pip_join_grid_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(
         pts, polys, keep_point_cols=["doc_id"], salt_factor=8, broadcast_polygons=False
     ).select("doc_id", "polygon_id")
+
+
+# ---------------------------------------------------------------------------
+# G7 WKB materialization boundary: encode in the import pipeline, decode with
+# the kernel parser, recompute area — a self-checking round-trip through the
+# driver gate (rows-only; byte-level goldens live in tests/test_geom.py).
+# ---------------------------------------------------------------------------
+@register("wkb_roundtrip_landusages")
+def q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators import defaultmapping as dm
+    from ..plans.import_pipeline import import_tables
+
+    def _decoded_area(wkb):
+        from ..kernels import geom
+        from ..kernels.wkb import parse_wkb
+
+        out = []
+        for buf in wkb:
+            gtype, payload = parse_wkb(bytes(buf))
+            polys = payload if gtype == 6 else [payload]  # 6=MultiPolygon, 3=Polygon
+            total = 0.0
+            for rings in polys:
+                for i, ring in enumerate(rings):
+                    a = abs(geom.ring_signed_area(ring))
+                    total += a if i == 0 else -a
+            out.append(total)
+        return pd.Series(out)
+
+    decoded_area = F.pandas_udf(_decoded_area, T.DoubleType())
+
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    out = import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES])
+    lu = out["landusages"]
+    return lu.select(
+        "id",
+        F.length("wkb").alias("wkb_len"),
+        F.round("area", 9).alias("area"),
+        F.round(decoded_area("wkb"), 9).alias("area_decoded"),
+    ).withColumn("roundtrip_ok", F.col("area") == F.col("area_decoded"))
