@@ -394,6 +394,7 @@ SELECT doc_id,
   CASE WHEN doc_id % 8 = 0 THEN '2' ELSE NULL END AS layer_v,
   CASE doc_id % 3 WHEN 0 THEN CAST(doc_id * 13 AS VARCHAR) WHEN 1 THEN 'many' ELSE NULL END AS pop_v,
   CASE WHEN doc_id % 2 = 0 THEN 'administrative' ELSE NULL END AS boundary_v,
+  CASE doc_id % 13 WHEN 0 THEN 'rail' WHEN 1 THEN 'tram' ELSE NULL END AS railway_v,
   CASE WHEN doc_id % 11 = 0 THEN 'x' ELSE CAST(doc_id % 9 AS VARCHAR) END AS admin_v,
   'n' || CAST(doc_id AS VARCHAR) AS name_v
 FROM documents
@@ -417,6 +418,7 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer = F.when(d % 8 == 0, "2")
     pop = F.when(d % 3 == 0, (d * 13).cast("string")).when(d % 3 == 1, "many")
     boundary = F.when(d % 2 == 0, "administrative")
+    railway = F.when(d % 13 == 0, "rail").when(d % 13 == 1, "tram")
     admin = F.when(d % 11 == 0, "x").otherwise((d % 9).cast("string"))
     name = F.concat(F.lit("n"), d.cast("string"))
     tags = F.map_filter(
@@ -428,6 +430,7 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("layer"), layer,
             F.lit("population"), pop,
             F.lit("boundary"), boundary,
+            F.lit("railway"), railway,
             F.lit("admin_level"), admin,
             F.lit("name"), name,
         ),
@@ -1108,3 +1111,44 @@ def q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("area", 9).alias("area"),
         F.round(decoded_area("wkb"), 9).alias("area_decoded"),
     ).withColumn("roundtrip_ok", F.col("area") == F.col("area_decoded"))
+
+
+# ---------------------------------------------------------------------------
+# U1 realized on the default mapping: the `roads` union view over
+# mainroads + minorroads + railways with NULL-padded columns and a
+# src_table discriminator (imposm/defaultmapping.py roads UnionView analog).
+# ---------------------------------------------------------------------------
+@register(
+    "roads_union_view",
+    oracle=f"""
+WITH t AS ({_TAG_CASES_SQL}),
+z AS (SELECT *, COALESCE(CAST(layer_v AS INTEGER), 0) * 10
+               + CASE WHEN bridge_v IS NOT NULL THEN 1 ELSE 0 END AS zadj FROM t)
+SELECT doc_id AS id, name_v AS name, highway_v AS type, false AS tunnel,
+       (bridge_v IS NOT NULL) AS bridge,
+       CASE oneway_v WHEN 'yes' THEN 1 WHEN '-1' THEN -1 ELSE 0 END AS oneway,
+       CAST(NULL AS VARCHAR) AS ref,
+       (CASE highway_v WHEN 'primary' THEN 10 WHEN 'motorway' THEN 14 ELSE 0 END + zadj) AS z_order,
+       'mainroads' AS src_table
+FROM z WHERE highway_v IN ('motorway', 'primary')
+UNION ALL
+SELECT doc_id, name_v, highway_v, false, (bridge_v IS NOT NULL),
+       CASE oneway_v WHEN 'yes' THEN 1 WHEN '-1' THEN -1 ELSE 0 END,
+       NULL, (4 + zadj), 'minorroads'
+FROM z WHERE highway_v = 'residential'
+UNION ALL
+SELECT doc_id, name_v, railway_v, false, (bridge_v IS NOT NULL),
+       NULL, NULL, (0 + zadj), 'railways'
+FROM z WHERE railway_v IN ('rail', 'tram')
+""",
+)
+def q_roads_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.generalize import union_view
+    from ..operators.mapping import build_tables
+
+    els = _tag_elements(spark, sf_dir)
+    tables = build_tables(els, [dm.MAINROADS, dm.MINORROADS, dm.RAILWAYS], spark)
+    return union_view(tables, ["mainroads", "minorroads", "railways"]).select(
+        "id", "name", "type", "tunnel", "bridge", "oneway", "ref", "z_order", "src_table"
+    )
