@@ -65,13 +65,20 @@ def cosine_topk_brute(
     vec_col: str = "embedding",
     query_id: str = "qid",
 ) -> DataFrame:
-    """Exact cosine top-k: (qid, vec_id, rank); self-matches excluded."""
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    """Exact cosine top-k: (qid, vec_id, rank); self-matches excluded.
+
+    Norms are precomputed per side (O(n)), not inside the pair expression
+    (O(n*q)); the sim formula dot/sqrt(qn*nn) folds in the same sequential
+    order as the DuckDB oracle, so values stay bit-identical."""
+    c = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_nn", _norm2(F.col("_v")))
     q = queries.select(
         F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_q")
-    )
+    ).withColumn("_qn", _norm2(F.col("_q")))
     cand = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id)).withColumn(
-        "_sim", cosine_sim(F.col("_q"), F.col("_v"))
+        "_sim", _dot(F.col("_q"), F.col("_v")) / F.sqrt(F.col("_qn") * F.col("_nn"))
     )
     w = W.partitionBy(query_id).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
     return (
