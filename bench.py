@@ -61,6 +61,7 @@ def main() -> None:
 
     q_times: dict[str, float] = {"spine": round(spine_sec, 3)}
     for name, fn in sorted(registry.queries().items()):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # JIT warm
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         q_times[name] = round(time.perf_counter() - t0, 3)

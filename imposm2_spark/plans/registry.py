@@ -1152,3 +1152,50 @@ def q_roads_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_view(tables, ["mainroads", "minorroads", "railways"]).select(
         "id", "name", "type", "tunnel", "bridge", "oneway", "ref", "z_order", "src_table"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (W-class analytic): sessions break after 30 min
+# of user inactivity — lag + conditional cumsum over an event-time window.
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_no
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 30 MINUTES"),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_sess"),
+    )
+    sess = gaps.withColumn(
+        "session_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
