@@ -184,3 +184,33 @@ def covering_cells_bbox(
 def cell_size_deg(level: int) -> float:
     """Longitude span of one cell at `level` (worst-case planar size proxy)."""
     return 360.0 / (1 << level)
+
+
+def morton_blocks(
+    x0: int, x1: int, y0: int, y1: int, level: int
+) -> list[tuple[int, int]]:
+    """Decompose the inclusive tile rect [x0..x1]x[y0..y1] at `level` into
+    maximal quadtree-aligned blocks; returns [(block_level, block_cell), ...].
+
+    Each block is an ancestor cell whose full extent lies inside the rect —
+    the Morton-range decomposition used by the raster-patch join (J6): a
+    level-z cell is inside the rect iff one of its ancestors equals a block
+    cell, turning a 2-D range predicate into per-level equi-joins.
+    """
+    out: list[tuple[int, int]] = []
+
+    def rec(bl: int, bx: int, by: int) -> None:
+        size = 1 << (level - bl)
+        lo_x, lo_y = bx * size, by * size
+        hi_x, hi_y = lo_x + size - 1, lo_y + size - 1
+        if lo_x > x1 or hi_x < x0 or lo_y > y1 or hi_y < y0:
+            return  # disjoint
+        if lo_x >= x0 and hi_x <= x1 and lo_y >= y0 and hi_y <= y1:
+            out.append((bl, int(cell_from_xy(np.asarray([bx]), np.asarray([by]), bl)[0])))
+            return  # fully contained -> maximal block
+        for dx in (0, 1):  # partial overlap -> split into quadrants
+            for dy in (0, 1):
+                rec(bl + 1, bx * 2 + dx, by * 2 + dy)
+
+    rec(0, 0, 0)
+    return out

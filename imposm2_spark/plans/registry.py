@@ -1199,3 +1199,44 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J6 raster side: points -> raster patches via Morton-block equi-joins.
+# Patches = 6 deterministic tile rectangles at z=6; oracle = plain 2-D tile
+# range containment (the decomposition must be a pure physical rewrite).
+# ---------------------------------------------------------------------------
+_PATCHES_SQL = """
+SELECT p AS patch_id,
+       (p * 7) % 40 AS x0, (p * 7) % 40 + 8 AS x1,
+       (p * 11) % 40 AS y0, (p * 11) % 40 + 5 AS y1
+FROM (SELECT unnest(generate_series(0, 5)) AS p) t
+"""
+
+
+@register(
+    "raster_patch_join_z6",
+    oracle=f"""
+WITH pts AS ({PTS_SQL}), patches AS ({_PATCHES_SQL}),
+xy AS (
+  SELECT doc_id,
+         greatest(0, least(63, CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT))) AS tx,
+         greatest(0, least(63, CAST(floor((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 64) AS BIGINT))) AS ty
+  FROM pts)
+SELECT xy.doc_id, p.patch_id
+FROM xy JOIN patches p
+  ON xy.tx BETWEEN p.x0 AND p.x1 AND xy.ty BETWEEN p.y0 AND p.y1
+""",
+)
+def q_raster_patch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tiles import raster_patch_join
+
+    pts = derived_points(spark, sf_dir)
+    patches = spark.range(6).select(
+        F.col("id").alias("patch_id"),
+        ((F.col("id") * 7) % 40).alias("x0"),
+        ((F.col("id") * 7) % 40 + 8).alias("x1"),
+        ((F.col("id") * 11) % 40).alias("y0"),
+        ((F.col("id") * 11) % 40 + 5).alias("y1"),
+    )
+    return raster_patch_join(pts, patches, zoom=6, point_cols=["doc_id"])

@@ -112,3 +112,27 @@ def test_prop_point_inside_own_cell_bounds(lon, lat, level):
     assert lon_min[0] - 1e-9 <= lon <= lon_max[0] + 1e-9
     clat = min(max(lat, -cells.MERC_LAT_MAX), cells.MERC_LAT_MAX)
     assert lat_min[0] - 1e-6 <= clat <= lat_max[0] + 1e-6
+
+
+def test_morton_blocks_tile_rect_exactly():
+    """Quadtree decomposition covers the rect exactly, no gaps or spill."""
+    import numpy as np
+
+    from imposm2_spark.kernels.cells import cell_decode, morton_blocks
+
+    def expand(blocks, level):
+        tiles = set()
+        for bl, cell in blocks:
+            _, x, y = cell_decode(np.asarray([cell]))
+            size = 1 << (level - bl)
+            for dx in range(size):
+                for dy in range(size):
+                    tiles.add((int(x[0]) * size + dx, int(y[0]) * size + dy))
+        return tiles
+
+    for x0, x1, y0, y1 in [(3, 12, 5, 9), (0, 0, 0, 0), (1, 14, 1, 14), (0, 15, 0, 15), (7, 8, 7, 8)]:
+        blocks = morton_blocks(x0, x1, y0, y1, 4)
+        want = {(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
+        assert expand(blocks, 4) == want, (x0, x1, y0, y1)
+        # maximality: aligned power-of-two rects decompose to one block
+    assert len(morton_blocks(0, 15, 0, 15, 4)) == 1
