@@ -51,9 +51,14 @@ def merc_x(lon: F.Column) -> F.Column:
 
 
 def merc_y(lat: F.Column) -> F.Column:
-    # asinh written out as ln(t + sqrt(t^2+1)) so the DuckDB oracle evaluates a
-    # textually identical expression (tie-order safety on exact-grid inputs)
-    t = F.tan(F.radians(lat))
+    # lat clamped into web-mercator range FIRST so my stays in [0, 1] and the
+    # ring-expansion bound (point inside its own cell) holds for any input;
+    # asinh written out as ln(t + sqrt(t^2+1)) so the DuckDB oracle evaluates
+    # a textually identical expression (tie-order safety on exact-grid inputs)
+    from ..kernels.cells import MERC_LAT_MAX
+
+    clamped = F.greatest(F.lit(-MERC_LAT_MAX), F.least(F.lit(MERC_LAT_MAX), lat))
+    t = F.tan(F.radians(clamped))
     return (F.lit(1.0) - F.log(t + F.sqrt(t * t + F.lit(1.0))) / F.lit(PI)) / F.lit(2.0)
 
 
@@ -112,22 +117,29 @@ def knn_join(
     the ring bound makes each accepted top-k provably globally correct, and
     the bounded loop + brute fallback guarantees completeness.
     """
-    from .pip import DEFAULT_CELL_LEVEL  # noqa: F401  (doc cross-link only)
-
     n = 1 << level
+
+    def grid(col: F.Column) -> F.Column:
+        # clamp into the grid so out-of-mercator-range latitudes still land in
+        # a valid cell (exactness unaffected: the fallback is cell-free)
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(n - 1), F.floor(col * n).cast("long")),
+        )
+
     p = _with_merc(points, *point_lonlat, "_p").select(
         point_id,
         "_pmx",
         "_pmy",
-        F.least(F.lit(n - 1), F.floor(F.col("_pmx") * n).cast("long")).alias("_px"),
-        F.least(F.lit(n - 1), F.floor(F.col("_pmy") * n).cast("long")).alias("_py"),
+        grid(F.col("_pmx")).alias("_px"),
+        grid(F.col("_pmy")).alias("_py"),
     )
     s = _with_merc(sites, *site_lonlat, "_s").select(
         site_id,
         "_smx",
         "_smy",
-        F.least(F.lit(n - 1), F.floor(F.col("_smx") * n).cast("long")).alias("_sx"),
-        F.least(F.lit(n - 1), F.floor(F.col("_smy") * n).cast("long")).alias("_sy"),
+        grid(F.col("_smx")).alias("_sx"),
+        grid(F.col("_smy")).alias("_sy"),
     )
     if broadcast_sites:
         s = F.broadcast(s)
