@@ -1,0 +1,66 @@
+"""End-to-end training-corpus curation: the training-data ops composed.
+
+The showcase pipeline a 100 TB corpus run would execute (each stage is an
+operator proven individually against its DuckDB oracle; the composition is
+oracle-checked as a whole in plans.registry::curate_corpus):
+
+  1. quality gate   — quality_score >= min_quality (functions.text_analysis)
+  2. language gate  — heuristic lang_id in `langs`
+  3. exact dedup    — keep min doc_id per md5(text)
+  4. near-dup gate  — drop the HIGHER doc_id of every verified MinHash-LSH
+                      pair (union-free approximation of clustering: greedy
+                      keep-lowest; deterministic)
+  5. stats          — per-language kept counts + token totals
+
+Scale shape: stages 1-2 are codegen'd filters (no shuffle); stage 3 is one
+hash aggregation; stage 4 reuses the banded-LSH self-join (bounded buckets);
+stage 5 one aggregation. Nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import lang_id, quality_score, token_count_ws
+from ..operators.dedup import minhash_lsh_pairs
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    neardup_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Returns the kept documents: (doc_id, text, lang_pred, quality, n_tokens)."""
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"),
+        token_count_ws(F.col(text_col)).alias("n_tokens"),
+    )
+    gated = scored.where(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
+    )
+    # exact dedup: keep the lowest id per content hash
+    keepers = gated.groupBy(F.md5(text_col).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    exact = gated.join(keepers, id_col, "left_semi")
+    # near-dup: greedy keep-lowest — drop doc_b of every verified pair
+    pairs = minhash_lsh_pairs(exact, id_col=id_col, text_col=text_col,
+                              threshold=neardup_threshold)
+    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return exact.join(drops, id_col, "left_anti")
+
+
+def curate_stats(kept: DataFrame) -> DataFrame:
+    """Per-language corpus stats over the kept set."""
+    return kept.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),  # round-4: partial-sum order differs across engines
+    )

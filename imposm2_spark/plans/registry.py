@@ -1240,3 +1240,70 @@ def q_raster_patch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("id") * 11) % 40 + 5).alias("y1"),
     )
     return raster_patch_join(pts, patches, zoom=6, point_cols=["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (plans.curate): quality gate -> lang gate ->
+# exact dedup -> MinHash-LSH near-dup drop -> per-language stats. The whole
+# composition is oracle-checked (each stage reuses its proven SQL twin).
+# ---------------------------------------------------------------------------
+_QUALITY_SQL = f"""
+SELECT doc_id, text,
+  CASE WHEN len(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+  round(greatest(0.0, least(1.0,
+      0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE))
+      + 0.3 * (len(list_filter({_WS_TOKS_SQL}, x -> lower(x) IN ({_stop_in('en')})))
+               / CAST(greatest(len({_WS_TOKS_SQL}), 1) AS DOUBLE))
+      + 0.2 * least((CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) / 100.0, 1.0)
+      - 0.5 * (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / CAST(greatest(length(text), 1) AS DOUBLE)))), 6) AS quality,
+  CASE
+    WHEN len(list_filter({_WS_TOKS_SQL}, x -> lower(x) IN ({_stop_in('en')}))) > 0
+     AND len(list_filter({_WS_TOKS_SQL}, x -> lower(x) IN ({_stop_in('en')}))) >= len(list_filter({_WS_TOKS_SQL}, x -> lower(x) IN ({_stop_in('de')})))
+     AND len(list_filter({_WS_TOKS_SQL}, x -> lower(x) IN ({_stop_in('en')}))) >= len(list_filter({_WS_TOKS_SQL}, x -> lower(x) IN ({_stop_in('fr')})))
+     AND len(list_filter({_WS_TOKS_SQL}, x -> lower(x) IN ({_stop_in('en')}))) >= len(list_filter({_WS_TOKS_SQL}, x -> lower(x) IN ({_stop_in('es')})))
+    THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+_CURATE_ORACLE = f"""
+WITH scored AS ({_QUALITY_SQL}),
+gated AS (SELECT * FROM scored WHERE quality >= 0.3 AND lang_pred IN ('en')),
+keepers AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM gated GROUP BY 1),
+exact AS (SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id),
+th AS (SELECT doc_id, {_TOKH_SQL} AS h FROM exact),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shs FROM th WHERE len(h) >= 3),
+sig AS (SELECT doc_id, shs, {_MH_EXPRS} FROM sh),
+bands AS (SELECT doc_id, shs, {_BAND_EXPRS} FROM sig),
+bl AS (
+  SELECT doc_id, shs, b.band_idx, [band0, band1, band2, band3][b.band_idx + 1] AS band_key
+  FROM bands, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shs AS sa, b.shs AS sb
+  FROM bl a JOIN bl b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id FROM cand
+  WHERE round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
+        / len(list_distinct(list_concat(sa, sb))), 9) >= 0.5
+),
+kept AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(quality), 4) AS mean_quality
+FROM kept GROUP BY lang_pred
+"""
+
+
+@register("curate_corpus", oracle=_CURATE_ORACLE)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curate import curate, curate_stats
+
+    docs = load(spark, sf_dir, "documents")
+    # the synthetic corpus predicts only en/other with the tiny stopword sets
+    kept = curate(docs, min_quality=0.3, langs=("en",), neardup_threshold=0.5)
+    return curate_stats(kept)
