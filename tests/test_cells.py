@@ -136,3 +136,41 @@ def test_morton_blocks_tile_rect_exactly():
         assert expand(blocks, 4) == want, (x0, x1, y0, y1)
         # maximality: aligned power-of-two rects decompose to one block
     assert len(morton_blocks(0, 15, 0, 15, 4)) == 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    level=st.integers(min_value=1, max_value=6),
+    data=st.data(),
+)
+def test_prop_morton_blocks_exact_disjoint_cover(level, data):
+    """Property (SURVEY §5.2.3): for any tile rect, the quadtree decomposition
+    covers exactly the rect, blocks are pairwise disjoint, and each block is
+    quadtree-aligned (x, y multiples of its size)."""
+    import numpy as np
+
+    from imposm2_spark.kernels.cells import cell_decode, morton_blocks
+
+    n = 1 << level
+    x0 = data.draw(st.integers(0, n - 1))
+    x1 = data.draw(st.integers(x0, n - 1))
+    y0 = data.draw(st.integers(0, n - 1))
+    y1 = data.draw(st.integers(y0, n - 1))
+    blocks = morton_blocks(x0, x1, y0, y1, level)
+    seen = set()
+    for bl, cell in blocks:
+        lv, x, y = cell_decode(np.asarray([cell]))
+        assert int(lv[0]) == bl
+        size = 1 << (level - bl)
+        bx, by = int(x[0]) * size, int(y[0]) * size
+        for dx in range(size):
+            for dy in range(size):
+                t = (bx + dx, by + dy)
+                assert t not in seen  # disjoint
+                seen.add(t)
+    want = {(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
+    assert seen == want  # exact cover
