@@ -49,7 +49,10 @@ def curate(
     keepers = gated.groupBy(F.md5(text_col).alias("_h")).agg(
         F.min(id_col).alias(id_col)
     )
-    exact = gated.join(keepers, id_col, "left_semi")
+    # persisted: the frame feeds both LSH self-join sides and the final
+    # anti-join (4 consumers) — without it the regexp-heavy scoring chain
+    # re-executes per consumer. ContextCleaner reclaims when out of scope.
+    exact = gated.join(keepers, id_col, "left_semi").persist()
     # near-dup: greedy keep-lowest — drop doc_b of every verified pair
     pairs = minhash_lsh_pairs(exact, id_col=id_col, text_col=text_col,
                               threshold=neardup_threshold)
