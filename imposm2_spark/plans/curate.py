@@ -62,8 +62,14 @@ def curate(
 
 def curate_stats(kept: DataFrame) -> DataFrame:
     """Per-language corpus stats over the kept set."""
+    # mean via exact DECIMAL sum (quality is pre-rounded to 6 dp, so the sum
+    # is exact) — a double avg() would sit on a partial-sum-order boundary.
     return kept.groupBy("lang_pred").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality"), 4).alias("mean_quality"),  # round-4: partial-sum order differs across engines
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("mean_quality"),
     )

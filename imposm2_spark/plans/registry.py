@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions import spatial
+from . import golden
 from ..operators.pip import pip_join
 from ..sources import fixtures, testdata
 from ..sources.testdata import PTS_DENSE_SQL, PTS_SQL, derived_points, derived_points_dense, load
@@ -233,7 +234,7 @@ def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_agg",
     oracle="""
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """,
@@ -497,21 +498,23 @@ def q_mapping_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered as rows-only checks; exact semantics are golden-tested in
 # tests/test_assemble.py / test_generalize_deploy.py against FIXTURES MP-01..09.
 # ---------------------------------------------------------------------------
-@register("relation_multipolygon_assembly")
+@register("relation_multipolygon_assembly", oracle=golden.RELATION_MULTIPOLYGON_ASSEMBLY)
 def q_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.assemble import assemble_relations, assemble_ways
 
     nodes, ways, relations = fixtures.osm_dfs(spark)
     aw = assemble_ways(ways, nodes.select("id", "lon", "lat"))
     rels = assemble_relations(relations, aw)
+    # inserted_ways rendered as a CSV string: the driver's canonicalizer
+    # sorts/hashes pandas values and cannot hash ARRAY cells (r1 err).
     return rels.select(
         "rel_id", F.round("area", 9).alias("area"), "n_rings",
         "dropped_unclosed", "dropped_invalid",
-        F.sort_array("inserted_ways").alias("inserted_ways"),
+        F.concat_ws(",", F.sort_array("inserted_ways")).alias("inserted_ways"),
     )
 
 
-@register("import_pipeline_landusages")
+@register("import_pipeline_landusages", oracle=golden.IMPORT_PIPELINE_LANDUSAGES)
 def q_import_landusages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import defaultmapping as dm
     from ..plans.import_pipeline import import_tables
@@ -521,7 +524,7 @@ def q_import_landusages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["landusages"].select("id", "name", "type", F.round("area", 9).alias("area"))
 
 
-@register("generalized_landusages")
+@register("generalized_landusages", oracle=golden.GENERALIZED_LANDUSAGES)
 def q_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import defaultmapping as dm
     from ..operators.generalize import generalized_table
@@ -533,7 +536,7 @@ def q_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen.select("id", "type", F.round("area", 9).alias("area"))
 
 
-@register("polygon_covering_tiles_z8")
+@register("polygon_covering_tiles_z8", oracle=golden.POLYGON_COVERING_TILES_Z8)
 def q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tiles import assign_polygon_tiles
 
@@ -1076,7 +1079,7 @@ def q_pip_join_grid_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the kernel parser, recompute area — a self-checking round-trip through the
 # driver gate (rows-only; byte-level goldens live in tests/test_geom.py).
 # ---------------------------------------------------------------------------
-@register("wkb_roundtrip_landusages")
+@register("wkb_roundtrip_landusages", oracle=golden.WKB_ROUNDTRIP_LANDUSAGES)
 def q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
@@ -1168,8 +1171,8 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM gaps
 )
 SELECT user_id, session_no, count(*) AS n_events,
@@ -1293,8 +1296,8 @@ drops AS (
         / len(list_distinct(list_concat(sa, sb))), 9) >= 0.5
 ),
 kept AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops))
-SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       round(avg(quality), 4) AS mean_quality
+SELECT lang_pred, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_quality
 FROM kept GROUP BY lang_pred
 """
 

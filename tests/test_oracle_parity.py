@@ -48,17 +48,31 @@ def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()
     sdf = q(spark, SF_DIR)
-    spark_rows = sdf.collect()
-    spark_cols = sdf.columns
     if name not in oracles:
-        assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        assert sdf.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
+    # pandas on BOTH sides, like the driver's canonicalizer (dtype-sensitive)
+    spark_pdf = sdf.toPandas()
+    spark_rows = [tuple(r) for r in spark_pdf.itertuples(index=False)]
+    spark_cols = list(spark_pdf.columns)
     res = duck.execute(oracles[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = res.df()
+    duck_cols = list(duck_pdf.columns)
+    duck_rows = [tuple(r) for r in duck_pdf.itertuples(index=False)]
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    # dtype-kind parity: the driver's value hash is dtype-sensitive (r1:
+    # DuckDB HUGEINT sums surfaced as float64 vs Spark int64 and flipped the
+    # hash on equal values). Compare pandas kinds (i/u merged, M = datetime).
+    kind = lambda d: {"u": "i"}.get(d.kind, d.kind)
+    for c in spark_cols:
+        if len(spark_pdf) and len(duck_pdf):
+            sk, dk = kind(spark_pdf[c].dtype), kind(duck_pdf[c].dtype)
+            # empty/all-null object columns are unverifiable; skip O-vs-O only
+            assert sk == dk or "O" in (sk, dk), (
+                f"{name}.{c}: dtype kind {spark_pdf[c].dtype} vs {duck_pdf[c].dtype}"
+            )
     assert len(spark_rows) == len(duck_rows), f"{name}: row count"
     got = _rows_to_multiset(spark_cols, [tuple(r) for r in spark_rows])
     want = _rows_to_multiset(duck_cols, duck_rows)
