@@ -33,13 +33,19 @@ def _key(pt: np.ndarray) -> tuple[float, float]:
     return (float(pt[0]), float(pt[1]))
 
 
-def merge_rings(ways: list[np.ndarray]) -> MergeResult:
-    """Stitch way coordinate arrays into closed rings by endpoint matching.
+def merge_fragments(
+    ways: list[np.ndarray],
+) -> tuple[list[np.ndarray], list[np.ndarray], int]:
+    """Partial ring merge: stitch fragments as far as endpoint connectivity
+    allows, WITHOUT dropping unclosed leftovers.
 
-    Deterministic and invariant to member order and way direction: fragments are
-    processed in input order, but closure only depends on endpoint connectivity,
-    and every output ring is canonicalized (start at lexicographically smallest
-    vertex, CCW) so downstream output is stable under permutation/reversal.
+    Returns (closed_rings, open_chains, dropped_invalid). This is the
+    associative half of merge_rings (O10b): a chain emitted for a subset of
+    the members is itself a valid input way for a later merge level, so
+    mega-relations can be hash-chunked into bounded applyInPandas groups and
+    hierarchically merged — the result is identical to a single-level merge
+    whenever every stitch point joins exactly two fragments (the only case in
+    which single-level merge_rings is itself order-invariant).
     """
     fragments: list[np.ndarray] = []
     closed: list[np.ndarray] = []
@@ -74,7 +80,7 @@ def merge_rings(ways: list[np.ndarray]) -> MergeResult:
     for i in range(len(frags)):
         register(i)
 
-    dropped_unclosed = 0
+    chains: list[np.ndarray] = []
     for i in range(len(frags)):
         if frags[i] is None:
             continue
@@ -102,7 +108,22 @@ def merge_rings(ways: list[np.ndarray]) -> MergeResult:
         if np.array_equal(cur[0], cur[-1]):
             closed.append(cur)
         else:
-            dropped_unclosed += 1
+            chains.append(cur)
+    return closed, chains, dropped_invalid
+
+
+def merge_rings(ways: list[np.ndarray]) -> MergeResult:
+    """Stitch way coordinate arrays into closed rings by endpoint matching.
+
+    Deterministic and invariant to member order and way direction: fragments are
+    processed in input order, but closure only depends on endpoint connectivity,
+    and every output ring is canonicalized (start at lexicographically smallest
+    vertex, CCW) so downstream output is stable under permutation/reversal.
+    Unclosed leftover chains are dropped (counted), matching the reference's
+    incomplete-polygon handling (imposm/multipolygon.py::merge_rings).
+    """
+    closed, chains, dropped_invalid = merge_fragments(ways)
+    dropped_unclosed = len(chains)
 
     rings: list[np.ndarray] = []
     for r in closed:

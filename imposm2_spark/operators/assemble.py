@@ -15,10 +15,12 @@ Reference analogs:
   G2/G3 linestring/polygon-from-way: kernels.geom validity rules.
 
 Scale notes (SURVEY.md O10b): AQE cannot split a single applyInPandas group; a
-mega-relation (10^5 members) must be pre-split upstream. `MAX_MEMBERS_PER_GROUP`
-caps group width by hash-chunking members and hierarchically merging rings —
-chunked ring-merge is associative because stitching only depends on endpoint
-connectivity. Mega-ways in J1 are handled by the shuffle join itself (AQE skew).
+mega-relation (10^5 members) is pre-split in assemble_relations: members are
+hash-chunked at `MAX_MEMBERS_PER_GROUP`, each chunk partially merged
+(kernels.rings.merge_fragments), and a second narrow applyInPandas stitches the
+cross-chunk chains — ring merge is associative because stitching only depends
+on endpoint connectivity. Mega-ways in J1 are handled by the shuffle join
+itself (AQE skew).
 """
 
 from __future__ import annotations
@@ -159,38 +161,32 @@ _REL_OUT_SCHEMA = (
 _UNINTERESTING = kr._UNINTERESTING
 
 
-def _assemble_relation_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Kernel for one relation group (rows = resolved member ways)."""
-    rel_id = int(pdf["rel_id"].iloc[0])
-    rel_tags = pdf["rel_tags"].iloc[0] or {}
-    rel_tags = dict(rel_tags)
+_REL_OUT_COLUMNS = [
+    "rel_id", "tags", "polygons", "area", "wkb", "n_rings",
+    "dropped_unclosed", "dropped_invalid", "inserted_ways",
+]
 
-    ways = []
-    for _, row in pdf.sort_values("way_id").iterrows():
-        coords = np.asarray([list(p) for p in row["coords"]], dtype=np.float64)
-        ways.append((int(row["way_id"]), dict(row["way_tags"] or {}), coords))
 
-    merge = kr.merge_rings([w[2] for w in ways])
+def _finalize_relation(
+    rel_id: int,
+    rel_tags: dict,
+    merge: kr.MergeResult,
+    ways_meta: list[tuple[int, dict, float | None]],
+) -> pd.DataFrame:
+    """Shared tail of both assembly paths: nest rings, inherit tags (A4),
+    decide way suppression (P4), emit the output row.
+
+    ways_meta: (way_id, way_tags, outer_area) — outer_area is the way's own
+    shoelace area if it is a closed >=4-point ring, else None.
+    """
     mp = kr.build_multipolygon(merge)
     if not mp.polygons:
-        return pd.DataFrame(
-            columns=[
-                "rel_id", "tags", "polygons", "area", "wkb", "n_rings",
-                "dropped_unclosed", "dropped_invalid", "inserted_ways",
-            ]
-        )
+        return pd.DataFrame(columns=_REL_OUT_COLUMNS)
 
-    # A4 tag inheritance: outer candidates = closed member ways (own shoelace area)
-    outer_candidates = [
-        (abs(geom.ring_signed_area(c)), t)
-        for _, t, c in ways
-        if len(c) >= 4 and np.array_equal(c[0], c[-1])
-    ]
+    outer_candidates = [(a, t) for _, t, a in ways_meta if a is not None]
     final_tags = kr.inherit_tags(rel_tags, outer_candidates)
-
-    # P4: member ways whose tags the final relation tags subsume
-    inserted = [wid for wid, wtags, _ in ways if kr.way_tags_subsumed(wtags, final_tags)]
-
+    inserted = [wid for wid, wtags, _ in ways_meta
+                if kr.way_tags_subsumed(wtags, final_tags)]
     n_rings = sum(len(p) for p in mp.polygons)
     return pd.DataFrame(
         [
@@ -209,12 +205,129 @@ def _assemble_relation_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def assemble_relations(relations: DataFrame, assembled_ways: DataFrame) -> DataFrame:
+def _way_meta(way_id, way_tags, coords: np.ndarray) -> tuple[int, dict, float | None]:
+    outer_area = None
+    if len(coords) >= 4 and np.array_equal(coords[0], coords[-1]):
+        outer_area = abs(geom.ring_signed_area(coords))
+    return (int(way_id), dict(way_tags or {}), outer_area)
+
+
+def _assemble_relation_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Kernel for one relation group (rows = resolved member ways)."""
+    rel_id = int(pdf["rel_id"].iloc[0])
+    rel_tags = dict(pdf["rel_tags"].iloc[0] or {})
+
+    pdf = pdf.sort_values("way_id")
+    coords_list = [
+        np.asarray([list(p) for p in c], dtype=np.float64) for c in pdf["coords"]
+    ]
+    ways_meta = [
+        _way_meta(wid, wtags, c)
+        for wid, wtags, c in zip(pdf["way_id"], pdf["way_tags"], coords_list)
+    ]
+    merge = kr.merge_rings(coords_list)
+    return _finalize_relation(rel_id, rel_tags, merge, ways_meta)
+
+
+# O10b: AQE cannot split a single applyInPandas group, so a mega-relation
+# (10^5+ members) must be pre-split upstream. Groups wider than this are
+# hash-chunked on way_id, partially merged per chunk (kernels.rings.
+# merge_fragments — associative: a stitched chain is itself a valid input
+# way for the next level), then finalized in a second, narrow applyInPandas
+# whose rows are chunk summaries + per-way metadata (no coords), bounding
+# executor memory by max_members x way size instead of relation size.
+MAX_MEMBERS_PER_GROUP = 4096
+
+_PARTIAL_SCHEMA = (
+    "rel_id long, rel_tags map<string,string>, chunk int, kind string, "
+    "rings array<array<array<double>>>, chains array<array<array<double>>>, "
+    "dropped_invalid int, way_id long, way_tags map<string,string>, "
+    "outer_area double"
+)
+
+
+def _partial_merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage-A kernel for one (rel_id, chunk): emits ONE 'geom' row (closed
+    rings + open chains + invalid count) and one 'meta' row per member way
+    (tags + own closed area — what A4/P4 need, without the coords)."""
+    rel_id = int(pdf["rel_id"].iloc[0])
+    rel_tags = dict(pdf["rel_tags"].iloc[0] or {})
+    chunk = int(pdf["_chunk"].iloc[0])
+
+    pdf = pdf.sort_values("way_id")
+    coords_list = [
+        np.asarray([list(p) for p in c], dtype=np.float64) for c in pdf["coords"]
+    ]
+    closed, chains, dropped_invalid = kr.merge_fragments(coords_list)
+    rows = [
+        {
+            "rel_id": rel_id, "rel_tags": rel_tags, "chunk": chunk,
+            "kind": "geom",
+            "rings": [r.tolist() for r in closed],
+            "chains": [c.tolist() for c in chains],
+            "dropped_invalid": dropped_invalid,
+            "way_id": None, "way_tags": None, "outer_area": None,
+        }
+    ]
+    for wid, wtags, c in zip(pdf["way_id"], pdf["way_tags"], coords_list):
+        mid, mtags, marea = _way_meta(wid, wtags, c)
+        rows.append(
+            {
+                "rel_id": rel_id, "rel_tags": rel_tags, "chunk": chunk,
+                "kind": "meta", "rings": None, "chains": None,
+                "dropped_invalid": None,
+                "way_id": mid, "way_tags": mtags, "outer_area": marea,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _finalize_chunked_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage-B kernel: stitch cross-chunk chains, validity-filter, nest, and
+    emit the same row the single-stage kernel would."""
+    rel_id = int(pdf["rel_id"].iloc[0])
+    rel_tags = dict(pdf["rel_tags"].iloc[0] or {})
+
+    geoms = pdf[pdf["kind"] == "geom"].sort_values("chunk")
+    ways_input: list[np.ndarray] = []
+    chunk_invalid = 0
+    for _, row in geoms.iterrows():
+        chunk_invalid += int(row["dropped_invalid"])
+        for r in row["rings"]:
+            ways_input.append(np.asarray([list(p) for p in r], dtype=np.float64))
+        for c in row["chains"]:
+            ways_input.append(np.asarray([list(p) for p in c], dtype=np.float64))
+
+    merge = kr.merge_rings(ways_input)
+    merge.dropped_invalid += chunk_invalid
+
+    meta = pdf[pdf["kind"] == "meta"].sort_values("way_id")
+    ways_meta = [
+        (int(wid), dict(wtags or {}), None if pd.isna(area) else float(area))
+        for wid, wtags, area in zip(
+            meta["way_id"], meta["way_tags"], meta["outer_area"]
+        )
+    ]
+    return _finalize_relation(rel_id, rel_tags, merge, ways_meta)
+
+
+def assemble_relations(
+    relations: DataFrame,
+    assembled_ways: DataFrame,
+    max_members: int = MAX_MEMBERS_PER_GROUP,
+) -> DataFrame:
     """J2 + A2-A4: -> one row per buildable relation (see _REL_OUT_SCHEMA).
 
     relations: (id, tags, members ARRAY<STRUCT<ref, type, role>>)
     assembled_ways: output of assemble_ways.
+
+    Relations with more than `max_members` resolved way members take the
+    chunked two-stage path (O10b, see MAX_MEMBERS_PER_GROUP above); output is
+    identical to the single-stage path (tests/test_assemble.py proves it on a
+    synthetic 10^4-member relation).
     """
+    from pyspark.sql import Window
+
     members = relations.select(
         F.col("id").alias("rel_id"),
         F.col("tags").alias("rel_tags"),
@@ -231,9 +344,27 @@ def assemble_relations(relations: DataFrame, assembled_ways: DataFrame) -> DataF
         "inner",
     ).select("rel_id", "rel_tags", "way_id", "way_tags", "coords")
 
-    return resolved.groupBy("rel_id").applyInPandas(
-        lambda pdf: _assemble_relation_group(pdf), schema=_REL_OUT_SCHEMA
+    n_members = F.count("*").over(Window.partitionBy("rel_id"))
+    sized = resolved.withColumn("_n", n_members)
+
+    small_out = (
+        sized.where(F.col("_n") <= max_members)
+        .drop("_n")
+        .groupBy("rel_id")
+        .applyInPandas(_assemble_relation_group, schema=_REL_OUT_SCHEMA)
     )
+
+    chunked = sized.where(F.col("_n") > max_members).withColumn(
+        "_chunk",
+        F.pmod(F.col("way_id"), F.ceil(F.col("_n") / F.lit(max_members))).cast("int"),
+    )
+    partial = chunked.groupBy("rel_id", "_chunk").applyInPandas(
+        _partial_merge_group, schema=_PARTIAL_SCHEMA
+    )
+    big_out = partial.groupBy("rel_id").applyInPandas(
+        _finalize_chunked_group, schema=_REL_OUT_SCHEMA
+    )
+    return small_out.unionByName(big_out)
 
 
 def suppress_inserted_ways(

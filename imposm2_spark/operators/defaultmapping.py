@@ -8,12 +8,14 @@ Semantics per table follow the public imposm.org default mapping docs.
 
 from __future__ import annotations
 
+from .generalize import GeneralizedTableSpec
 from .mapping import (
     Bool,
     Direction,
     Integer,
     Name,
     OneOfInt,
+    PseudoArea,
     String,
     TableSpec,
     Type,
@@ -94,7 +96,7 @@ BUILDINGS = TableSpec(
     name="buildings",
     geom_type=GEOM_POLYGON,
     mapping={"building": ("__any__",)},
-    fields=(("name", Name()), ("type", Type())),
+    fields=(("name", Name()), ("type", Type()), ("area", PseudoArea())),
 )
 
 LANDUSAGES = TableSpec(
@@ -107,7 +109,7 @@ LANDUSAGES = TableSpec(
         "leisure": ("park", "garden", "playground", "golf_course", "pitch"),
         "amenity": ("university", "school", "college", "hospital"),
     },
-    fields=(("name", Name()), ("type", Type())),
+    fields=(("name", Name()), ("type", Type()), ("area", PseudoArea())),
 )
 
 WATERWAYS = TableSpec(
@@ -125,7 +127,7 @@ WATERAREAS = TableSpec(
         "natural": ("water",),
         "landuse": ("reservoir", "basin"),
     },
-    fields=(("name", Name()), ("type", Type())),
+    fields=(("name", Name()), ("type", Type()), ("area", PseudoArea())),
 )
 
 ADMIN = TableSpec(
@@ -140,10 +142,104 @@ ADMIN = TableSpec(
     field_filter=(OneOfInt("admin_level", (1, 2, 3, 4, 5, 6)),),
 )
 
+MOTORWAYS = TableSpec(
+    name="motorways",
+    geom_type=GEOM_LINESTRING,
+    mapping={"highway": ("motorway", "motorway_link", "trunk", "trunk_link")},
+    fields=(
+        ("name", Name()),
+        ("type", Type()),
+        ("tunnel", Bool("tunnel")),
+        ("bridge", Bool("bridge")),
+        ("oneway", Direction("oneway")),
+        ("ref", String("ref")),
+        ("z_order", WayZOrder()),
+    ),
+)
+
+AMENITIES = TableSpec(
+    name="amenities",
+    geom_type=GEOM_POINT,
+    mapping={
+        "amenity": ("university", "school", "library", "fuel", "hospital",
+                    "fire_station", "police", "townhall"),
+    },
+    fields=(("name", Name()), ("type", Type())),
+)
+
+TRANSPORT_POINTS = TableSpec(
+    name="transport_points",
+    geom_type=GEOM_POINT,
+    mapping={
+        "highway": ("mini_roundabout", "bus_stop", "traffic_signals"),
+        "railway": ("station", "halt", "tram_stop", "crossing",
+                    "level_crossing", "subway_entrance"),
+        "aeroway": ("aerodrome", "terminal", "helipad", "gate"),
+    },
+    fields=(("name", Name()), ("type", Type()), ("ref", String("ref"))),
+)
+
+TRANSPORT_AREAS = TableSpec(
+    name="transport_areas",
+    geom_type=GEOM_POLYGON,
+    mapping={
+        "railway": ("station", "platform"),
+        "aeroway": ("aerodrome", "terminal", "helipad", "apron"),
+    },
+    fields=(("name", Name()), ("type", Type()), ("area", PseudoArea())),
+)
+
+AEROWAYS = TableSpec(
+    name="aeroways",
+    geom_type=GEOM_LINESTRING,
+    mapping={"aeroway": ("runway", "taxiway")},
+    fields=(("name", Name()), ("type", Type())),
+)
+
+BARRIERPOINTS = TableSpec(
+    name="barrierpoints",
+    geom_type=GEOM_POINT,
+    mapping={
+        "barrier": ("block", "bollard", "cattle_grid", "chain", "cycle_barrier",
+                    "entrance", "horse_stile", "gate", "spikes", "lift_gate",
+                    "kissing_gate", "fence", "yes", "wire_fence", "toll_booth",
+                    "stile"),
+    },
+    fields=(("name", Name()), ("type", Type())),
+)
+
+BARRIERWAYS = TableSpec(
+    name="barrierways",
+    geom_type=GEOM_LINESTRING,
+    mapping={
+        "barrier": ("city_wall", "fence", "hedge", "retaining_wall", "wall",
+                    "bollard", "gate", "spikes", "lift_gate", "kissing_gate",
+                    "embankment", "yes", "wire_fence"),
+    },
+    fields=(("name", Name()), ("type", Type())),
+)
+
 ALL_SPECS = [
     PLACES, MAINROADS, MINORROADS, RAILWAYS, BUILDINGS, LANDUSAGES,
-    WATERWAYS, WATERAREAS, ADMIN,
+    WATERWAYS, WATERAREAS, ADMIN, MOTORWAYS, AMENITIES, TRANSPORT_POINTS,
+    TRANSPORT_AREAS, AEROWAYS, BARRIERPOINTS, BARRIERWAYS,
 ]
 
 # union view over the road-ish tables (imposm2 `roads` UnionView analog)
 ROADS_UNION_TABLES = ("mainroads", "minorroads", "railways")
+
+# Generalized-table chain (imposm2 defaultmapping landusages_gen1/gen0:
+# tolerance + min-area where, gen0 chained FROM gen1). Units are map units
+# (degrees here); thresholds scaled to this engine's fixture/test geometry.
+LANDUSAGES_GEN1 = GeneralizedTableSpec(
+    name="landusages_gen1", origin="landusages", tolerance=1.0,
+    where="area >= 50.0",
+)
+LANDUSAGES_GEN0 = GeneralizedTableSpec(
+    name="landusages_gen0", origin="landusages_gen1", tolerance=2.0,
+    where="area >= 100.0",
+)
+MAINROADS_GEN0 = GeneralizedTableSpec(
+    name="mainroads_gen0", origin="mainroads", tolerance=1.0, kind="line",
+)
+GENERALIZED_SPECS = [LANDUSAGES_GEN1, LANDUSAGES_GEN0, MAINROADS_GEN0]

@@ -12,6 +12,7 @@ Reference analogs:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import reduce
 
 import pandas as pd
@@ -108,6 +109,37 @@ def generalized_lines(
 ) -> DataFrame:
     df = origin.where(where) if where is not None else origin
     return df.withColumn(coords_col, simplify_lines_udf(tolerance)(F.col(coords_col)))
+
+
+@dataclass(frozen=True)
+class GeneralizedTableSpec:
+    """Spec-level GeneralizedTable declaration (imposm/mapping.py::
+    GeneralizedTable: `tolerance` + `where`, origin may itself be a
+    generalized table — the gen0-from-gen1 chain). Units are map units
+    (degrees in this engine); `where` is a SQL boolean over the origin's
+    columns, applied BEFORE simplification like the reference's CTAS WHERE."""
+
+    name: str
+    origin: str
+    tolerance: float
+    where: str | None = None
+    kind: str = "polygon"  # 'polygon' -> generalized_table, 'line' -> generalized_lines
+
+
+def materialize_generalized(
+    tables: dict[str, DataFrame], gspecs: list[GeneralizedTableSpec]
+) -> dict[str, DataFrame]:
+    """Materialize generalized tables in declaration order; later specs may
+    originate from earlier generalized outputs (the reference's chained CTAS)."""
+    out = dict(tables)
+    for g in gspecs:
+        origin = out[g.origin]
+        w = F.expr(g.where) if g.where else None
+        if g.kind == "polygon":
+            out[g.name] = generalized_table(origin, g.tolerance, where=w)
+        else:
+            out[g.name] = generalized_lines(origin, g.tolerance, where=w)
+    return out
 
 
 def union_view(tables: dict[str, DataFrame], names: list[str] | None = None) -> DataFrame:

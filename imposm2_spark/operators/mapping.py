@@ -160,6 +160,27 @@ class WayZOrder(FieldType):
 
 
 @dataclass(frozen=True)
+class PseudoArea(FieldType):
+    """F10 — imposm2 PseudoArea (imposm/mapping.py::PseudoArea): the polygon's
+    area in squared map units, used by renderers for label ordering. The
+    geometry kernel computes `area` at assembly time (shoelace, holes
+    subtracted); this field type surfaces it through the mapping DSL. NULL
+    when the element frame carries no geometry (imposm2 returns None when the
+    geometry is missing too)."""
+
+    source_col: str = "area"
+
+    @property
+    def requires(self) -> tuple[str, ...]:
+        return (self.source_col,)
+
+    null_type = "double"
+
+    def column(self, tags, key, value):
+        return F.col(self.source_col).cast("double")
+
+
+@dataclass(frozen=True)
 class ZOrder(FieldType):
     """Rank by position of the matched value in a priority list (1-based; 0 if
     absent) — imposm2 ZOrder."""
@@ -255,11 +276,23 @@ def apply_fields(routed: DataFrame, spec: TableSpec, tags_col: str = "tags") -> 
     tags = F.col(tags_col)
     for flt in spec.field_filter:
         df = df.where(flt.predicate(tags))
-    cols = [F.col(c) for c in df.columns if c not in ("table", "geom_type", "matched_key", "matched_value", tags_col)]
-    derived = [
-        ft.column(tags, F.col("matched_key"), F.col("matched_value")).alias(name)
-        for name, ft in spec.fields
+    derived_names = {name for name, _ in spec.fields}
+    cols = [
+        F.col(c)
+        for c in df.columns
+        if c not in ("table", "geom_type", "matched_key", "matched_value", tags_col)
+        and c not in derived_names  # derived fields shadow carried columns
     ]
+    derived = []
+    for name, ft in spec.fields:
+        required = getattr(ft, "requires", ())
+        if any(r not in df.columns for r in required):
+            # geometry-derived field over a frame with no geometry -> NULL
+            derived.append(F.lit(None).cast(getattr(ft, "null_type", "string")).alias(name))
+        else:
+            derived.append(
+                ft.column(tags, F.col("matched_key"), F.col("matched_value")).alias(name)
+            )
     return df.select(*cols, *derived)
 
 

@@ -395,8 +395,17 @@ SELECT doc_id,
   CASE WHEN doc_id % 8 = 0 THEN '2' ELSE NULL END AS layer_v,
   CASE doc_id % 3 WHEN 0 THEN CAST(doc_id * 13 AS VARCHAR) WHEN 1 THEN 'many' ELSE NULL END AS pop_v,
   CASE WHEN doc_id % 2 = 0 THEN 'administrative' ELSE NULL END AS boundary_v,
-  CASE doc_id % 13 WHEN 0 THEN 'rail' WHEN 1 THEN 'tram' ELSE NULL END AS railway_v,
+  CASE doc_id % 13 WHEN 0 THEN 'rail' WHEN 1 THEN 'tram' WHEN 2 THEN 'station'
+                   WHEN 3 THEN 'halt' ELSE NULL END AS railway_v,
   CASE WHEN doc_id % 11 = 0 THEN 'x' ELSE CAST(doc_id % 9 AS VARCHAR) END AS admin_v,
+  CASE doc_id % 10 WHEN 0 THEN 'university' WHEN 1 THEN 'school' WHEN 2 THEN 'hospital'
+                   WHEN 3 THEN 'library' WHEN 4 THEN 'fuel' WHEN 5 THEN 'cafe'
+                   ELSE NULL END AS amenity_v,
+  CASE doc_id % 17 WHEN 0 THEN 'fence' WHEN 1 THEN 'wall' WHEN 2 THEN 'gate'
+                   WHEN 3 THEN 'bollard' WHEN 4 THEN 'ha-ha' ELSE NULL END AS barrier_v,
+  CASE doc_id % 19 WHEN 0 THEN 'runway' WHEN 1 THEN 'taxiway' WHEN 2 THEN 'aerodrome'
+                   WHEN 3 THEN 'terminal' ELSE NULL END AS aeroway_v,
+  CASE WHEN doc_id % 5 = 0 THEN 'R' || CAST(doc_id % 100 AS VARCHAR) ELSE NULL END AS ref_v,
   'n' || CAST(doc_id AS VARCHAR) AS name_v
 FROM documents
 """
@@ -419,8 +428,26 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer = F.when(d % 8 == 0, "2")
     pop = F.when(d % 3 == 0, (d * 13).cast("string")).when(d % 3 == 1, "many")
     boundary = F.when(d % 2 == 0, "administrative")
-    railway = F.when(d % 13 == 0, "rail").when(d % 13 == 1, "tram")
+    railway = (
+        F.when(d % 13 == 0, "rail").when(d % 13 == 1, "tram")
+        .when(d % 13 == 2, "station").when(d % 13 == 3, "halt")
+    )
     admin = F.when(d % 11 == 0, "x").otherwise((d % 9).cast("string"))
+    amenity = (
+        F.when(d % 10 == 0, "university").when(d % 10 == 1, "school")
+        .when(d % 10 == 2, "hospital").when(d % 10 == 3, "library")
+        .when(d % 10 == 4, "fuel").when(d % 10 == 5, "cafe")
+    )
+    barrier = (
+        F.when(d % 17 == 0, "fence").when(d % 17 == 1, "wall")
+        .when(d % 17 == 2, "gate").when(d % 17 == 3, "bollard")
+        .when(d % 17 == 4, "ha-ha")
+    )
+    aeroway = (
+        F.when(d % 19 == 0, "runway").when(d % 19 == 1, "taxiway")
+        .when(d % 19 == 2, "aerodrome").when(d % 19 == 3, "terminal")
+    )
+    ref = F.when(d % 5 == 0, F.concat(F.lit("R"), (d % 100).cast("string")))
     name = F.concat(F.lit("n"), d.cast("string"))
     tags = F.map_filter(
         F.create_map(
@@ -433,6 +460,10 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("boundary"), boundary,
             F.lit("railway"), railway,
             F.lit("admin_level"), admin,
+            F.lit("amenity"), amenity,
+            F.lit("barrier"), barrier,
+            F.lit("aeroway"), aeroway,
+            F.lit("ref"), ref,
             F.lit("name"), name,
         ),
         lambda k, v: v.isNotNull(),
@@ -1130,7 +1161,7 @@ z AS (SELECT *, COALESCE(CAST(layer_v AS INTEGER), 0) * 10
 SELECT doc_id AS id, name_v AS name, highway_v AS type, false AS tunnel,
        (bridge_v IS NOT NULL) AS bridge,
        CASE oneway_v WHEN 'yes' THEN 1 WHEN '-1' THEN -1 ELSE 0 END AS oneway,
-       CAST(NULL AS VARCHAR) AS ref,
+       ref_v AS ref,
        (CASE highway_v WHEN 'primary' THEN 10 WHEN 'motorway' THEN 14 ELSE 0 END + zadj) AS z_order,
        'mainroads' AS src_table
 FROM z WHERE highway_v IN ('motorway', 'primary')
@@ -1154,6 +1185,112 @@ def q_roads_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = build_tables(els, [dm.MAINROADS, dm.MINORROADS, dm.RAILWAYS], spark)
     return union_view(tables, ["mainroads", "minorroads", "railways"]).select(
         "id", "name", "type", "tunnel", "bridge", "oneway", "ref", "z_order", "src_table"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 PseudoArea end-to-end: synthetic rectangle ways -> G3 polygon kernel
+# (shoelace area) -> mapping DSL with a PseudoArea field. The oracle computes
+# the rectangle area analytically, so this cross-checks the geometry kernel
+# against closed-form w*h, not an engine echo.
+# ---------------------------------------------------------------------------
+@register(
+    "mapping_pseudoarea_landusages",
+    oracle="""
+SELECT doc_id AS id,
+       '' AS name,
+       CASE doc_id % 4 WHEN 0 THEN 'park' WHEN 1 THEN 'forest'
+                       WHEN 2 THEN 'meadow' ELSE 'grass' END AS type,
+       CAST((1 + doc_id % 7) * (1 + doc_id % 5) AS DOUBLE) AS area
+FROM documents
+""",
+)
+def q_mapping_pseudoarea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.assemble import way_polygons
+    from ..operators.mapping import build_tables
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    w = (1 + d % 7).cast("double")
+    h = (1 + d % 5).cast("double")
+    z = F.lit(0.0)
+    landuse = (
+        F.when(d % 4 == 0, "park").when(d % 4 == 1, "forest")
+        .when(d % 4 == 2, "meadow").otherwise("grass")
+    )
+    ways = docs.select(
+        d.alias("id"),
+        F.create_map(F.lit("landuse"), landuse).alias("tags"),
+        F.array(
+            F.array(z, z), F.array(w, z), F.array(w, h), F.array(z, h),
+            F.array(z, z),
+        ).alias("coords"),
+    )
+    polys = way_polygons(ways)  # id, tags, rings, area(shoelace), wkb
+    tables = build_tables(polys, [dm.LANDUSAGES], spark)
+    return tables["landusages"].select("id", "name", "type", "area")
+
+
+# ---------------------------------------------------------------------------
+# Default-mapping breadth: amenities fields + multi-key transport routing
+# (a doc matching transport_points via BOTH railway and aeroway must dedup to
+# the lexicographically smallest (key, value) pair — frozen match semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "mapping_fields_amenities",
+    oracle=f"""
+WITH t AS ({_TAG_CASES_SQL})
+SELECT doc_id AS id, name_v AS name, amenity_v AS type
+FROM t
+WHERE amenity_v IN ('university','school','library','fuel','hospital',
+                    'fire_station','police','townhall')
+""",
+)
+def q_mapping_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.mapping import build_tables
+
+    els = _tag_elements(spark, sf_dir)
+    tables = build_tables(els, [dm.AMENITIES], spark)
+    return tables["amenities"].select("id", "name", "type")
+
+
+@register(
+    "mapping_route_transport",
+    oracle=f"""
+WITH t AS ({_TAG_CASES_SQL}),
+cand AS (
+  SELECT doc_id, 'transport_points' AS tbl, 'railway' AS k, railway_v AS v
+  FROM t WHERE railway_v IN ('station','halt','tram_stop','crossing','level_crossing','subway_entrance')
+  UNION ALL
+  SELECT doc_id, 'transport_points', 'aeroway', aeroway_v
+  FROM t WHERE aeroway_v IN ('aerodrome','terminal','helipad','gate')
+  UNION ALL
+  SELECT doc_id, 'transport_points', 'highway', highway_v
+  FROM t WHERE highway_v IN ('mini_roundabout','bus_stop','traffic_signals')
+  UNION ALL
+  SELECT doc_id, 'aeroways', 'aeroway', aeroway_v
+  FROM t WHERE aeroway_v IN ('runway','taxiway')
+  UNION ALL
+  SELECT doc_id, 'barrierways', 'barrier', barrier_v
+  FROM t WHERE barrier_v IN ('city_wall','fence','hedge','retaining_wall','wall',
+                             'bollard','gate','spikes','lift_gate','kissing_gate',
+                             'embankment','yes','wire_fence')
+)
+SELECT doc_id AS id, tbl, k AS matched_key, v AS matched_value
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, tbl ORDER BY k, v) AS rn FROM cand)
+WHERE rn = 1
+""",
+)
+def q_mapping_route_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import defaultmapping as dm
+    from ..operators.mapping import route
+
+    els = _tag_elements(spark, sf_dir)
+    routed = route(els, [dm.TRANSPORT_POINTS, dm.AEROWAYS, dm.BARRIERWAYS], spark)
+    return routed.select(
+        "id", F.col("table").alias("tbl"), "matched_key", "matched_value"
     )
 
 

@@ -139,6 +139,61 @@ def test_node_points_wkb(assembled, spark):
     assert (t, x, y) == (wkb.WKB_POINT, 20.0, 20.0)
 
 
+def test_mega_relation_chunked_path_identical(spark):
+    """O10b: a synthetic 4k-member relation (one giant outer ring split into
+    2-point segments + a segmented hole + one separate closed shell) produces
+    byte-identical output through the chunked two-stage path (max_members
+    forces ~16 chunks) and the single-stage path."""
+    n = 4000
+    theta = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    outer = np.c_[10.0 * np.cos(theta), 10.0 * np.sin(theta)]
+    rows = []
+    rng = np.random.RandomState(11)
+    order = rng.permutation(n)
+    for i in order.tolist():
+        seg = [outer[i].tolist(), outer[(i + 1) % n].tolist()]
+        if i % 3 == 0:  # direction-invariance: reverse a third of the segments
+            seg = seg[::-1]
+        rows.append((int(1000 + i), {"source": "synthetic"}, seg))
+    # hole: a square split into 4 open segments
+    sq = [[-2.0, -2.0], [2.0, -2.0], [2.0, 2.0], [-2.0, 2.0], [-2.0, -2.0]]
+    for j in range(4):
+        rows.append((int(9000 + j), {}, [sq[j], sq[j + 1]]))
+    # separate small closed shell far away
+    shell = [[50.0, 50.0], [51.0, 50.0], [51.0, 51.0], [50.0, 51.0], [50.0, 50.0]]
+    rows.append((9100, {"landuse": "forest"}, shell))
+
+    aw = spark.createDataFrame(
+        rows, schema="id long, tags map<string,string>, coords array<array<double>>"
+    )
+    members = [{"ref": int(r[0]), "type": "way", "role": ""} for r in rows]
+    rels = spark.createDataFrame(
+        [(77, {"type": "multipolygon", "landuse": "meadow"}, members)],
+        schema=(
+            "id long, tags map<string,string>, "
+            "members array<struct<ref:long,type:string,role:string>>"
+        ),
+    )
+
+    def run(max_members):
+        out = assemble_relations(rels, aw, max_members=max_members).collect()
+        assert len(out) == 1
+        r = out[0]
+        return (
+            r.rel_id, r.area, r.n_rings, r.dropped_unclosed, r.dropped_invalid,
+            str(r.polygons), bytes(r.wkb), tuple(sorted(r.inserted_ways)),
+        )
+
+    single = run(10**9)
+    chunked = run(256)
+    assert single == chunked
+    # sanity on the geometry itself: outer shell minus hole plus small shell
+    assert single[2] == 3  # n_rings
+    expected_area = 0.5 * n * 100.0 * np.sin(2 * np.pi / n) - 16.0 + 1.0
+    assert abs(single[1] - expected_area) < 1e-6
+    assert single[3] == 0 and single[4] == 0  # nothing dropped
+
+
 def test_assembly_partition_invariance(spark):
     """Identical relation output under different shuffle partitioning and
     input row order (FIXTURES invariance requirement)."""

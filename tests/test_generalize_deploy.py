@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 from imposm2_spark.kernels import wkb
 from imposm2_spark.operators import defaultmapping as dm
 from imposm2_spark.operators.generalize import (
+    GeneralizedTableSpec,
     generalized_lines,
     generalized_table,
+    materialize_generalized,
     union_view,
 )
 from imposm2_spark.plans.import_pipeline import import_tables
@@ -40,6 +42,37 @@ def test_generalized_table_collapse_drops_feature(spark, landusages):
     # at tolerance 100 every 10x10 square collapses -> empty table
     gen = generalized_table(landusages, tolerance=100.0)
     assert gen.count() == 0
+
+
+def test_generalized_chain_spec_level(spark, landusages):
+    """Spec-level GeneralizedTable chain (imposm2 landusages_gen0 FROM
+    landusages_gen1): gen0 originates from gen1's output, where-gates apply
+    per level, areas survive exactly at sub-corner tolerance."""
+    gspecs = [
+        GeneralizedTableSpec("g1", origin="landusages", tolerance=0.01,
+                             where="area >= 50.0"),
+        GeneralizedTableSpec("g0", origin="g1", tolerance=0.01,
+                             where="area >= 100.0"),
+    ]
+    out = materialize_generalized({"landusages": landusages}, gspecs)
+    origin_areas = {r.id: r.area for r in landusages.collect()}
+    g1 = {r.id: r.area for r in out["g1"].collect()}
+    g0 = {r.id: r.area for r in out["g0"].collect()}
+    assert set(g1) == set(origin_areas)  # all fixture areas >= 50
+    assert g1 == pytest.approx(origin_areas)  # tol 0.01 < any corner deviation
+    assert set(g0) == {i for i, a in g1.items() if a >= 100.0}
+    assert set(g0) == {3, 5, 6, 7, 8, 81}  # the two 96.0-area parks gated out
+
+
+def test_generalized_chain_declared_specs(spark, landusages):
+    """The declared defaultmapping chain materializes end-to-end."""
+    out = materialize_generalized(
+        {"landusages": landusages}, [dm.LANDUSAGES_GEN1, dm.LANDUSAGES_GEN0]
+    )
+    n1 = out["landusages_gen1"].count()
+    n0 = out["landusages_gen0"].count()
+    assert 0 < n0 <= n1 <= landusages.count()
+    assert all(r.area > 0 for r in out["landusages_gen0"].collect())
 
 
 def test_generalized_lines(spark):
