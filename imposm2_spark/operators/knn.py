@@ -144,15 +144,16 @@ def knn_join(
     if broadcast_sites:
         s = F.broadcast(s)
 
-    # each round both filters `remaining` (anti-join) and checks emptiness,
-    # and the returned union re-reads every round's frontier — persist each
-    # round or the lineage re-executes quadratically. Caches are narrow (id +
-    # 4 doubles/point) and reclaimed by the ContextCleaner once out of scope.
+    # Each round: accept provably-correct top-ks, shrink the frontier, retire
+    # the previous round's cache. Accepted rows and the next frontier are
+    # persisted AND materialized (count) before the parent frontier is
+    # unpersisted, so nothing pending recomputes the explode+join chain.
+    # Caches are narrow (id + 4 doubles/point). When the frontier empties the
+    # loop exits early and the brute-force fallback join is skipped entirely.
     remaining = p.persist()
     accepted: list[DataFrame] = []
+    frontier_empty = False
     for r in rings:
-        if remaining.isEmpty():
-            break
         # explode the (2r+1)^2 neighborhood of each unsatisfied point — JVM-only
         nbrs = remaining.select(
             "*",
@@ -172,23 +173,38 @@ def knn_join(
         ).withColumn("_d2", _dist2())
         topk = _topk(cand, point_id, site_id, k)
         # satisfied iff k candidates found AND kth distance strictly inside the
-        # ring-r guarantee radius (sites beyond ring r are >= r/n away)
+        # ring-r guarantee radius (sites beyond ring r are >= r/n away).
+        # Window aggregates over the SAME partitioning as the ranking window —
+        # the satisfaction check adds zero exchanges to the round.
         bound2 = (float(r) / n) ** 2
-        kth = topk.groupBy(point_id).agg(
-            F.max("_d2").alias("_kd2"), F.count("*").alias("_nc")
+        wp = W.partitionBy(point_id)
+        acc = (
+            topk.withColumn("_nc", F.count("*").over(wp))
+            .withColumn("_kd2", F.max("_d2").over(wp))
+            .where((F.col("_nc") == k) & (F.col("_kd2") < F.lit(bound2)))
+            .select(point_id, site_id, "rank")
+            .persist()
         )
-        sat = kth.where((F.col("_nc") == k) & (F.col("_kd2") < F.lit(bound2))).select(
-            point_id
-        )
-        accepted.append(
-            topk.join(sat, point_id, "left_semi").select(point_id, site_id, "rank")
-        )
-        remaining = remaining.join(sat, point_id, "left_anti").persist()
+        acc.count()  # materialize before the parent frontier is released
+        accepted.append(acc)
+        sat = acc.select(point_id).distinct()
+        nxt = remaining.join(sat, point_id, "left_anti").persist()
+        n_rem = nxt.count()
+        remaining.unpersist()
+        remaining = nxt
+        if n_rem == 0:
+            frontier_empty = True
+            break
 
-    # stragglers (site deserts / huge kth distance): exact broadcast fallback
-    fallback_pts = remaining.select(point_id, F.col("_pmx"), F.col("_pmy"))
-    fb_cand = fallback_pts.join(F.broadcast(s.select(site_id, "_smx", "_smy"))).withColumn(
-        "_d2", _dist2()
-    )
-    accepted.append(_topk(fb_cand, point_id, site_id, k).select(point_id, site_id, "rank"))
+    if frontier_empty and accepted:
+        remaining.unpersist()
+    else:
+        # stragglers (site deserts / huge kth distance): exact broadcast fallback
+        fallback_pts = remaining.select(point_id, F.col("_pmx"), F.col("_pmy"))
+        fb_cand = fallback_pts.join(
+            F.broadcast(s.select(site_id, "_smx", "_smy"))
+        ).withColumn("_d2", _dist2())
+        accepted.append(
+            _topk(fb_cand, point_id, site_id, k).select(point_id, site_id, "rank")
+        )
     return reduce(lambda a, b: a.unionByName(b), accepted)

@@ -138,36 +138,38 @@ def raster_patch_join(
     patches: (patch_id, x0, x1, y0, y1) — inclusive tile ranges at `zoom`.
     Scale shape: each patch rect is decomposed into maximal quadtree-aligned
     Morton blocks (kernels.cells.morton_blocks); a point is in the patch iff
-    its ancestor cell at some block level equals a block cell. That turns the
-    2-D range predicate into per-level broadcast EQUI-joins — no
-    BroadcastNestedLoopJoin, no per-pair predicate evaluation, works at any
-    point count. Patch metadata is driver-side (raster catalogs are small;
-    documented assumption).
+    its ancestor cell at some block level equals a block cell. The point side
+    is scanned ONCE: each point explodes its ancestor-cell chain (only the
+    levels that actually appear in the decomposition, <= zoom+1 values) and a
+    single broadcast equi-join against the (ancestor_cell -> patch_id) lookup
+    resolves every level at once — no BroadcastNestedLoopJoin, no per-level
+    rescan of a 10^12-row side. Cell ids embed their level in the high bits,
+    so one LONG key disambiguates levels. Per patch the blocks are disjoint,
+    so a point matches each containing patch exactly once. Patch metadata is
+    driver-side (raster catalogs are small; documented assumption).
     """
     from ..functions.spatial import cell_encode_col, cell_parent_col
 
     rows = patches.select("patch_id", "x0", "x1", "y0", "y1").collect()
-    blocks: dict[int, list[tuple[int, int]]] = {}
+    pairs: list[tuple[int, int]] = []
+    levels: set[int] = set()
     for r in rows:
         for bl, cell in kcells.morton_blocks(int(r.x0), int(r.x1), int(r.y0), int(r.y1), zoom):
-            blocks.setdefault(bl, []).append((cell, int(r.patch_id)))
+            pairs.append((cell, int(r.patch_id)))
+            levels.add(bl)
+
+    keep = point_cols or list(points.columns)
+    pts = points.withColumn("_cell", cell_encode_col(F.col(lon), F.col(lat), zoom))
+    if not pairs:
+        return pts.select(*keep).limit(0).withColumn("patch_id", F.lit(None).cast("long"))
 
     spark = points.sparkSession
-    keep = point_cols or [c for c in points.columns]
-    pts = points.withColumn("_cell", cell_encode_col(F.col(lon), F.col(lat), zoom))
-    outs = []
-    for bl, pairs in sorted(blocks.items()):
-        lookup = F.broadcast(
-            spark.createDataFrame(pairs, ["_bcell", "patch_id"])
-        )
-        outs.append(
-            pts.withColumn("_pc", cell_parent_col(F.col("_cell"), zoom, bl))
-            .join(lookup, F.col("_pc") == F.col("_bcell"))
-            .select(*keep, "patch_id")
-        )
-    if not outs:
-        return pts.select(*keep).limit(0).withColumn("patch_id", F.lit(None).cast("long"))
-    result = outs[0]
-    for t in outs[1:]:
-        result = result.unionByName(t)
-    return result
+    lookup = F.broadcast(spark.createDataFrame(pairs, "_bcell long, patch_id long"))
+    ancestors = F.array(
+        *[cell_parent_col(F.col("_cell"), zoom, bl) for bl in sorted(levels)]
+    )
+    return (
+        pts.select(*keep, F.explode(ancestors).alias("_pc"))
+        .join(lookup, F.col("_pc") == F.col("_bcell"))
+        .select(*keep, "patch_id")
+    )

@@ -63,6 +63,20 @@ def test_pip_join_broadcasts_polygons_no_point_shuffle(spark):
     )
 
 
+def test_raster_patch_join_single_scan(spark):
+    """J6 raster side scans the point side ONCE: one explode of the ancestor
+    chain + one broadcast equi-join — not a per-block-level rescan (a 10^12-row
+    side must never be read `zoom` times)."""
+    import re
+
+    p = plan_of(registry.queries()["raster_patch_join_z6"](spark, SF))
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", p)) == 1  # one point scan
+    assert len(re.findall(r"\n\(\d+\) BroadcastHashJoin", p)) == 1  # one equi-join
+    assert len(re.findall(r"\n\(\d+\) Generate", p)) == 1  # one explode
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Union" not in p  # no per-level branch union
+
+
 def test_mapping_route_uses_broadcast(spark):
     p = plan_of(registry.queries()["mapping_route"](spark, SF))
     assert "BroadcastHashJoin" in p  # the mapping spec is broadcast (J8)
