@@ -215,6 +215,33 @@ class TableSpec:
         ]
 
 
+def spec_tag_keys(specs: list[TableSpec]) -> set[str]:
+    """S3: the parse-time tag whitelist implied by a spec list — every mapping
+    key, every field/filter source key, plus the keys the engine itself needs
+    ('type' for relation routing, 'name' for Name/A4 inheritance). Matches
+    imposm2's tag_filter (imposm/app.py::main builds it from the mapping file):
+    tags outside this set never survive past the scan, so they neither shuffle
+    through J1/J2 nor count as 'own interesting tags' in P4 suppression."""
+    keys: set[str] = {"type", "name"}
+    for s in specs:
+        keys.update(s.mapping.keys())
+        for _, ft in list(s.fields) + [(None, f) for f in s.field_filter]:
+            k = getattr(ft, "key", None)
+            if isinstance(k, str):
+                keys.add(k)
+            if isinstance(ft, WayZOrder):
+                keys.update(("layer", "bridge", "tunnel"))
+    return keys
+
+
+def prune_tags(df: DataFrame, keys: set[str], tags_col: str = "tags") -> DataFrame:
+    """map_filter the tag map down to the whitelist (one projection, no UDF)."""
+    allowed = sorted(keys)
+    return df.withColumn(
+        tags_col, F.map_filter(F.col(tags_col), lambda k, v: k.isin(*allowed))
+    )
+
+
 def spec_df(spark: SparkSession, specs: list[TableSpec]) -> DataFrame:
     rows = [r for s in specs for r in s.spec_rows()]
     return spark.createDataFrame(

@@ -37,8 +37,22 @@ def import_tables(
     ways: DataFrame,
     relations: DataFrame,
     specs: list[M.TableSpec],
+    tag_whitelist: bool = True,
 ) -> dict[str, DataFrame]:
-    """-> {table_name: DataFrame with id, mapped field columns, geometry cols}."""
+    """-> {table_name: DataFrame with id, mapped field columns, geometry cols}.
+
+    tag_whitelist (S3, default on): tags whose keys no spec references are
+    map_filter'ed away at the head of the pipeline (imposm2's parse-time
+    tag_filter) — full tag maps never shuffle through J1/J2, and P4
+    suppression sees exactly the tags the configured mapping would keep
+    (a way whose only distinct tag is unmapped IS suppressed, as in the
+    reference)."""
+    if tag_whitelist:
+        keys = M.spec_tag_keys(specs)
+        nodes = M.prune_tags(nodes, keys)
+        ways = M.prune_tags(ways, keys)
+        relations = M.prune_tags(relations, keys)
+
     point_specs = [s for s in specs if s.geom_type == M.GEOM_POINT]
     line_specs = [s for s in specs if s.geom_type == M.GEOM_LINESTRING]
     poly_specs = [s for s in specs if s.geom_type == M.GEOM_POLYGON]

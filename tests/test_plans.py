@@ -77,6 +77,21 @@ def test_raster_patch_join_single_scan(spark):
     assert "Union" not in p  # no per-level branch union
 
 
+def test_import_pipeline_prunes_tags_before_shuffle(spark):
+    """S3: the tag whitelist map_filter sits in the scan-side projection, so
+    full tag maps never shuffle through the J1 way-resolve join."""
+    p = plan_of(registry.queries()["import_pipeline_landusages"](spark, SF))
+    assert "map_filter" in p
+    # the whitelist is the given specs' keys, not everything
+    from imposm2_spark.operators import defaultmapping as dm
+    from imposm2_spark.operators.mapping import spec_tag_keys
+
+    keys = spec_tag_keys([dm.LANDUSAGES, dm.MINORROADS])
+    assert {"landuse", "natural", "leisure", "amenity", "highway",
+            "name", "type", "layer", "bridge", "tunnel", "oneway"} <= keys
+    assert "boundary" not in keys and "place" not in keys
+
+
 def test_mapping_route_uses_broadcast(spark):
     p = plan_of(registry.queries()["mapping_route"](spark, SF))
     assert "BroadcastHashJoin" in p  # the mapping spec is broadcast (J8)
