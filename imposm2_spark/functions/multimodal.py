@@ -4,12 +4,14 @@ Graft addition for training-data pipelines. Images/audio/video travel as
 `binary` columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched functions over mapInPandas.
 
-The actual codec step is STUBBED (this container ships no image/audio libs):
-`decode_media` raises NotImplementedError by design, and the tested pipeline
-uses `fake_decode_features` — a deterministic byte-level stand-in with the
-same Spark-side shape (schema, batch iteration, output arity) so swapping in
-a real decoder is a one-function change. The Spark plumbing (schemas,
-mapInPandas signatures, batch-shape invariance) is real and tested.
+Decode is REAL for the two uncompressed formats the engine's own codecs
+cover (kernels.codecs: 24-bit BMP -> RGB pixels, PCM-16 WAV -> samples) and
+exercised end-to-end: the synthetic media table encodes genuine BMP/WAV
+payloads from document text, media_features decodes them and extracts
+pixel/sample statistics. Codecs that need external libraries (jpeg/mp4/...)
+still raise NotImplementedError — this container ships none — and the
+deterministic byte-histogram fallback keeps the pipeline total for unknown
+codecs (video rows use it; parity-tested).
 
 Scale notes: payloads dominate row width — `media_features` projects payload
 away immediately after the UDF so downstream stages shuffle only features;
@@ -26,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..kernels import codecs
 
 MEDIA_META = T.StructType(
     [
@@ -66,10 +70,16 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def decode_media(payload: bytes, codec: str) -> np.ndarray:
-    """Real codec hook — intentionally unimplemented in this container."""
+    """Decode a payload: BMP -> (H, W, 3) uint8, WAV -> float64 samples.
+    Codecs needing external libraries raise NotImplementedError (none are
+    present in this container)."""
+    if codec == "bmp":
+        return codecs.decode_bmp(payload)
+    if codec == "wav":
+        return codecs.decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; wire a decoder here and media_features picks it up"
+        f"codec {codec!r} requires media libraries not present in this "
+        "environment; kernels.codecs covers bmp/wav"
     )
 
 
@@ -88,40 +98,86 @@ def fake_decode_features(payloads: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"features": feats})
 
 
+def media_pixels_from_text(text: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic (H, W, 3) uint8 image derived from text bytes (tiled)."""
+    src = np.frombuffer(text, dtype=np.uint8) if text else np.zeros(1, dtype=np.uint8)
+    n = width * height * 3
+    reps = -(-n // src.size)
+    return np.tile(src, reps)[:n].reshape(height, width, 3)
+
+
+def media_samples_from_text(text: bytes, n_samples: int = 1024) -> np.ndarray:
+    """Deterministic int16 mono samples derived from text bytes (tiled)."""
+    src = np.frombuffer(text, dtype=np.uint8) if text else np.zeros(1, dtype=np.uint8)
+    reps = -(-n_samples // src.size)
+    b = np.tile(src, reps)[:n_samples].astype(np.int16)
+    return (b - 128) * 256
+
+
 def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic media table from the documents corpus (payload = utf-8
-    text bytes posing as an encoded frame; meta derived arithmetically)."""
-    kind = (
-        F.when(F.col(id_col) % 3 == 0, "image")
-        .when(F.col(id_col) % 3 == 1, "audio")
-        .otherwise("video")
-    )
-    payload = F.encode(F.col(text_col), "utf-8")
-    return docs.select(
-        F.col(id_col).alias("media_id"),
-        payload.alias("payload"),
-        F.struct(
-            kind.alias("kind"),
-            ((F.col(id_col) % 7 + 1) * 64).cast("int").alias("width"),
-            ((F.col(id_col) % 5 + 1) * 64).cast("int").alias("height"),
-            F.lit("fake/v1").alias("codec"),
-            F.length(payload).cast("long").alias("n_bytes"),
-        ).alias("meta"),
-    )
-
-
-def media_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction; payload dropped at the UDF boundary."""
+    """Deterministic media table from the documents corpus: REAL encoded
+    payloads — BMP for image rows, WAV for audio rows (kernels.codecs),
+    opaque bytes for video rows (no video codec in this container) — with
+    the typed metadata struct."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = fake_decode_features(pdf["payload"])
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                tb = (text or "").encode("utf-8")
+                w = (mid % 7 + 1) * 8
+                h = (mid % 5 + 1) * 8
+                if mid % 3 == 0:
+                    payload = codecs.encode_bmp(media_pixels_from_text(tb, w, h))
+                    kind, codec = "image", "bmp"
+                elif mid % 3 == 1:
+                    payload = codecs.encode_wav(media_samples_from_text(tb))
+                    kind, codec = "audio", "wav"
+                else:
+                    payload, kind, codec = tb, "video", "fake/v1"
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": payload,
+                        "meta": {
+                            "kind": kind, "width": w, "height": h,
+                            "codec": codec, "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _features_one(payload: bytes, codec: str) -> list[float]:
+    """Decode + extract for one payload; unknown codecs fall back to the
+    deterministic byte histogram (keeps the pipeline total)."""
+    payload = payload if payload is not None else b""
+    if codec == "bmp":
+        return codecs.image_features(decode_media(payload, codec)).tolist()
+    if codec == "wav":
+        return codecs.audio_features(decode_media(payload, codec)).tolist()
+    return _byte_histogram(payload).tolist()
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode + feature extraction; payload dropped at the UDF
+    boundary so only 16 doubles/row shuffle downstream."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = list(pdf["meta"])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "kind": [m["kind"] for m in pdf["meta"]],
-                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "features": feats["features"],
+                    "kind": [m["kind"] for m in metas],
+                    "n_bytes": [m["n_bytes"] for m in metas],
+                    "features": [
+                        _features_one(p, m["codec"])
+                        for p, m in zip(pdf["payload"], metas)
+                    ],
                 }
             )
 
