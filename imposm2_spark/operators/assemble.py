@@ -112,16 +112,16 @@ def way_polygons(assembled: DataFrame) -> DataFrame:
     def _batch(it):
         for pdf in it:
             out_rows = []
-            for _, row in pdf.iterrows():
-                ring = np.asarray([list(p) for p in row["coords"]], dtype=np.float64)
+            for rid, tags, coords in zip(pdf["id"], pdf["tags"], pdf["coords"]):
+                ring = np.asarray([list(p) for p in coords], dtype=np.float64)
                 ring = geom.dedup_consecutive(ring)
                 if not geom.ring_is_valid(ring):
                     continue
                 ring = geom.ensure_orientation(geom.ensure_closed(ring), ccw=True)
                 out_rows.append(
                     {
-                        "id": row["id"],
-                        "tags": row["tags"],
+                        "id": rid,
+                        "tags": tags,
                         "rings": [ring.tolist()],
                         "area": abs(geom.ring_signed_area(ring)),
                         "wkb": polygon_wkb([ring]),
@@ -291,11 +291,13 @@ def _finalize_chunked_group(pdf: pd.DataFrame) -> pd.DataFrame:
     geoms = pdf[pdf["kind"] == "geom"].sort_values("chunk")
     ways_input: list[np.ndarray] = []
     chunk_invalid = 0
-    for _, row in geoms.iterrows():
-        chunk_invalid += int(row["dropped_invalid"])
-        for r in row["rings"]:
+    for inv, rings_g, chains_g in zip(
+        geoms["dropped_invalid"], geoms["rings"], geoms["chains"]
+    ):
+        chunk_invalid += int(inv)
+        for r in rings_g:
             ways_input.append(np.asarray([list(p) for p in r], dtype=np.float64))
-        for c in row["chains"]:
+        for c in chains_g:
             ways_input.append(np.asarray([list(p) for p in c], dtype=np.float64))
 
     merge = kr.merge_rings(ways_input)

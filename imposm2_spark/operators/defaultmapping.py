@@ -37,6 +37,8 @@ PLACES = TableSpec(
     },
     fields=(
         ("name", Name()),
+        ("name_en", Name("name:en")),
+        ("name_de", Name("name:de")),
         ("type", Type()),
         ("z_order", ZOrder(("country", "state", "region", "county", "city",
                             "town", "village", "hamlet", "suburb", "locality"))),

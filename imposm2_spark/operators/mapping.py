@@ -47,10 +47,14 @@ class String(FieldType):
 
 @dataclass(frozen=True)
 class Name(FieldType):
-    """imposm2 Name: the name tag, empty string when absent."""
+    """imposm2 Name: the name tag — or a localized variant ('name:en',
+    'name:de', ... via imposm2's mapping-config name columns, F2) — empty
+    string when absent."""
+
+    key: str = "name"
 
     def column(self, tags, key, value):
-        return F.coalesce(F.element_at(tags, "name"), F.lit(""))
+        return F.coalesce(F.element_at(tags, self.key), F.lit(""))
 
 
 @dataclass(frozen=True)

@@ -406,6 +406,7 @@ SELECT doc_id,
   CASE doc_id % 19 WHEN 0 THEN 'runway' WHEN 1 THEN 'taxiway' WHEN 2 THEN 'aerodrome'
                    WHEN 3 THEN 'terminal' ELSE NULL END AS aeroway_v,
   CASE WHEN doc_id % 5 = 0 THEN 'R' || CAST(doc_id % 100 AS VARCHAR) ELSE NULL END AS ref_v,
+  CASE WHEN doc_id % 23 = 0 THEN 'e' || CAST(doc_id AS VARCHAR) ELSE NULL END AS name_en_v,
   'n' || CAST(doc_id AS VARCHAR) AS name_v
 FROM documents
 """
@@ -448,6 +449,7 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 19 == 2, "aerodrome").when(d % 19 == 3, "terminal")
     )
     ref = F.when(d % 5 == 0, F.concat(F.lit("R"), (d % 100).cast("string")))
+    name_en = F.when(d % 23 == 0, F.concat(F.lit("e"), d.cast("string")))
     name = F.concat(F.lit("n"), d.cast("string"))
     tags = F.map_filter(
         F.create_map(
@@ -464,6 +466,7 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("barrier"), barrier,
             F.lit("aeroway"), aeroway,
             F.lit("ref"), ref,
+            F.lit("name:en"), name_en,
             F.lit("name"), name,
         ),
         lambda k, v: v.isNotNull(),
@@ -876,14 +879,25 @@ def q_neardup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_neardup_lsh")  # approximate -> rows-only; pytest-gated
 def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no true 0.9-cosine pairs at small sf, so the
+    query plants deterministic near-copies (every 97th vector re-emitted with
+    a shifted id and a tiny scale: cosine 1.0) — the LSH must bucket and
+    recover them; a 0-row result means the operator is broken, not the data."""
     from ..operators.ann import embedding_neardup_lsh
 
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_lsh(emb, threshold=0.9)
+    planted = emb.where(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        "label",
+    )
+    return embedding_neardup_lsh(emb.unionByName(planted), threshold=0.9)
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (decode stubbed; Spark-side shape real) — rows-only.
+# Multimodal pipeline (REAL bmp/wav decode via kernels.codecs; byte-histogram
+# fallback for library-dependent codecs) — rows-only; golden-tested in
+# tests/test_codecs.py.
 # ---------------------------------------------------------------------------
 @register("multimodal_features")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,6 +1268,26 @@ def q_mapping_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
     els = _tag_elements(spark, sf_dir)
     tables = build_tables(els, [dm.AMENITIES], spark)
     return tables["amenities"].select("id", "name", "type")
+
+
+@register(
+    "mapping_name_i18n",
+    oracle=f"""
+WITH t AS ({_TAG_CASES_SQL})
+SELECT doc_id AS id, name_v AS name, COALESCE(name_en_v, '') AS name_en
+FROM t
+WHERE place_v IN ('country','state','region','county','city','town','village',
+                  'hamlet','suburb','locality')
+""",
+)
+def q_mapping_name_i18n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 localized name columns: Name('name:en') beside plain Name()."""
+    from ..operators import defaultmapping as dm
+    from ..operators.mapping import build_tables
+
+    els = _tag_elements(spark, sf_dir)
+    tables = build_tables(els, [dm.PLACES], spark)
+    return tables["places"].select("id", "name", "name_en")
 
 
 @register(
