@@ -328,8 +328,6 @@ def assemble_relations(
     identical to the single-stage path (tests/test_assemble.py proves it on a
     synthetic 10^4-member relation).
     """
-    from pyspark.sql import Window
-
     members = relations.select(
         F.col("id").alias("rel_id"),
         F.col("tags").alias("rel_tags"),
@@ -346,17 +344,24 @@ def assemble_relations(
         "inner",
     ).select("rel_id", "rel_tags", "way_id", "way_tags", "coords")
 
-    n_members = F.count("*").over(Window.partitionBy("rel_id"))
-    sized = resolved.withColumn("_n", n_members)
+    # Size routing stays off the fat rows: member counts aggregate over the
+    # rel_id column alone (coords pruned by Catalyst), and mega-relation ids
+    # are RARE by construction — broadcast them, so the semi/anti routing of
+    # `resolved` adds no exchange. A window count here would shuffle every
+    # member row (with coords) just to read its group size.
+    big_ids = F.broadcast(
+        resolved.groupBy("rel_id")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_members)
+    )
 
     small_out = (
-        sized.where(F.col("_n") <= max_members)
-        .drop("_n")
+        resolved.join(big_ids, "rel_id", "left_anti")
         .groupBy("rel_id")
         .applyInPandas(_assemble_relation_group, schema=_REL_OUT_SCHEMA)
     )
 
-    chunked = sized.where(F.col("_n") > max_members).withColumn(
+    chunked = resolved.join(big_ids, "rel_id", "inner").withColumn(
         "_chunk",
         F.pmod(F.col("way_id"), F.ceil(F.col("_n") / F.lit(max_members))).cast("int"),
     )

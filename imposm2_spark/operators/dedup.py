@@ -210,6 +210,62 @@ def simhash_clusters(
     )
 
 
+def dedup_connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a verified pair table: (doc_id, cluster_id)
+    where cluster_id = the smallest doc id reachable through the pair graph
+    (connected components).
+
+    Iterative min-label propagation — a bounded driver-side plan loop; data
+    never reaches the driver. Each round is one equi-join + one groupBy over
+    (node, label) rows; rounds needed = component diameter, and LSH near-dup
+    components are shallow (pairs are mutually similar, so diameters of 2-4).
+    At 10^12 docs the label frame is 2 longs/node over dup nodes only —
+    orders of magnitude smaller than the corpus. Exact (oracle: recursive
+    CTE transitive closure in plans.registry::dedup_minhash_clusters).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(labels["id"], F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -730,8 +730,7 @@ _BAND_EXPRS = ",\n    ".join(
     for b in range(4)
 )
 
-_MINHASH_ORACLE = f"""
-WITH th AS (
+_MINHASH_CTES = f"""th AS (
   SELECT doc_id, {_TOKH_SQL} AS h FROM documents
 ),
 sh AS (
@@ -747,13 +746,39 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shs AS sa, b.shs AS sb
   FROM bl a JOIN bl b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b,
   round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
         / len(list_distinct(list_concat(sa, sb))), 9) AS jaccard
 FROM cand
 WHERE round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
         / len(list_distinct(list_concat(sa, sb))), 9) >= 0.5
+"""
+
+# Connected components over the verified pair graph: the oracle computes the
+# transitive closure with a recursive CTE (label of every reachable node,
+# then min per node) — an independent formulation of the engine's iterative
+# min-label propagation.
+_MINHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+vpairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
+        / len(list_distinct(list_concat(sa, sb))), 9) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION SELECT doc_b, doc_a FROM vpairs
+),
+cc AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id
+)
+SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id FROM cc GROUP BY id
 """
 
 
@@ -763,6 +788,67 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register(
+    "text_tfidf_top3",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT f.doc_id, f.term, f.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS raw
+  FROM tf f JOIN dfreq d USING (term), n
+)
+SELECT doc_id, term, round(raw, 9) AS score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF top-3 terms per document — pure JVM plan: explode ->
+    two hash aggs -> term-frequency join -> window top-k. The corpus size
+    joins in as a broadcast 1-row aggregate (no driver-side count), and the
+    doc-frequency join shuffles only (term, df) pairs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("raw"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("raw").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("raw", 9).alias("score"), "rank")
+    )
+
+
+@register("dedup_minhash_clusters", oracle=_MINHASH_CLUSTERS_ORACLE)
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected-components clustering of the verified near-dup
+    pairs (bounded min-label-propagation loop; oracle = recursive CTE)."""
+    from ..operators.dedup import dedup_connected_components, minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_connected_components(pairs)
 
 
 @register(

@@ -134,6 +134,39 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert all(q < 16 for q, _ in approx)
 
 
+def test_dedup_connected_components_vs_union_find(spark):
+    """Min-label propagation matches a driver-side union-find on a graph with
+    a long chain (diameter > 1 forces multiple propagation rounds), a
+    triangle, an isolated pair, and ids deliberately out of order."""
+    from imposm2_spark.operators.dedup import dedup_connected_components
+
+    pairs = [
+        (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),  # chain, diameter 5
+        (30, 31), (31, 32), (30, 32),                      # triangle
+        (50, 51),                                          # pair
+        (99, 7),                                           # min label on the right
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup_connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+    assert got[15] == 10 and got[7] == 7 and got[99] == 7
+
+
 def test_multimodal_features_batch_invariance(spark):
     from imposm2_spark.functions.multimodal import media_features, synth_media
 
