@@ -13,6 +13,14 @@ Two-phase plan (scales to 10^12 points):
      batch, points are grouped per polygon so each polygon's rings are decoded
      once and tested vectorized across all its candidate points.
 
+Geometry travels ONCE per executor, not once per candidate row: in the
+broadcast path the prefilter join carries only (polygon_id, cell) and the
+refine UDF reads ring arrays from a Spark broadcast dict — attaching `rings`
+to every candidate row would Arrow-serialize each polygon's coordinates per
+matched point (measured ~2x the whole stage cost at 10^6 points; fatal at
+10^12). The shuffle path (broadcast_polygons=False, polygon side too big for
+the driver) still carries rings in-row, where the shuffle co-locates them.
+
 Skew (O10a): one dense cell can dominate the shuffle when the polygon side is
 too big to broadcast. `salt_factor=k` replicates each polygon cell-row k ways
 and buckets points by a hash — spreading the hot cell over k shuffle partitions.
@@ -50,16 +58,35 @@ def _contains_udf(polygon_id: pd.Series, rings: pd.Series, lon: pd.Series, lat: 
     return pd.Series(out)
 
 
-def explode_polygon_cells(polygons: DataFrame, salt_factor: int | None = None) -> DataFrame:
+def explode_polygon_cells(
+    polygons: DataFrame, salt_factor: int | None = None, with_rings: bool = True
+) -> DataFrame:
     """(polygon_id, rings, cells) -> one row per covering cell [x salt replica]."""
-    exploded = polygons.select(
-        "polygon_id", "rings", F.explode("cells").alias("cell")
-    )
+    cols = ["polygon_id"] + (["rings"] if with_rings else [])
+    exploded = polygons.select(*cols, F.explode("cells").alias("cell"))
     if salt_factor and salt_factor > 1:
         exploded = exploded.select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("salt")
         )
     return exploded
+
+
+def _contains_udf_broadcast(rings_bc):
+    """Refine UDF reading ring arrays from a per-executor broadcast dict."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains(polygon_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        rings_by_pid = rings_bc.value
+        out = np.zeros(len(polygon_id), dtype=bool)
+        lon_v = lon.to_numpy(dtype=np.float64)
+        lat_v = lat.to_numpy(dtype=np.float64)
+        pid = polygon_id.to_numpy()
+        for p in pd.unique(pid):
+            idx = np.flatnonzero(pid == p)
+            out[idx] = geom.points_in_rings(lon_v[idx], lat_v[idx], rings_by_pid[p])
+        return pd.Series(out)
+
+    return _contains
 
 
 def pip_join(
@@ -83,9 +110,23 @@ def pip_join(
     lat_c = F.col(lat) if isinstance(lat, str) else lat
     pts = points.withColumn("_cell", cell_encode_col(lon_c, lat_c, cell_level))
 
-    poly_cells = explode_polygon_cells(polygons, salt_factor)
+    poly_cells = explode_polygon_cells(
+        polygons, salt_factor, with_rings=not broadcast_polygons
+    )
     if broadcast_polygons:
+        # rings once per executor (broadcast variable), candidate rows slim
+        rings_by_pid = {
+            r["polygon_id"]: nested_to_rings(r["rings"])
+            for r in polygons.select("polygon_id", "rings").collect()
+        }
+        rings_bc = points.sparkSession.sparkContext.broadcast(rings_by_pid)
+        contains = _contains_udf_broadcast(rings_bc)
+        refine_cols = lambda: contains(F.col("polygon_id"), lon_c, lat_c)
         poly_cells = F.broadcast(poly_cells)
+    else:
+        refine_cols = lambda: _contains_udf(
+            F.col("polygon_id"), F.col("rings"), lon_c, lat_c
+        )
 
     if salt_factor and salt_factor > 1:
         pts = pts.withColumn(
@@ -96,10 +137,10 @@ def pip_join(
         cond = pts["_cell"] == poly_cells["cell"]
 
     candidates = pts.join(poly_cells, cond, "inner")
-    refined = candidates.where(
-        _contains_udf(F.col("polygon_id"), F.col("rings"), lon_c, lat_c)
+    refined = candidates.where(refine_cols())
+    drop = ["_cell", "cell"] + ([] if broadcast_polygons else ["rings"]) + (
+        ["_salt", "salt"] if salt_factor and salt_factor > 1 else []
     )
-    drop = ["_cell", "cell", "rings"] + (["_salt", "salt"] if salt_factor and salt_factor > 1 else [])
     out = refined.drop(*drop)
     if keep_point_cols is not None:
         out = out.select(*keep_point_cols, "polygon_id")
