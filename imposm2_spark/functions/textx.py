@@ -22,6 +22,8 @@ order, stable under re-extraction of its own output wrapped in <p>.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -58,8 +60,97 @@ class _TextCollector(HTMLParser):
         return " ".join(" ".join(self._chunks).split())
 
 
+# ---------------------------------------------------------------------------
+# Fast path: a regex tokenizer for the common well-formed-page shape, gated so
+# anything html.parser treats non-trivially (comments, doctype, processing
+# instructions, bare '<', malformed tags) falls back to the reference
+# implementation above. Output is byte-identical to the html.parser path on
+# every input the gate admits (differential-tested in tests/test_textx_geotag
+# against adversarial + randomized documents). html.parser runs ~20k docs/s
+# per core — the spine's hottest stage — while this path tokenizes with three
+# compiled regexes.
+# ---------------------------------------------------------------------------
+_RISKY = re.compile(r"<(?![a-zA-Z]|/[a-zA-Z])")  # <!, <?, <3, </>, <<, bare <
+# STRICT start-tag grammar: well-formed name + `name[=value]` attributes with
+# properly quoted or bare values, optional XHTML self-close. This is a strict
+# SUBSET of html.parser's tolerant grammar — on any tag both accept, the
+# tolerant machinery finds the same extent, the same tag name, and ends with
+# the same '>' / '/>' classification (bare values eat a trailing '/', exactly
+# like attrfind_tolerant's `(?!['"])[^>\s]*`). Tags only the tolerant grammar
+# accepts (junk attrs, '==', '>' in unquoted values, ...) fail this regex and
+# send the whole document to the reference parser.
+_TAG_STRICT = re.compile(
+    r"""<([a-zA-Z][^\t\n\r\f />\x00]*)"""
+    r"""((?:\s+[^\s/>=]+(?:\s*=\s*(?:"[^"]*"|'[^']*'|[^\s>"'`]+))?)*)\s*(/?)>"""
+)
+# html.parser's own end-tag pattern (anything else -> tolerant path -> fallback)
+_ENDTAGFIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# html.parser raw-text close: set_cdata_mode scans for the FULL close tag
+# (r'</\s*script\s*>'), so `</script x>` or `</scriptx>` never end raw text —
+# they stay (discarded) data and scanning continues.
+_CDATA_CLOSE = {
+    e: re.compile(r"</\s*%s\s*>" % e, re.IGNORECASE) for e in _SKIP_ELEMENTS
+}
+
+
+def _find_cdata_close(s: str, pos: int, elem: str) -> int | None:
+    """Position just past the raw-text close tag (None: unclosed to EOF —
+    the rest of the document is raw data, discarded like html.parser does)."""
+    m = _CDATA_CLOSE[elem].search(s, pos)
+    return m.end() if m else None
+
+
+def _fast_extract(s: str) -> str | None:
+    """Frozen-spec extraction for gate-admitted documents; None = fall back."""
+    if _RISKY.search(s):
+        return None
+    chunks: list[str] = []
+    pos = 0
+    while True:
+        lt = s.find("<", pos)
+        if lt == -1:
+            chunks.append(s[pos:])
+            break
+        if lt > pos:
+            chunks.append(s[pos:lt])
+        if s.startswith("</", lt):
+            em = _ENDTAGFIND.match(s, lt)
+            if not em:
+                return None  # tolerant bogus-end-tag handling: full parser
+            pos = em.end()
+            continue
+        m = _TAG_STRICT.match(s, lt)
+        if not m:
+            return None  # tolerant-only / malformed tag: full parser
+        pos = m.end()
+        if m.group(3):  # XHTML self-close: handle_startendtag, no cdata mode
+            continue
+        name = m.group(1).lower()
+        if name in _SKIP_ELEMENTS:
+            end = _find_cdata_close(s, pos, name)
+            if end is None:
+                break  # unclosed raw text: rest of document discarded
+            pos = end
+    text = " ".join(unescape(c) if "&" in c else c for c in chunks)
+    return " ".join(text.split())
+
+
 def extract_text_bytes(html: bytes | None) -> str | None:
     """Frozen extractor v1 for one document. None stays None."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    fast = _fast_extract(s)
+    if fast is not None:
+        return fast
+    p = _TextCollector()
+    p.feed(s)
+    p.close()
+    return p.text()
+
+
+def extract_text_bytes_reference(html: bytes | None) -> str | None:
+    """The html.parser reference path, unconditionally (differential tests)."""
     if html is None:
         return None
     p = _TextCollector()

@@ -99,3 +99,76 @@ def test_geotag_udf_matches_golden(spark):
         glon, glat = golden[r.url]
         assert r.lon == pytest.approx(glon, abs=1e-9)
         assert r.lat == pytest.approx(glat, abs=1e-9)
+
+
+def test_fast_extractor_differential_adversarial():
+    """The gated fast path must be byte-identical to the html.parser
+    reference on every input — adversarial constructs either match or fall
+    back (never silently diverge)."""
+    from imposm2_spark.functions.textx import (
+        _fast_extract,
+        extract_text_bytes,
+        extract_text_bytes_reference,
+    )
+
+    cases = [
+        b"<html><body><p>plain</p></body></html>",
+        b"<p>a &amp; b &lt;tag&gt; &#65; &notareal; &amp</p>",
+        b"<script>var x = '<p>not text</p>';</script>after",
+        b"<script>x</script x></script>tail",      # bogus close stays data
+        b"<script>x </script </script> tail",      # close consumed as data
+        b"<script>unclosed to EOF",
+        b"<ScRiPt>X</ScRiPt>ok",
+        b"<script/>self-close is NOT raw text<b>kept</b>",
+        b"<style>p{color:red}</style>body",
+        b'<img src="a>b"/>quoted gt<br/>',
+        b"<a href=foo/>slash-end<a href=foo/ >loose</a>",
+        b"<!-- comment -->fallback path",
+        b"<!DOCTYPE html><p>doc</p>",
+        b"<?php echo ?>pi",
+        b"a < b and 2<3 bare",
+        b"<p>unterminated <tag",
+        b"</ >bogus end",
+        b"<p>nested <style>inside<script>raw</script></style>out</p>",
+        b"<title>&quot;q&quot;</title>",
+        b"",
+        b"no tags at all",
+        "<p>unicodé &eacute; ☃</p>".encode(),
+        b"\xff\xfe broken utf8 <p>x</p>",
+        b'<a b=="x">double-eq</a>',            # tolerant-only attr syntax
+        b"<a b/c=1>slashed attr name</a>",
+        b"<script src=x/>bare value eats the slash: CDATA mode",
+        b"<a b = 'y' >spaced</a>",
+        b'<a "quoted name">junk</a>',
+        b"<p>tag at eof<b",
+        b"<script>x</script  >close with spaces",
+    ]
+    for raw in cases:
+        assert extract_text_bytes(raw) == extract_text_bytes_reference(raw), raw
+
+    # randomized fuzz: snippets combined in every order, seeded
+    import random
+
+    rng = random.Random(4242)
+    snippets = [
+        "word", " ", "\t\n", "&amp;", "&#65;", "&x;", "&", "<b>", "</b>",
+        "<script>", "</script>", "</script x>", "</scripty>", "<style>",
+        "</style>", '<img src="a>b"/>', "<a href=foo/>", "<p", ">", '"',
+        "'", "<3", "<!--c-->", "< p>", "</ScRiPt >", "café", "☃",
+        "&lt;p&gt;",
+    ]
+    n_fast = 0
+    for _ in range(600):
+        doc = "".join(rng.choice(snippets) for _ in range(rng.randint(0, 25))).encode()
+        assert extract_text_bytes(doc) == extract_text_bytes_reference(doc), doc
+        if _fast_extract(doc.decode("utf-8", errors="replace")) is not None:
+            n_fast += 1
+    assert n_fast > 50  # the fast path is actually exercised by the fuzz
+
+
+def test_fast_extractor_takes_fast_path_on_synthetic_pages():
+    from imposm2_spark.functions.textx import _fast_extract
+
+    pdf = fixtures.make_documents_web(100)
+    for h in pdf["html"]:
+        assert _fast_extract(bytes(h).decode("utf-8", errors="replace")) is not None
