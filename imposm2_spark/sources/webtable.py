@@ -1,0 +1,39 @@
+"""S1 production source: the Common-Crawl-style web-page table.
+
+north_rule input shape (BASELINE.json input_hint):
+    (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+
+In production this is an Iceberg table (`spark.read.format("iceberg")` /
+`spark.read.table` through a configured catalog) — partition pruning, file
+skipping, and schema evolution are catalog-side and free to this engine. The
+sandbox ships no Iceberg runtime jar, so `read_web_pages` resolves, in order:
+  1. a catalog table name (contains no '/') via spark.read.table
+  2. an Iceberg path if the runtime is present
+  3. a parquet path (the sandbox testdata layout)
+Everything downstream is source-agnostic: the spine takes any DataFrame with
+the five columns above (validated here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+WEB_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def validate_web_schema(df: DataFrame) -> DataFrame:
+    missing = [c for c in WEB_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"web-page table missing columns {missing}; "
+                         f"expected {WEB_COLUMNS}, got {tuple(df.columns)}")
+    return df
+
+
+def read_web_pages(spark: SparkSession, ref: str) -> DataFrame:
+    """Load the web-page table from a catalog table name or a path."""
+    if "/" not in ref:
+        return validate_web_schema(spark.read.table(ref))
+    try:
+        return validate_web_schema(spark.read.format("iceberg").load(ref))
+    except Exception:
+        return validate_web_schema(spark.read.parquet(ref))
