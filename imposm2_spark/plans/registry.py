@@ -570,6 +570,40 @@ def q_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen.select("id", "type", F.round("area", 9).alias("area"))
 
 
+_GEN_CHAIN_ORACLE = """
+SELECT CAST(id AS BIGINT) AS id, CAST(type AS VARCHAR) AS type,
+       CAST(area AS DOUBLE) AS area
+FROM (VALUES
+  (3, 'forest', 164.0),
+  (5, 'meadow', 100.0),
+  (6, 'forest', 100.0),
+  (7, 'park', 100.0),
+  (8, 'park', 100.0)
+) AS t(id, type, area)
+"""
+
+
+@register("generalized_chain_landusages", oracle=_GEN_CHAIN_ORACLE)
+def q_generalized_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared landusages_gen0-FROM-gen1 chain (imposm2 GeneralizedTable
+    instances). Golden hand-derived: gen1 (tol 1.0, area>=50) keeps all 7
+    origin rows (MP holes deviate >1.0 so areas are unchanged); gen0 (tol
+    2.0, area>=100) gates out the two 96.0 parks, and MP-03's 2x2 hole
+    collapses under Douglas-Peucker at tol 2.0 so 160.0 -> 164.0."""
+    from ..operators import defaultmapping as dm
+    from ..operators.generalize import materialize_generalized
+    from ..plans.import_pipeline import import_tables
+
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    out = import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES])
+    gen = materialize_generalized(
+        {"landusages": out["landusages"]}, [dm.LANDUSAGES_GEN1, dm.LANDUSAGES_GEN0]
+    )
+    return gen["landusages_gen0"].select(
+        "id", "type", F.round("area", 9).alias("area")
+    )
+
+
 @register("polygon_covering_tiles_z8", oracle=golden.POLYGON_COVERING_TILES_Z8)
 def q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tiles import assign_polygon_tiles
