@@ -847,19 +847,19 @@ WHERE rank <= 3
 """,
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus TF-IDF top-3 terms per document — pure JVM plan: explode ->
-    two hash aggs -> term-frequency join -> window top-k. The corpus size
-    joins in as a broadcast 1-row aggregate (no driver-side count), and the
-    doc-frequency join shuffles only (term, df) pairs."""
+    """Corpus TF-IDF top-3 terms per document — pure JVM plan that tokenizes
+    the corpus ONCE: explode -> (doc,term) hash agg -> document frequency as
+    a window count over the same rows (no dfreq self-join, which would
+    re-tokenize the whole corpus as a second scan) -> window top-k. The
+    corpus size joins in as a broadcast 1-row metadata-only count."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
         .join(F.broadcast(n))
         .select(
             "doc_id", "term",

@@ -77,6 +77,17 @@ def test_raster_patch_join_single_scan(spark):
     assert "Union" not in p  # no per-level branch union
 
 
+def test_tfidf_tokenizes_once(spark):
+    """TF-IDF must not re-tokenize the corpus for document frequency: one
+    tokenizing scan (plus the metadata-only corpus count) and window-based
+    df — a dfreq self-join would scan and explode the corpus twice."""
+    import re
+
+    p = plan_of(registry.queries()["text_tfidf_top3"](spark, SF))
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", p)) <= 2
+    assert len(re.findall(r"\n\(\d+\) Generate", p)) == 1  # one explode
+
+
 def test_import_pipeline_prunes_tags_before_shuffle(spark):
     """S3: the tag whitelist map_filter sits in the scan-side projection, so
     full tag maps never shuffle through the J1 way-resolve join."""
