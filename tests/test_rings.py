@@ -135,3 +135,51 @@ def test_merge_many_fragments_shuffled():
     res = rings.merge_rings(ways)
     assert len(res.rings) == 1 and res.dropped_unclosed == 0
     assert len(res.rings[0]) == 13
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_prop_chunked_merge_equals_single_level(data):
+    """O10b associativity: merge_fragments per random chunk, then a final
+    merge_rings over the chunk outputs (closed rings + open chains), equals
+    a single-level merge_rings over all fragments — for any fragmentation,
+    reversal, shuffling, and chunk assignment of degree-2 ring topologies."""
+    rng = np.random.default_rng(data.draw(st.integers(0, 10**6)))
+    n_rings = data.draw(st.integers(1, 4))
+    fragments = []
+    for r in range(n_rings):
+        k = int(rng.integers(4, 12))
+        theta = np.linspace(0, 2 * np.pi, k + 1)
+        ring = np.c_[
+            (r * 10.0) + (2.0 + r) * np.cos(theta), (2.0 + r) * np.sin(theta)
+        ]
+        ring[-1] = ring[0]
+        cuts = sorted(set([0, k]) | set(rng.integers(1, k, rng.integers(0, 5)).tolist()))
+        for a, b in zip(cuts, cuts[1:]):
+            frag = ring[a : b + 1]
+            fragments.append(frag[:: -1 if rng.integers(2) else 1])
+    order = rng.permutation(len(fragments))
+    fragments = [fragments[i] for i in order]
+
+    single = rings.merge_rings(fragments)
+
+    n_chunks = int(rng.integers(1, 5))
+    chunks = [[] for _ in range(n_chunks)]
+    for i, f in enumerate(fragments):
+        chunks[int(rng.integers(n_chunks))].append(f)
+    carried = []
+    invalid = 0
+    for c in chunks:
+        closed, chains, inv = rings.merge_fragments(c)
+        carried.extend(closed)
+        carried.extend(chains)
+        invalid += inv
+    final = rings.merge_rings(carried)
+    final.dropped_invalid += invalid
+
+    def canon(res):
+        return sorted((r.tobytes() for r in res.rings))
+
+    assert canon(final) == canon(single)
+    assert final.dropped_unclosed == single.dropped_unclosed
+    assert final.dropped_invalid == single.dropped_invalid
