@@ -570,6 +570,40 @@ def q_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen.select("id", "type", F.round("area", 9).alias("area"))
 
 
+_ALL_TABLES_ORACLE = """
+SELECT CAST(tbl AS VARCHAR) AS tbl, CAST(n_rows AS BIGINT) AS n_rows
+FROM (VALUES
+  ('admin', 0), ('aeroways', 0), ('amenities', 0), ('barrierpoints', 0),
+  ('barrierways', 0), ('buildings', 81), ('landusages', 8), ('mainroads', 0),
+  ('minorroads', 5), ('motorways', 0), ('places', 0), ('railways', 0),
+  ('transport_areas', 0), ('transport_points', 0), ('waterareas', 1),
+  ('waterways', 0)
+) AS t(tbl, n_rows)
+"""
+
+
+@register("import_pipeline_all_tables", oracle=_ALL_TABLES_ORACLE)
+def q_import_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 16-table default mapping through one import run — the widest
+    composition the engine ships (every geom kind, field filters, P4
+    suppression, S3 whitelist = union of all spec keys). Golden counts
+    cross-checked against the pipeline test expectations (buildings = 81
+    closed grid blocks, minorroads = 4 residential streets + MP-08 way 81,
+    landusages = 7 relations + way 81)."""
+    from functools import reduce
+
+    from ..operators import defaultmapping as dm
+    from ..plans.import_pipeline import import_tables
+
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    out = import_tables(spark, nodes, ways, relations, dm.ALL_SPECS)
+    frames = [
+        df.agg(F.count("*").alias("n_rows")).select(F.lit(name).alias("tbl"), "n_rows")
+        for name, df in sorted(out.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 _GEN_CHAIN_ORACLE = """
 SELECT CAST(id AS BIGINT) AS id, CAST(type AS VARCHAR) AS type,
        CAST(area AS DOUBLE) AS area
