@@ -7,14 +7,16 @@ oracle-checked as a whole in plans.registry::curate_corpus):
   1. quality gate   — quality_score >= min_quality (functions.text_analysis)
   2. language gate  — heuristic lang_id in `langs`
   3. exact dedup    — keep min doc_id per md5(text)
-  4. near-dup gate  — drop the HIGHER doc_id of every verified MinHash-LSH
-                      pair (union-free approximation of clustering: greedy
-                      keep-lowest; deterministic)
+  4. near-dup gate  — connected components over the verified MinHash-LSH
+                      pair graph (operators.dedup.dedup_connected_components);
+                      keep the smallest doc id of every cluster — exact
+                      transitive clustering, not the greedy pair-drop
   5. stats          — per-language kept counts + token totals
 
 Scale shape: stages 1-2 are codegen'd filters (no shuffle); stage 3 is one
-hash aggregation; stage 4 reuses the banded-LSH self-join (bounded buckets);
-stage 5 one aggregation. Nothing quadratic, nothing driver-side.
+hash aggregation; stage 4 reuses the banded-LSH self-join (bounded buckets)
+plus a bounded label-propagation loop over dup nodes only; stage 5 one
+aggregation. Nothing quadratic, nothing driver-side.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_analysis import lang_id, quality_score, token_count_ws
-from ..operators.dedup import minhash_lsh_pairs
+from ..operators.dedup import dedup_connected_components, minhash_lsh_pairs
 
 
 def curate(
@@ -53,10 +55,14 @@ def curate(
     # anti-join (4 consumers) — without it the regexp-heavy scoring chain
     # re-executes per consumer. ContextCleaner reclaims when out of scope.
     exact = gated.join(keepers, id_col, "left_semi").persist()
-    # near-dup: greedy keep-lowest — drop doc_b of every verified pair
+    # near-dup: exact transitive clustering — keep the smallest id per
+    # connected component of the verified pair graph
     pairs = minhash_lsh_pairs(exact, id_col=id_col, text_col=text_col,
                               threshold=neardup_threshold)
-    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    cc = dedup_connected_components(pairs)
+    drops = cc.where(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
     return exact.join(drops, id_col, "left_anti")
 
 

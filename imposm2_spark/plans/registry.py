@@ -1598,7 +1598,7 @@ FROM documents
 """
 
 _CURATE_ORACLE = f"""
-WITH scored AS ({_QUALITY_SQL}),
+WITH RECURSIVE scored AS ({_QUALITY_SQL}),
 gated AS (SELECT * FROM scored WHERE quality >= 0.3 AND lang_pred IN ('en')),
 keepers AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM gated GROUP BY 1),
 exact AS (SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id),
@@ -1615,11 +1615,21 @@ cand AS (
   FROM bl a JOIN bl b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-drops AS (
-  SELECT DISTINCT doc_b AS doc_id FROM cand
+vpairs AS (
+  SELECT doc_a, doc_b FROM cand
   WHERE round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
         / len(list_distinct(list_concat(sa, sb))), 9) >= 0.5
 ),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION SELECT doc_b, doc_a FROM vpairs
+),
+cc AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id
+),
+drops AS (SELECT id AS doc_id FROM cc GROUP BY id HAVING min(lbl) <> id),
 kept AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops))
 SELECT lang_pred, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_quality
