@@ -228,6 +228,10 @@ def dedup_connected_components(
     orders of magnitude smaller than the corpus. Exact (oracle: recursive
     CTE transitive closure in plans.registry::dedup_minhash_clusters).
     """
+    # the symmetric union reads `pairs` twice — persist it so an expensive
+    # upstream (the LSH verify chain) executes once, released after edges
+    # materialize
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -241,25 +245,28 @@ def dedup_connected_components(
         .persist()
     )
     labels.count()
+    pairs.unpersist()
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the previous label so ONE action both materializes the new
+        # frame and reports convergence (per-round driver jobs dominate at
+        # small scale; the loop is diameter-bounded either way)
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
-            .select(labels["id"], F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            .select(
+                labels["id"],
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("_prev"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.where(F.col("label") != F.col("_prev")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     edges.unpersist()
