@@ -38,6 +38,13 @@ def get_spark(
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # JVM default is 1g — too small for wide multi-table plans (many
+        # concurrent broadcasts) once caches accumulate; only effective at
+        # session creation, overridable via extra_conf / env
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
