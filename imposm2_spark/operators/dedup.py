@@ -131,8 +131,15 @@ def minhash_lsh_pairs(
     `max_bucket` drops degenerate boilerplate buckets (see module docstring).
     """
     sig = minhash_signatures(docs, id_col, text_col)
+    # band rows are (id, band_idx, band_key) ONLY — 3 longs/row. Carrying the
+    # shingle arrays through the explode / self-join / dropDuplicates would
+    # shuffle ~8x the corpus shingle set (thousands of longs per doc); instead
+    # the shingles join back per side for surviving candidate pairs, exactly
+    # the ngram_jaccard_pairs shape. The shingle projection appears on three
+    # plan branches (bands + both verify sides) — a linear, codegen'd rescan,
+    # cheap next to the shuffle it replaces (plan-locked in tests/test_plans).
     bands = sig.select(
-        F.col(id_col), "shs",
+        F.col(id_col),
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
             "band_idx", "band_key"
         ),
@@ -141,19 +148,19 @@ def minhash_lsh_pairs(
         counts = bands.groupBy("band_idx", "band_key").count()
         keep = counts.where(F.col("count") <= max_bucket).drop("count")
         bands = bands.join(keep, ["band_idx", "band_key"], "left_semi")
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("shs").alias("sa"), "band_idx", "band_key"
-    )
-    b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("shs").alias("sb"), "band_idx", "band_key"
-    )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
     cand = (
         a.join(b, ["band_idx", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
     )
+    sh = sig.select(id_col, "shs")
     return (
-        cand.select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+        cand.join(sh.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sa")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sb")), "doc_b")
+        .select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -41,7 +41,14 @@ def register(name: str, oracle: str | None = None):
 
 
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    """Oracle-backed queries first (registration order preserved within each
+    group), rows-only queries last. The driver enumerates this dict IN ORDER
+    and records correctness rows for a bounded prefix (CORRECTNESS_r02 held
+    exactly the first 50 of 52 registered, silently dropping the oracle-backed
+    `raster_patch_join_z6` and `curate_corpus`) — so a truncated run must only
+    ever drop rows-only entries, whose semantics are pytest-gated anyway."""
+    ordered = sorted(_QUERIES, key=lambda n: n not in _ORACLES)
+    return {n: _QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

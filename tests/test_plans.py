@@ -88,6 +88,23 @@ def test_tfidf_tokenizes_once(spark):
     assert len(re.findall(r"\n\(\d+\) Generate", p)) == 1  # one explode
 
 
+def test_minhash_lsh_band_shuffle_carries_no_arrays(spark):
+    """T2 scale shape: the LSH candidate-generation exchanges (band-bucket
+    counts, band self-join, pair dedup) must move (id, band_idx, band_key)
+    longs only. Carrying the shingle arrays through the explode/self-join
+    shuffles ~8x the corpus shingle set; shingles may appear ONLY in the
+    per-side verify joins (joined back by id for surviving candidates)."""
+    import re
+
+    p = plan_of(registry.queries()["dedup_minhash_lsh"](spark, SF))
+    # every shuffle Exchange's Input line must be array-free
+    blocks = re.split(r"\n\(\d+\) ", p)
+    for blk in blocks:
+        if blk.startswith("Exchange\n"):
+            input_line = next(l for l in blk.splitlines() if l.startswith("Input"))
+            assert "shs" not in input_line and "sa#" not in input_line and "sb#" not in input_line, blk
+
+
 def test_import_pipeline_prunes_tags_before_shuffle(spark):
     """S3: the tag whitelist map_filter sits in the scan-side projection, so
     full tag maps never shuffle through the J1 way-resolve join."""
