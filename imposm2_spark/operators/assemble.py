@@ -135,8 +135,14 @@ def way_polygons(assembled: DataFrame) -> DataFrame:
     return closed.mapInPandas(_batch, schema=_POLYGON_SCHEMA)
 
 
-def node_points(nodes: DataFrame) -> DataFrame:
-    """G1: point geometries (lon/lat carried; WKB boundary column)."""
+def with_point_wkb(df: DataFrame) -> DataFrame:
+    """G1: append a point-WKB column derived from lon/lat, preserving every
+    input column. Callers must route/filter FIRST: Catalyst cannot push a
+    semi-join or filter through mapInPandas, so whatever reaches this stage
+    pays the Python/Arrow boundary row-for-row."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField("wkb", BinaryType())])
 
     def _batch(it):
         for pdf in it:
@@ -144,8 +150,12 @@ def node_points(nodes: DataFrame) -> DataFrame:
             pdf["wkb"] = [point_wkb(x, y) for x, y in zip(pdf["lon"], pdf["lat"])]
             yield pdf
 
-    schema = "id long, tags map<string,string>, lon double, lat double, wkb binary"
-    return nodes.select("id", "tags", "lon", "lat").mapInPandas(_batch, schema=schema)
+    return df.mapInPandas(_batch, schema=out_schema)
+
+
+def node_points(nodes: DataFrame) -> DataFrame:
+    """G1 standalone form: (id, tags, lon, lat, wkb) for a node table."""
+    return with_point_wkb(nodes.select("id", "tags", "lon", "lat"))
 
 
 # --------------------------------------------------------------------------
@@ -328,9 +338,22 @@ def assemble_relations(
     identical to the single-stage path (tests/test_assemble.py proves it on a
     synthetic 10^4-member relation).
     """
+    # Size routing is decided BEFORE the fat resolve join, from the members
+    # array itself: `_n` = way-member count, stamped per exploded row for free
+    # (no count aggregate, no action, no broadcast). The two paths filter on
+    # complementary `_n` predicates that Catalyst pushes below the join, so
+    # each member row flows through the J2 shuffle join exactly ONCE across
+    # the union (previous shape executed the joined frame 3x: once for a
+    # routing aggregate, once per path). `_n` is the pre-resolve count, so a
+    # relation whose unresolved refs straddle the threshold may route to the
+    # chunked path slightly early — routing is perf-only; both paths are
+    # output-identical (tests/test_assemble.py identity test).
     members = relations.select(
         F.col("id").alias("rel_id"),
         F.col("tags").alias("rel_tags"),
+        F.size(
+            F.filter("members", lambda m: m["type"] == F.lit("way"))
+        ).alias("_n"),
         F.explode("members").alias("m"),
     ).where(F.col("m.type") == "way")
 
@@ -342,26 +365,16 @@ def assemble_relations(
         ),
         members["m.ref"] == F.col("way_id"),
         "inner",
-    ).select("rel_id", "rel_tags", "way_id", "way_tags", "coords")
-
-    # Size routing stays off the fat rows: member counts aggregate over the
-    # rel_id column alone (coords pruned by Catalyst), and mega-relation ids
-    # are RARE by construction — broadcast them, so the semi/anti routing of
-    # `resolved` adds no exchange. A window count here would shuffle every
-    # member row (with coords) just to read its group size.
-    big_ids = F.broadcast(
-        resolved.groupBy("rel_id")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > max_members)
-    )
+    ).select("rel_id", "rel_tags", "_n", "way_id", "way_tags", "coords")
 
     small_out = (
-        resolved.join(big_ids, "rel_id", "left_anti")
+        resolved.where(F.col("_n") <= max_members)
+        .drop("_n")
         .groupBy("rel_id")
         .applyInPandas(_assemble_relation_group, schema=_REL_OUT_SCHEMA)
     )
 
-    chunked = resolved.join(big_ids, "rel_id", "inner").withColumn(
+    chunked = resolved.where(F.col("_n") > max_members).withColumn(
         "_chunk",
         F.pmod(F.col("way_id"), F.ceil(F.col("_n") / F.lit(max_members))).cast("int"),
     )

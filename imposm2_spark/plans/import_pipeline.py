@@ -22,10 +22,10 @@ from ..operators import mapping as M
 from ..operators.assemble import (
     assemble_relations,
     assemble_ways,
-    node_points,
     suppress_inserted_ways,
     way_linestrings,
     way_polygons,
+    with_point_wkb,
 )
 
 INTERESTING_RELATION_TYPES = ("multipolygon", "boundary")
@@ -61,9 +61,13 @@ def import_tables(
 
     # ---- node pass (points) ----
     if point_specs:
+        # route FIRST, derive WKB after: route() carries lon/lat through, so
+        # the Arrow stage sees only the routed subset (at planet scale ~10^8
+        # of 10^11 nodes) and the id-join disappears entirely. Running
+        # node_points over `nodes` up front would put a Python stage on the
+        # full table — Catalyst cannot push the routing through mapInPandas.
         routed_nodes = M.route(nodes, point_specs, spark)
-        pts = node_points(nodes).select("id", "wkb")
-        routed_pts = routed_nodes.join(pts, "id")
+        routed_pts = with_point_wkb(routed_nodes)
         for s in point_specs:
             out[s.name] = M.apply_fields(routed_pts, s)
 
