@@ -221,19 +221,29 @@ def dedup_connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iterations: int = 20,
+    max_iterations: int = 25,
 ) -> DataFrame:
     """Near-dup CLUSTERS from a verified pair table: (doc_id, cluster_id)
     where cluster_id = the smallest doc id reachable through the pair graph
     (connected components).
 
-    Iterative min-label propagation — a bounded driver-side plan loop; data
-    never reaches the driver. Each round is one equi-join + one groupBy over
-    (node, label) rows; rounds needed = component diameter, and LSH near-dup
-    components are shallow (pairs are mutually similar, so diameters of 2-4).
+    Min-label propagation WITH pointer doubling — a bounded driver-side plan
+    loop; data never reaches the driver. Each round does (a) neighbor-min
+    propagation (one equi-join + one groupBy) and (b) a doubling hop
+    label <- label(label) (one self-join): labels form a pointer forest onto
+    smaller ids, so path lengths halve per round and convergence takes
+    O(log diameter) rounds — a diameter-10^6 chain of boilerplate pages needs
+    ~20 rounds, not 10^6. Labels only decrease and are bounded below by the
+    component minimum, and the fixpoint test is on the COMBINED update, so
+    changed == 0 still certifies neighbor-min stability (= correct labels).
     At 10^12 docs the label frame is 2 longs/node over dup nodes only —
     orders of magnitude smaller than the corpus. Exact (oracle: recursive
     CTE transitive closure in plans.registry::dedup_minhash_clusters).
+
+    Raises RuntimeError if `max_iterations` rounds exhaust before the
+    fixpoint — silently returning under-converged (wrong) cluster ids would
+    under-dedup downstream curation. With doubling, hitting the default cap
+    means a component diameter around 2^25.
     """
     # the symmetric union reads `pairs` twice — persist it so an expensive
     # upstream (the LSH verify chain) executes once, released after edges
@@ -253,30 +263,51 @@ def dedup_connected_components(
     )
     labels.count()
     pairs.unpersist()
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry the previous label so ONE action both materializes the new
-        # frame and reports convergence (per-round driver jobs dominate at
-        # small scale; the loop is diameter-bounded either way)
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left").select(
+            labels["id"],
+            F.least("label", F.coalesce("nbr_label", "label")).alias("_l1"),
+            F.col("label").alias("_prev"),
+        )
+        # pointer doubling: label values ARE node ids (initialized id->id and
+        # only ever replaced by smaller existing labels), so label(label)
+        # resolves through the same frame and shortcuts chains geometrically
+        hop = labels.select(F.col("id").alias("_hid"), F.col("label").alias("_hlabel"))
+        # localCheckpoint (not persist): each round references `labels` TWICE,
+        # so lineage doubles per round — caching truncates execution but not
+        # the logical plan, and Catalyst's tree walk OOMs around round 10.
+        # Eager checkpoint materializes the round AND cuts the plan to a
+        # LogicalRDD (production clusters wanting executor-loss recovery set
+        # a checkpoint dir and swap in .checkpoint()).
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            stepped.join(hop, stepped["_l1"] == hop["_hid"], "left")
             .select(
-                labels["id"],
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-                F.col("label").alias("_prev"),
+                "id",
+                F.least("_l1", F.coalesce("_hlabel", "_l1")).alias("label"),
+                "_prev",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("label") != F.col("_prev")).count()
         labels.unpersist()
         labels = new_labels.drop("_prev")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_connected_components did not converge in {max_iterations} "
+            "rounds (component diameter ~2^rounds with pointer doubling); "
+            "raise max_iterations rather than consuming under-merged clusters"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

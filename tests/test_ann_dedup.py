@@ -167,6 +167,25 @@ def test_dedup_connected_components_vs_union_find(spark):
     assert got[15] == 10 and got[7] == 7 and got[99] == 7
 
 
+def test_dedup_connected_components_deep_chain_converges(spark):
+    """A diameter-40 chain (chained boilerplate is exactly how near-dup graphs
+    grow long paths) must produce correct labels well inside the round cap:
+    pointer doubling makes rounds O(log diameter), and the operator must
+    RAISE — never return silently wrong clusters — if the cap is hit."""
+    import pytest as _pytest
+
+    from imposm2_spark.operators.dedup import dedup_connected_components
+
+    pairs = [(i, i + 1) for i in range(100, 140)]  # one chain, diameter 40
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup_connected_components(df).collect()}
+    assert got == {i: 100 for i in range(100, 141)}
+
+    # under-capped run fails LOUDLY instead of emitting under-merged labels
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_connected_components(df, max_iterations=2)
+
+
 def test_multimodal_features_batch_invariance(spark):
     from imposm2_spark.functions.multimodal import media_features, synth_media
 
