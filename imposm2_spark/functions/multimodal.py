@@ -57,6 +57,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("features", T.ArrayType(T.DoubleType())),
+        # False = the tagged codec failed to decode (corrupt/truncated payload)
+        # and the row fell back to the byte histogram — production data always
+        # has some of these, and one bad payload must never kill the stage
+        T.StructField("decode_ok", T.BooleanType()),
     ]
 )
 
@@ -151,33 +155,42 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(id_col, text_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _features_one(payload: bytes, codec: str) -> list[float]:
-    """Decode + extract for one payload; unknown codecs fall back to the
-    deterministic byte histogram (keeps the pipeline total)."""
+def _features_one(payload: bytes, codec: str) -> tuple[list[float], bool]:
+    """Decode + extract for one payload -> (features, decode_ok). Unknown
+    codecs AND corrupt/truncated payloads of known codecs fall back to the
+    deterministic byte histogram — the pipeline stays total on production
+    data; decode_ok=False marks the fallback rows for accounting."""
+    import struct
+
     payload = payload if payload is not None else b""
-    if codec == "bmp":
-        return codecs.image_features(decode_media(payload, codec)).tolist()
-    if codec == "wav":
-        return codecs.audio_features(decode_media(payload, codec)).tolist()
-    return _byte_histogram(payload).tolist()
+    try:
+        if codec == "bmp":
+            return codecs.image_features(decode_media(payload, codec)).tolist(), True
+        if codec == "wav":
+            return codecs.audio_features(decode_media(payload, codec)).tolist(), True
+    except (ValueError, struct.error):  # corrupt/truncated payload
+        pass
+    return _byte_histogram(payload).tolist(), False
 
 
 def media_features(media: DataFrame) -> DataFrame:
     """mapInPandas decode + feature extraction; payload dropped at the UDF
-    boundary so only 16 doubles/row shuffle downstream."""
+    boundary so only 16 doubles/row (+ a decode_ok flag) shuffle downstream."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = list(pdf["meta"])
+            decoded = [
+                _features_one(p, m["codec"])
+                for p, m in zip(pdf["payload"], metas)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": [m["kind"] for m in metas],
                     "n_bytes": [m["n_bytes"] for m in metas],
-                    "features": [
-                        _features_one(p, m["codec"])
-                        for p, m in zip(pdf["payload"], metas)
-                    ],
+                    "features": [f for f, _ in decoded],
+                    "decode_ok": [ok for _, ok in decoded],
                 }
             )
 

@@ -98,6 +98,7 @@ def pip_join(
     broadcast_polygons: bool = True,
     salt_factor: int | None = None,
     keep_point_cols: list[str] | None = None,
+    max_broadcast_polygons: int = 100_000,
 ) -> DataFrame:
     """Inner spatial join: one output row per (point, containing polygon).
 
@@ -105,20 +106,33 @@ def pip_join(
     polygons: (polygon_id, rings ARRAY<ARRAY<ARRAY<DOUBLE>>>, cells ARRAY<LONG>)
               where `cells` are level-`cell_level` covering cells (see
               sources.fixtures.make_polygons_admin / operators.tiles.covering_cells).
+
+    broadcast_polygons=True EAGERLY pulls every polygon's rings to the driver
+    at plan-construction time (then re-ships them once per executor as a Spark
+    broadcast). The pull streams partition-by-partition (toLocalIterator) and
+    bails to the shuffle path if the polygon side exceeds
+    `max_broadcast_polygons` rows — an unexpectedly large polygon table
+    degrades to the co-locating shuffle join instead of OOMing the driver.
     """
     lon_c = F.col(lon) if isinstance(lon, str) else lon
     lat_c = F.col(lat) if isinstance(lat, str) else lat
     pts = points.withColumn("_cell", cell_encode_col(lon_c, lat_c, cell_level))
+
+    rings_by_pid: dict | None = None
+    if broadcast_polygons:
+        rings_by_pid = {}
+        for r in polygons.select("polygon_id", "rings").toLocalIterator():
+            rings_by_pid[r["polygon_id"]] = nested_to_rings(r["rings"])
+            if len(rings_by_pid) > max_broadcast_polygons:
+                rings_by_pid = None
+                broadcast_polygons = False  # auto-fallback: shuffle path
+                break
 
     poly_cells = explode_polygon_cells(
         polygons, salt_factor, with_rings=not broadcast_polygons
     )
     if broadcast_polygons:
         # rings once per executor (broadcast variable), candidate rows slim
-        rings_by_pid = {
-            r["polygon_id"]: nested_to_rings(r["rings"])
-            for r in polygons.select("polygon_id", "rings").collect()
-        }
         rings_bc = points.sparkSession.sparkContext.broadcast(rings_by_pid)
         contains = _contains_udf_broadcast(rings_bc)
         refine_cols = lambda: contains(F.col("polygon_id"), lon_c, lat_c)

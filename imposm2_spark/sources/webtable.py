@@ -29,11 +29,28 @@ def validate_web_schema(df: DataFrame) -> DataFrame:
     return df
 
 
+def _iceberg_runtime_missing(exc: Exception) -> bool:
+    """True only for 'no Iceberg runtime on the classpath' failures — a real
+    Iceberg error (auth, corrupt metadata, schema mismatch) must propagate,
+    not get silently retried as parquet and surface a misleading error."""
+    msg = str(exc)
+    return (
+        "Failed to find data source: iceberg" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+        or "ClassNotFoundException" in msg
+    )
+
+
 def read_web_pages(spark: SparkSession, ref: str) -> DataFrame:
     """Load the web-page table from a catalog table name or a path."""
     if "/" not in ref:
         return validate_web_schema(spark.read.table(ref))
     try:
         return validate_web_schema(spark.read.format("iceberg").load(ref))
-    except Exception:
-        return validate_web_schema(spark.read.parquet(ref))
+    except Exception as exc:
+        if not _iceberg_runtime_missing(exc):
+            raise
+        try:
+            return validate_web_schema(spark.read.parquet(ref))
+        except Exception as pq_exc:
+            raise pq_exc from exc  # keep the root cause chained

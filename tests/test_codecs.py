@@ -123,3 +123,34 @@ def test_media_features_end_to_end(spark):
         else:
             continue
         assert np.allclose(np.array(feats[i].features), expected)
+
+
+def test_media_features_corrupt_payload_falls_back(spark):
+    """A corrupt/truncated payload tagged with a REAL codec must not kill the
+    stage: the row falls back to the byte histogram with decode_ok=False,
+    healthy rows keep decode_ok=True."""
+    from imposm2_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _byte_histogram,
+        media_features,
+        synth_media,
+    )
+
+    docs = spark.createDataFrame([(0, "healthy row text")], "doc_id long, text string")
+    good = synth_media(docs)
+    bad_rows = [
+        (100, b"BMfar-too-short", {"kind": "image", "width": 8, "height": 8,
+                                   "codec": "bmp", "n_bytes": 15}),
+        (101, b"RIFF\x00\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00",
+         {"kind": "audio", "width": 0, "height": 0, "codec": "wav", "n_bytes": 24}),
+        (102, None, {"kind": "image", "width": 8, "height": 8,
+                     "codec": "bmp", "n_bytes": 0}),
+    ]
+    bad = spark.createDataFrame(bad_rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in media_features(good.unionByName(bad)).collect()}
+    assert feats[0].decode_ok is True
+    for mid, payload in ((100, b"BMfar-too-short"),
+                         (101, b"RIFF\x00\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00"),
+                         (102, b"")):
+        assert feats[mid].decode_ok is False
+        assert np.allclose(feats[mid].features, _byte_histogram(payload))

@@ -115,6 +115,21 @@ def test_pip_join_matches_brute_force(spark, points_df):
     assert len(fast_set) > 400  # grid + berlin points actually land
 
 
+def test_pip_join_broadcast_cap_falls_back_identically(spark, points_df):
+    """A polygon side over max_broadcast_polygons must degrade to the shuffle
+    path (no driver OOM from the eager rings pull) with identical results."""
+    df, _ = points_df
+    polys = fixtures.polygons_admin_df(spark)
+    plain = {(r.pid, r.polygon_id) for r in pip_join(df, polys, keep_point_cols=["pid"]).collect()}
+    capped = {
+        (r.pid, r.polygon_id)
+        for r in pip_join(
+            df, polys, keep_point_cols=["pid"], max_broadcast_polygons=2
+        ).collect()
+    }
+    assert plain == capped
+
+
 def test_pip_join_salted_identical(spark, points_df):
     df, _ = points_df
     polys = fixtures.polygons_admin_df(spark)
