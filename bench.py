@@ -32,6 +32,32 @@ def build_spine_df(spark, sf_dir: str, replication: int):
     return spine(docs_web, polygons, zooms=(2, 5), cell_level=4)
 
 
+def build_curate_df(spark, sf_dir: str, replication: int):
+    """Training-data headline: the full curate pipeline (quality/lang gates ->
+    exact dedup -> LSH near-dup CC -> anti-join) over the documents table
+    fanned out x replication with distinct doc_ids and VERBATIM text — the
+    crawl-mirror profile: replicas collapse in the exact-dedup hash-agg (the
+    stage that dominates a 100 TB run together with the scoring scan), and the
+    near-dup LSH/CC stages run over the surviving uniques."""
+    from pyspark.sql import functions as F
+
+    from imposm2_spark.plans.curate import curate
+    from imposm2_spark.sources import testdata
+
+    docs = testdata.load(spark, sf_dir, "documents").select("doc_id", "text")
+    if replication > 1:
+        reps = spark.range(0, replication, numPartitions=max(32, replication // 4))
+        docs = (
+            reps.withColumnRenamed("id", "rep")
+            .join(F.broadcast(docs))
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+    return curate(docs)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -67,6 +93,22 @@ def main() -> None:
     spine_sec = time.perf_counter() - t0
     n_docs = n_base * replication
 
+    # training-data headline: curate throughput at its own (bigger) fan-out,
+    # same adaptive warm-up discipline as the spine
+    curate_replication = int(os.environ.get("SPARK_GRAFT_CURATE_REPLICATION", "400"))
+    prev = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        build_curate_df(spark, sf_dir, curate_replication).count()
+        cur = time.perf_counter() - t0
+        if cur > prev * 0.85:
+            break
+        prev = cur
+    t0 = time.perf_counter()
+    n_kept = build_curate_df(spark, sf_dir, curate_replication).count()
+    curate_sec = time.perf_counter() - t0
+    n_curate_docs = n_base * curate_replication
+
     from imposm2_spark.plans import registry
 
     q_times: dict[str, float] = {"spine": round(spine_sec, 3)}
@@ -89,6 +131,11 @@ def main() -> None:
                 "n_docs": n_docs,
                 "docs_per_sec": round(n_docs / spine_sec, 1),
                 "n_result_tiles": n_tiles,
+                "curate_replication": curate_replication,
+                "curate_n_docs": n_curate_docs,
+                "curate_sec": round(curate_sec, 3),
+                "curate_docs_per_sec": round(n_curate_docs / curate_sec, 1),
+                "curate_n_kept": n_kept,
             }
         )
     )
