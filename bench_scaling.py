@@ -49,10 +49,14 @@ def hw_ceiling(low: int, high: int) -> dict:
     """Measured parallel-capacity ceiling of THIS host: best-case speedup of
     pure-CPU embarrassingly parallel work (no Spark, no IO) from `low` to
     `high` pinned cores. Cloud VMs drop all-core clocks / overcommit vCPUs:
-    this host measures ~2.9x for 8->32 (eff 0.73) — i.e. the raw 0.8 gate is
-    unattainable for ANY CPU-bound engine here. A real cluster adds machines
-    at constant per-core clocks, so engine efficiency is reported both raw
-    and normalized by this ceiling (the faithful cluster proxy).
+    this host measures ~2.9-3.5x for 8->32 (eff 0.73-0.87, drifting with
+    host load) — i.e. the raw 0.8 gate is unattainable for ANY CPU-bound
+    engine here. A real cluster adds machines at constant per-core clocks,
+    so engine efficiency is reported both raw and normalized by this ceiling
+    (the faithful cluster proxy). Because the ceiling itself drifts, it is
+    sampled PER ROUND adjacent in time to the engine pair it normalizes (a
+    single end-of-run probe measured 2.98x vs 3.49x an hour apart — enough
+    to flip the gate either way on its own).
     """
     best = {}
     for procs in (low, high):
@@ -133,9 +137,12 @@ def main() -> None:
 
     # INTERLEAVE the two levels round-by-round: host throughput drifts on a
     # multi-minute scale (measured ±30%), so adjacent-in-time pairs give a
-    # far fairer ratio than two widely separated blocks. Efficiency = median
-    # of per-round ratios; per-level throughput = best (steady-state) time.
-    lo_times, hi_times = [], []
+    # far fairer ratio than two widely separated blocks. The hw ceiling is
+    # sampled in the SAME round (engine lo -> engine hi -> ceiling probe), so
+    # each round's normalized efficiency compares numbers from one noise
+    # regime. Efficiency = median of per-round normalized efficiencies;
+    # per-level throughput = best (steady-state) time.
+    lo_times, hi_times, hws, effs = [], [], [], []
     lo = hi = None
     for _ in range(args.runs):
         lo = run_level(args.low, 1)
@@ -143,6 +150,9 @@ def main() -> None:
         assert lo["digest"] == hi["digest"], "outputs differ across parallelism levels!"
         lo_times.extend(lo["times"])
         hi_times.extend(hi["times"])
+        hw_i = hw_ceiling(args.low, args.high)
+        hws.append(hw_i)
+        effs.append((lo["times"][-1] / hi["times"][-1]) / hw_i["speedup"])
     ratios = sorted(lt / ht for lt, ht in zip(lo_times, hi_times))
     lo["times"], hi["times"] = lo_times, hi_times
 
@@ -150,10 +160,16 @@ def main() -> None:
     t_hi = min(hi_times)
     thr_lo = lo["n_docs"] / t_lo
     thr_hi = hi["n_docs"] / t_hi
-    hw = hw_ceiling(args.low, args.high)
+    hw = {
+        "t_low": round(statistics.median(h["t_low"] for h in hws), 3),
+        "t_high": round(statistics.median(h["t_high"] for h in hws), 3),
+        "speedup": round(statistics.median(h["speedup"] for h in hws), 3),
+        "per_core_eff": round(statistics.median(h["per_core_eff"] for h in hws), 3),
+        "per_round_speedups": [h["speedup"] for h in hws],
+    }
     engine_ratio = statistics.median(ratios)
     eff_raw = engine_ratio / (args.high / args.low)
-    eff_norm = engine_ratio / hw["speedup"]
+    eff_norm = statistics.median(effs)
     result = {
         "metric": "spine_scaling_efficiency",
         "value": round(eff_norm, 3),
@@ -161,6 +177,8 @@ def main() -> None:
         "gate": 0.8,
         "pass": eff_norm >= 0.8,
         "efficiency_raw_per_core": round(eff_raw, 3),
+        "engine_speedup_median": round(engine_ratio, 3),
+        "eff_per_round": [round(e, 3) for e in effs],
         "hw_ceiling": hw,
         "n_docs": lo["n_docs"],
         "n_tiles": lo["n_tiles"],
@@ -187,11 +205,16 @@ def _update_baseline(r: dict) -> None:
 
 Protocol: CPU-pinned (taskset) fresh JVM per run, adaptive warm-up to JIT
 steady state, levels INTERLEAVED in time (shared-host drift ±30% measured);
-engine ratio = median of per-round (T_low/T_high); throughput = best run.
+the hardware-ceiling probe runs INSIDE each round, adjacent to the engine
+pair it normalizes (a single end-of-run probe measured 2.98x vs 3.49x an
+hour apart — enough to flip the gate on its own); normalized efficiency =
+median of per-round (engine ratio / that round's ceiling); throughput =
+best run.
 
 **Hardware ceiling (measured, pure-CPU multiprocessing, no Spark):** this
-host reaches only {r['hw_ceiling']['speedup']}x speedup from {r['low']['cores']} to {r['high']['cores']} pinned cores
-(per-core eff {r['hw_ceiling']['per_core_eff']}; all-core clock/overcommit throttling), so raw per-core
+host reaches only {r['hw_ceiling']['speedup']}x median speedup from {r['low']['cores']} to {r['high']['cores']} pinned cores
+(per-core eff {r['hw_ceiling']['per_core_eff']}; all-core clock/overcommit throttling; per-round
+{r['hw_ceiling'].get('per_round_speedups')}), so raw per-core
 efficiency is capped below the gate for ANY CPU-bound engine on this VM. A
 real cluster adds machines at constant per-core clocks; the faithful proxy is
 engine efficiency NORMALIZED by the measured ceiling.
@@ -203,13 +226,14 @@ engine efficiency NORMALIZED by the measured ceiling.
 
 | metric | value |
 |---|---|
-| engine speedup (median of per-round ratios) | {round(r['value'] * r['hw_ceiling']['speedup'], 3)}x |
-| hardware ceiling speedup (pure CPU) | {r['hw_ceiling']['speedup']}x |
+| engine speedup (median of per-round ratios) | {r['engine_speedup_median']}x |
+| hardware ceiling speedup (pure CPU, median of per-round probes) | {r['hw_ceiling']['speedup']}x |
 | raw per-core efficiency | {r['efficiency_raw_per_core']} |
 | **ceiling-normalized efficiency (gate ≥ 0.8)** | **{r['value']}** ({"PASS" if r['pass'] else "FAIL"}) |
 
 Outputs at both levels asserted identical (sorted tile rows, {r['n_tiles']} tiles).
-Raw times: A={r['low']['times']}, B={r['high']['times']}; per-round ratios {r['ratios']}.
+Raw times: A={r['low']['times']}, B={r['high']['times']}; per-round ratios {r['ratios']};
+per-round normalized efficiencies {r['eff_per_round']}.
 """
     idx = text.find(marker)
     text = (text[:idx] if idx >= 0 else text + "\n") + table

@@ -103,10 +103,18 @@ def _hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> np.ndarray:
 
 @F.pandas_udf(T.IntegerType())
 def lsh_signature(emb: pd.Series) -> pd.Series:
-    """Random-hyperplane signature: bit j = [dot(v, plane_j) > 0]."""
+    """Random-hyperplane signature: bit j = [dot(v, plane_j) > 0].
+
+    The projection accumulates SEQUENTIALLY over dims (d=0,1,...) instead of
+    BLAS matmul: matmul reorders the float sum, and the DuckDB oracle twin
+    (list_reduce over [v_i * s_i] in index order) must reproduce every dot —
+    and therefore every sign bit — exactly. 64 vectorized FMA passes per
+    batch cost the same as the matmul at these dims."""
     planes = _hyperplanes()
-    mat = np.stack(emb.to_numpy())  # (batch, dim) float32
-    proj = mat.astype(np.float64) @ planes.T  # (batch, n_planes)
+    mat = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+    proj = np.zeros((mat.shape[0], planes.shape[0]), dtype=np.float64)
+    for d in range(planes.shape[1]):
+        proj += mat[:, [d]] * planes[:, d]
     bits = (proj > 0).astype(np.int64)
     sig = np.zeros(len(emb), dtype=np.int64)
     for j in range(planes.shape[0]):

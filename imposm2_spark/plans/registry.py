@@ -1013,7 +1013,70 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_brute(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-@register("ann_cosine_topk_lsh")  # approximate -> rows-only; recall pytest-gated
+# The LSH signature is fully deterministic (LCG hyperplanes + sequential-order
+# float dots), so the DuckDB oracle reproduces the SAME approximate result —
+# bucket membership, multiprobe, ranks — bit-for-bit. The recall property vs
+# brute stays pytest-gated; the oracle checks the implementation, not recall.
+_LSH_PLANES_SQL = """
+plist AS (
+  SELECT j, list(CASE WHEN s2 >= CAST(9223372036854775808 AS UBIGINT)
+                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS s
+  FROM (
+    SELECT j, d, xor(st, st >> 33) AS s2
+    FROM (
+      SELECT j.j, d.d,
+        CAST(((CAST(j.j*64 + d.d AS HUGEINT) * 6364136223846793005
+               + 1442695040888963407) % CAST(18446744073709551616 AS HUGEINT))
+             AS UBIGINT) AS st
+      FROM generate_series(0, 15) j(j), generate_series(0, 63) d(d)))
+  GROUP BY j
+)
+"""
+
+_LSH_SIG_SQL = """
+SELECT e.vec_id, e.v,
+  CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+         list_transform(generate_series(1, 64), i -> e.v[i]*p.s[i])),
+         (x, y) -> x + y) > 0
+       THEN CAST(pow(2.0, 15 - p.j) AS BIGINT) ELSE 0 END) AS INT) AS sig
+FROM {emb} e CROSS JOIN plist p
+GROUP BY e.vec_id, e.v
+"""
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=f"""
+WITH {_LSH_PLANES_SQL.strip()},
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS ({_LSH_SIG_SQL.format(emb='emb').strip()}),
+qs AS (SELECT vec_id AS qid, v AS qv, sig AS qsig FROM sigs WHERE vec_id < 10),
+probes AS (
+  SELECT qid, qv, unnest(list_append(
+    list_transform(generate_series(0, 15), b -> xor(qsig, CAST(pow(2.0, b) AS INT))),
+    qsig)) AS sig
+  FROM qs),
+cand AS (
+  SELECT DISTINCT p.qid, c.vec_id
+  FROM probes p JOIN sigs c USING (sig)
+  WHERE c.vec_id <> p.qid),
+scored AS (
+  SELECT cand.qid, cand.vec_id,
+    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+        i -> q.qv[i]*c.v[i])), (x, y) -> x + y)
+    / sqrt(list_reduce(list_prepend(0.0, list_transform(q.qv, x -> x*x)), (a, b) -> a + b)
+         * list_reduce(list_prepend(0.0, list_transform(c.v, x -> x*x)), (a, b) -> a + b))
+    AS sim
+  FROM cand
+  JOIN (SELECT vec_id AS qid, qv FROM (SELECT vec_id, v AS qv FROM emb WHERE vec_id < 10) _q) q USING (qid)
+  JOIN emb c ON c.vec_id = cand.vec_id)
+SELECT qid, vec_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""",
+)
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import cosine_topk_lsh
 
@@ -1038,12 +1101,39 @@ def q_neardup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_window(emb, threshold=0.3, window=20)
 
 
-@register("embedding_neardup_lsh")  # approximate -> rows-only; pytest-gated
+@register(
+    "embedding_neardup_lsh",
+    oracle=f"""
+WITH {_LSH_PLANES_SQL.strip()},
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000000 AS vec_id,
+         list_transform(embedding, x -> x * 1.0001) AS v
+  FROM embeddings WHERE vec_id % 97 = 0),
+sigs AS ({_LSH_SIG_SQL.format(emb='emb').strip()}),
+keep AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= 10000),
+s AS (SELECT sigs.* FROM sigs JOIN keep USING (sig))
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+      i -> a.v[i]*b.v[i])), (x, y) -> x + y)
+  / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x*x)), (p, q) -> p + q)
+       * list_reduce(list_prepend(0.0, list_transform(b.v, x -> x*x)), (p, q) -> p + q)), 9)
+  AS sim
+FROM s a JOIN s b ON a.sig = b.sig AND b.vec_id > a.vec_id
+WHERE round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+      i -> a.v[i]*b.v[i])), (x, y) -> x + y)
+  / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x*x)), (p, q) -> p + q)
+       * list_reduce(list_prepend(0.0, list_transform(b.v, x -> x*x)), (p, q) -> p + q)), 9) >= 0.9
+""",
+)
 def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus has no true 0.9-cosine pairs at small sf, so the
     query plants deterministic near-copies (every 97th vector re-emitted with
     a shifted id and a tiny scale: cosine 1.0) — the LSH must bucket and
-    recover them; a 0-row result means the operator is broken, not the data."""
+    recover them; a 0-row result means the operator is broken, not the data.
+    Deterministic planes + order-pinned float sums make even this approximate
+    path oracle-checkable (see _LSH_PLANES_SQL note)."""
     from ..operators.ann import embedding_neardup_lsh
 
     emb = load(spark, sf_dir, "embeddings")
