@@ -264,7 +264,7 @@ def dedup_connected_components(
     labels.count()
     pairs.unpersist()
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
@@ -277,7 +277,20 @@ def dedup_connected_components(
         )
         # pointer doubling: label values ARE node ids (initialized id->id and
         # only ever replaced by smaller existing labels), so label(label)
-        # resolves through the same frame and shortcuts chains geometrically
+        # resolves through the same frame and shortcuts chains geometrically.
+        # Round 0 skips the hop — labels are still the identity map, so
+        # label(label) is a no-op join.
+        if it == 0:
+            new_labels = stepped.withColumnRenamed("_l1", "label").localCheckpoint(
+                eager=True
+            )
+            changed = new_labels.where(F.col("label") != F.col("_prev")).count()
+            labels.unpersist()
+            labels = new_labels.drop("_prev")
+            if changed == 0:
+                converged = True
+                break
+            continue
         hop = labels.select(F.col("id").alias("_hid"), F.col("label").alias("_hlabel"))
         # localCheckpoint (not persist): each round references `labels` TWICE,
         # so lineage doubles per round — caching truncates execution but not

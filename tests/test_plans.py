@@ -120,6 +120,30 @@ def test_import_pipeline_prunes_tags_before_shuffle(spark):
     assert "boundary" not in keys and "place" not in keys
 
 
+def test_relation_size_routing_pushes_below_resolve_join(spark):
+    """O10b routing shape: the small/chunked paths filter on the way-member
+    count stamped at explode time, and those complementary predicates must
+    push below the J2 member-resolve join (each member row crosses the fat
+    join ONCE across the union). The old count-aggregate router executed the
+    joined frame three times per action."""
+    from imposm2_spark.operators.assemble import assemble_relations, assemble_ways
+
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    aw = assemble_ways(ways, nodes.select("id", "lon", "lat"))
+    rel = relations.where(
+        F.element_at("tags", "type").isin("multipolygon", "boundary")
+    )
+    p = plan_of(assemble_relations(rel, aw), mode="simple")
+    scan_side_filters = [
+        l for l in p.splitlines()
+        if "Filter" in l and "size(filter(members" in l
+    ]
+    assert any("<= 4096" in l for l in scan_side_filters)
+    assert any("> 4096" in l for l in scan_side_filters)
+    # no routing aggregate over the joined frame anymore
+    assert "left_anti" not in p.lower()
+
+
 def test_node_pass_routes_before_wkb(spark):
     """G1 scale shape: the point-WKB Arrow stage runs AFTER tag routing, so
     its input is the routed subset (~10^8 of 10^11 nodes at planet scale) —
