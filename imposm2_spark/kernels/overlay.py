@@ -1,0 +1,378 @@
+"""Planar-arrangement overlay: boolean region extraction over sets of rings.
+
+The shared kernel behind two SURVEY.md items that previously diverged from the
+reference by design:
+
+* **A3 `union` relation-builder strategy** (reference analog:
+  imposm/multipolygon.py::UnionRelationBuilder, the `--relation-builder=union`
+  CLI path) — tolerant of rings that overlap or cross: every region covered by
+  more outer rings than inner rings is part of the result. For valid,
+  properly-nested input this is row-identical to the `contains` builder
+  (kernels.rings.build_multipolygon); it differs exactly where `contains` is
+  undefined (crossing/overlapping rings), which is the reason the reference
+  ships the second strategy at all.
+* **G5 buffer(0)-equivalent repair** (reference analog: imposm/geom.py
+  validate path) — a self-intersecting ring is rebuilt from its linework
+  under the even-odd rule, the publicly documented semantics of PostGIS
+  ``ST_MakeValid(..., method=linework)``. A bowtie becomes two triangles;
+  overlapping lobes cancel.
+
+Algorithm (pure NumPy, no GEOS — deterministic by construction):
+
+1. split every ring segment at every intersection with every other segment
+   (vectorized pairwise parametric intersection, collinear overlaps included),
+   snapping coordinates to a fixed 1e-9 grid;
+2. dedupe the split edges into an undirected planar graph;
+3. classify the two sides of every edge by sampling a point a safe distance
+   delta off the edge midpoint (delta = a quarter of the distance to the
+   nearest other edge) and ray-casting it against the ORIGINAL rings;
+4. keep the directed edges whose left side is "in" and right side is "out"
+   under the requested rule (even-odd, or outer-minus-inner for the union
+   builder);
+5. re-trace closed rings from the kept directed edges with the standard
+   rotational-successor rule (interior on the left: shells come out CCW,
+   holes CW), then nest holes into their smallest containing shell.
+
+Everything is per-relation-group work inside applyInPandas — inputs are small,
+so the O(E^2) split/distance steps are vectorized batch work, not a scale
+concern (the groups are bounded by assemble.MAX_MEMBERS_PER_GROUP upstream).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import geom
+
+_SNAP_DECIMALS = 9
+_EPS = 1e-9
+
+
+def _snap(v: float) -> float:
+    return round(float(v), _SNAP_DECIMALS) + 0.0  # +0.0 normalizes -0.0
+
+
+def _collect_segments(rings: list[np.ndarray]) -> list[tuple[tuple[float, float], tuple[float, float]]]:
+    segs = []
+    for ring in rings:
+        r = geom.dedup_consecutive(geom.ensure_closed(np.asarray(ring, dtype=np.float64)))
+        for i in range(len(r) - 1):
+            a = (_snap(r[i, 0]), _snap(r[i, 1]))
+            b = (_snap(r[i + 1, 0]), _snap(r[i + 1, 1]))
+            if a != b:
+                segs.append((a, b))
+    return segs
+
+
+def _split_segments(segs):
+    """Split segments at all pairwise intersections (proper crossings,
+    T-junctions, collinear overlaps). Returns deduped undirected edges as
+    ((ax,ay),(bx,by)) with a < b lexicographically."""
+    n = len(segs)
+    if n == 0:
+        return []
+    A = np.asarray([s[0] for s in segs], dtype=np.float64)
+    B = np.asarray([s[1] for s in segs], dtype=np.float64)
+    R = B - A
+    cuts: list[set[float]] = [{0.0, 1.0} for _ in range(n)]
+
+    for i in range(n - 1):
+        p = A[i]
+        r = R[i]
+        q = A[i + 1 :]
+        s = R[i + 1 :]
+        qp = q - p
+        denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+        t_num = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+        u_num = qp[:, 0] * r[1] - qp[:, 1] * r[0]
+        nonpar = np.abs(denom) > 1e-15
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(nonpar, t_num / np.where(denom == 0, 1.0, denom), np.nan)
+            u = np.where(nonpar, u_num / np.where(denom == 0, 1.0, denom), np.nan)
+        hit = nonpar & (t >= -_EPS) & (t <= 1 + _EPS) & (u >= -_EPS) & (u <= 1 + _EPS)
+        for k in np.nonzero(hit)[0]:
+            j = i + 1 + int(k)
+            cuts[i].add(min(1.0, max(0.0, float(t[k]))))
+            cuts[j].add(min(1.0, max(0.0, float(u[k]))))
+        # collinear overlap: denom ~ 0 and q-p parallel to r
+        coll = (~nonpar) & (np.abs(u_num) <= 1e-12 * np.maximum(1.0, np.abs(qp).max(initial=1.0)))
+        if coll.any():
+            rr = float(r @ r)
+            for k in np.nonzero(coll)[0]:
+                j = i + 1 + int(k)
+                t0 = float((q[k] - p) @ r) / rr
+                t1 = float((q[k] + s[k] - p) @ r) / rr
+                for t_ in (t0, t1):
+                    if -_EPS < t_ < 1 + _EPS:
+                        cuts[i].add(min(1.0, max(0.0, t_)))
+                ss = float(s[k] @ s[k])
+                u0 = float((p - q[k]) @ s[k]) / ss
+                u1 = float((p + r - q[k]) @ s[k]) / ss
+                for u_ in (u0, u1):
+                    if -_EPS < u_ < 1 + _EPS:
+                        cuts[j].add(min(1.0, max(0.0, u_)))
+
+    edges: dict[tuple, None] = {}
+    for i in range(n):
+        ts = sorted(cuts[i])
+        p, r = A[i], R[i]
+        pts = [(_snap(p[0] + t * r[0]), _snap(p[1] + t * r[1])) for t in ts]
+        for a, b in zip(pts, pts[1:]):
+            if a == b:
+                continue
+            key = (a, b) if a < b else (b, a)
+            edges[key] = None
+    return list(edges.keys())
+
+
+def _point_segment_dist2(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared distance from each point to one segment (vectorized over pts)."""
+    d = b - a
+    len2 = float(d @ d)
+    ap = pts - a
+    t = np.clip((ap @ d) / (len2 if len2 > 0 else 1.0), 0.0, 1.0)
+    proj = a + t[:, None] * d
+    diff = pts - proj
+    return np.einsum("ij,ij->i", diff, diff)
+
+
+def _sample_points(edges):
+    """For each undirected edge, a (left, right) sample-point pair offset a
+    safe delta from the midpoint — delta = 1/4 of min(distance to any other
+    edge, edge length), so samples sit strictly inside their faces."""
+    E = len(edges)
+    Aa = np.asarray([e[0] for e in edges], dtype=np.float64)
+    Bb = np.asarray([e[1] for e in edges], dtype=np.float64)
+    M = (Aa + Bb) / 2.0
+    D = Bb - Aa
+    lens = np.sqrt(np.einsum("ij,ij->i", D, D))
+    mind2 = np.full(E, np.inf)
+    for j in range(E):
+        d2 = _point_segment_dist2(M, Aa[j], Bb[j])
+        d2[j] = np.inf
+        mind2 = np.minimum(mind2, d2)
+    delta = 0.25 * np.minimum(np.sqrt(mind2), lens)
+    delta = np.where(np.isfinite(delta) & (delta > 0), delta, 0.25 * lens)
+    nL = np.stack([-D[:, 1], D[:, 0]], axis=1) / lens[:, None]
+    left = M + delta[:, None] * nL
+    right = M - delta[:, None] * nL
+    return left, right
+
+
+def _inside_matrix(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """(n_rings, n_points) even-odd containment of points per input ring."""
+    out = np.zeros((len(rings), len(px)), dtype=bool)
+    for k, ring in enumerate(rings):
+        out[k] = geom.crossings(px, py, ring) % 2 == 1
+    return out
+
+
+def _trace_rings(directed):
+    """Trace closed rings from directed boundary edges (interior on the left)
+    with the rotational-successor rule; returns list of closed (N,2) arrays."""
+    out_at: dict[tuple, list[tuple]] = {}
+    for u, v in directed:
+        out_at.setdefault(u, []).append(v)
+    for u in out_at:
+        out_at[u].sort(key=lambda w: math.atan2(w[1] - u[1], w[0] - u[0]))
+
+    def successor(u, v):
+        th = math.atan2(u[1] - v[1], u[0] - v[0])
+        cands = out_at.get(v, [])
+        if not cands:
+            raise ValueError("open boundary: no outgoing edge at %r" % (v,))
+        # clockwise-next from th (exclusive): largest angle strictly below th,
+        # wrapping to the global largest
+        best, best_th = None, None
+        fallback, fallback_th = None, None
+        for w in cands:
+            a = math.atan2(w[1] - v[1], w[0] - v[0])
+            if a < th - 1e-15 and (best_th is None or a > best_th):
+                best, best_th = w, a
+            if fallback_th is None or a > fallback_th:
+                fallback, fallback_th = w, a
+        nxt = best if best is not None else fallback
+        return (v, nxt)
+
+    succ = {}
+    for e in directed:
+        succ[e] = successor(*e)
+
+    rings = []
+    unused = set(directed)
+    for start in sorted(unused):
+        if start not in unused:
+            continue
+        cycle = [start]
+        unused.discard(start)
+        cur = succ[start]
+        while cur != start:
+            if cur not in unused:
+                raise ValueError("boundary trace revisited edge %r" % (cur,))
+            unused.discard(cur)
+            cycle.append(cur)
+            cur = succ[cur]
+        pts = np.asarray([e[0] for e in cycle] + [cycle[0][0]], dtype=np.float64)
+        rings.append(pts)
+    return rings
+
+
+def _nest(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Nest traced boundary rings (shells CCW+, holes CW-) into polygons;
+    result regions are disjoint so plain containment assignment is exact."""
+    shells = [r for r in rings if geom.ring_signed_area(r) > 0]
+    holes = [r for r in rings if geom.ring_signed_area(r) <= 0]
+    shells.sort(key=lambda r: -abs(geom.ring_signed_area(r)))
+    polys: list[list[np.ndarray]] = [[geom.ensure_orientation(s, ccw=True)] for s in shells]
+    for h in holes:
+        containers = [
+            i for i, s in enumerate(shells) if geom.ring_contains_ring(s, h)
+        ]
+        if not containers:
+            raise ValueError("hole ring with no containing shell")
+        i = min(containers, key=lambda i: abs(geom.ring_signed_area(shells[i])))
+        polys[i].append(geom.ensure_orientation(h, ccw=False))
+    return polys
+
+
+def overlay(rings: list[np.ndarray], keep_weights: list[int] | None = None) -> list[list[np.ndarray]]:
+    """Extract the region defined by the input rings as clean polygons.
+
+    keep_weights=None -> even-odd rule (a point is in iff it is inside an odd
+    number of rings). Otherwise keep_weights[i] in {+1,-1} per ring and a
+    point is in iff sum(w_i * inside_i) > 0 (the union-builder rule).
+    Returns polygons as [shell(CCW), hole(CW), ...] lists; [] if empty.
+    """
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    if not rings:
+        return []
+    segs = _collect_segments(rings)
+    edges = _split_segments(segs)
+    if not edges:
+        return []
+    left, right = _sample_points(edges)
+    px = np.concatenate([left[:, 0], right[:, 0]])
+    py = np.concatenate([left[:, 1], right[:, 1]])
+    inside = _inside_matrix(px, py, rings)
+    if keep_weights is None:
+        keep = inside.sum(axis=0) % 2 == 1
+    else:
+        w = np.asarray(keep_weights, dtype=np.int64)[:, None]
+        keep = (w * inside).sum(axis=0) > 0
+    E = len(edges)
+    keep_l, keep_r = keep[:E], keep[E:]
+    directed = []
+    for i, (a, b) in enumerate(edges):
+        if keep_l[i] and not keep_r[i]:
+            directed.append((a, b))
+        elif keep_r[i] and not keep_l[i]:
+            directed.append((b, a))
+    if not directed:
+        return []
+    return _nest(_trace_rings(directed))
+
+
+def _canonicalize(ring: np.ndarray) -> np.ndarray:
+    """Rotate a closed ring to start at its lexicographically smallest vertex,
+    CCW — so interior-point derivation is invariant to input rotation/direction."""
+    r = geom.dedup_consecutive(geom.ensure_closed(np.asarray(ring, dtype=np.float64)))
+    body = r[:-1]
+    order = np.lexsort((body[:, 1], body[:, 0]))
+    start = int(order[0])
+    rolled = np.vstack([body[start:], body[:start], body[start : start + 1]])
+    return geom.ensure_orientation(rolled, ccw=True)
+
+
+def _interior_point(ring: np.ndarray, others: list[np.ndarray] | None = None) -> tuple[float, float]:
+    """A point strictly inside (even-odd) a possibly self-intersecting ring
+    and strictly OFF every ring in `others` — the canonical interior sample.
+
+    Scans the canonical ring's edges in order; for each edge midpoint, offsets
+    by 1/4 of the distance to the nearest non-incident edge (own and others'),
+    skipping edges whose midpoint sits on another ring's boundary (delta 0);
+    first odd-parity candidate wins. Deterministic and rotation/direction
+    invariant, which makes union-builder roles well-defined even for rings
+    that cross each other (an engine-defined choice; documented in SURVEY
+    App. B — no GEOS reference semantics exist for crossing rings)."""
+    r = _canonicalize(ring)
+    other_edges: list[tuple[np.ndarray, np.ndarray]] = []
+    for o in others or []:
+        oc = geom.dedup_consecutive(geom.ensure_closed(np.asarray(o, dtype=np.float64)))
+        for i in range(len(oc) - 1):
+            other_edges.append((oc[i], oc[i + 1]))
+
+    for e in range(len(r) - 1):
+        a, b = r[e], r[e + 1]
+        m = (a + b) / 2.0
+        d = b - a
+        ln = math.hypot(d[0], d[1])
+        if ln == 0:
+            continue
+        pts = m[None, :]
+        best = ln
+        for i in range(len(r) - 1):
+            if i == e:
+                continue
+            d2 = float(_point_segment_dist2(pts, r[i], r[i + 1])[0])
+            best = min(best, math.sqrt(d2))
+        for oa, ob in other_edges:
+            d2 = float(_point_segment_dist2(pts, oa, ob)[0])
+            best = min(best, math.sqrt(d2))
+        delta = 0.25 * best
+        if delta <= 10.0 ** (-_SNAP_DECIMALS):
+            continue  # midpoint effectively on another boundary: ambiguous edge
+        nL = (-d[1] / ln, d[0] / ln)
+        for sgn in (1.0, -1.0):
+            p = (m[0] + sgn * delta * nL[0], m[1] + sgn * delta * nL[1])
+            if geom.crossings(np.asarray([p[0]]), np.asarray([p[1]]), r)[0] % 2 == 1:
+                return p
+    # degenerate (zero-area or fully boundary-coincident): fall back to the
+    # first edge midpoint; parity checks downstream treat it as depth-0
+    return (float((r[0, 0] + r[1, 0]) / 2.0), float((r[0, 1] + r[1, 1]) / 2.0))
+
+
+def ring_roles(rings: list[np.ndarray]) -> list[int]:
+    """Union-builder role derivation (role attributes are ignored, as in the
+    reference): a ring nested inside an even number of OTHER rings is an outer
+    (+1), odd an inner (-1). Derived from each ring's canonical interior point
+    (boundary-clear w.r.t. the other rings, see _interior_point)."""
+    roles = []
+    arrs = [np.asarray(r, dtype=np.float64) for r in rings]
+    for i, r in enumerate(arrs):
+        others = [s for j, s in enumerate(arrs) if j != i]
+        x, y = _interior_point(r, others)
+        depth = 0
+        for s in others:
+            if geom.crossings(np.asarray([x]), np.asarray([y]), s)[0] % 2 == 1:
+                depth += 1
+        roles.append(1 if depth % 2 == 0 else -1)
+    return roles
+
+
+def union_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """A3 `union` strategy: region kept iff covered by more outers than inners.
+    Row-identical to the `contains` builder for properly nested rings; merges
+    overlapping outers and clips crossing inners instead of failing."""
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    rings = [r for r in rings if geom.ring_is_valid(r)]
+    if not rings:
+        return []
+    return overlay(rings, keep_weights=ring_roles(rings))
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """True if the ring has no self-intersections (proper crossings,
+    T-junctions, or collinear overlaps between non-adjacent segments): the
+    arrangement of its own segments introduces no new split edges. Rings that
+    merely touch at a shared vertex count as simple (weakly simple)."""
+    segs = _collect_segments([np.asarray(ring, dtype=np.float64)])
+    return len(_split_segments(segs)) == len(segs)
+
+
+def repair_ring(ring: np.ndarray) -> list[list[np.ndarray]]:
+    """G5 buffer(0)-equivalent: rebuild a self-intersecting ring from its
+    linework under the even-odd rule (PostGIS ST_MakeValid linework
+    semantics). A valid ring round-trips to itself (single shell)."""
+    return overlay([np.asarray(ring, dtype=np.float64)], keep_weights=None)

@@ -134,14 +134,14 @@ def merge_rings(ways: list[np.ndarray]) -> MergeResult:
     return MergeResult(rings, dropped_unclosed, dropped_invalid)
 
 
-def _canonical_ring(ring: np.ndarray) -> np.ndarray:
+def _canonical_ring(ring: np.ndarray, ccw: bool = True) -> np.ndarray:
     """Rotate a closed ring to start at its lexicographically smallest vertex and
     orient CCW — makes output rows identical under way order/direction permutation."""
     body = ring[:-1]
     order = np.lexsort((body[:, 1], body[:, 0]))
     start = int(order[0])
     rolled = np.vstack([body[start:], body[:start], body[start : start + 1]])
-    return geom.ensure_orientation(rolled, ccw=True)
+    return geom.ensure_orientation(rolled, ccw=ccw)
 
 
 @dataclass
@@ -188,6 +188,29 @@ def build_multipolygon(merge: MergeResult) -> MultiPolygon:
             placed.append(ring)
             shell_index.append(None)
     return MultiPolygon(shells, merge.dropped_unclosed, merge.dropped_invalid)
+
+
+def build_multipolygon_union(merge: MergeResult) -> MultiPolygon:
+    """A3 `union` strategy (reference analog: imposm/multipolygon.py::
+    UnionRelationBuilder, CLI --relation-builder=union): regions covered by
+    more outer than inner rings survive, computed on the planar arrangement
+    (kernels.overlay). Row-identical to build_multipolygon for properly
+    nested input; tolerant of overlapping/crossing rings, which `contains`
+    cannot nest. Output rings are canonicalized (min-vertex start, shells
+    CCW / holes CW) and polygons ordered by area desc for stable rows."""
+    from . import overlay
+
+    polys = overlay.union_rings(merge.rings)
+    out: list[list[np.ndarray]] = []
+    for ring_list in polys:
+        shell = _canonical_ring(ring_list[0], ccw=True)
+        holes = [_canonical_ring(h, ccw=False) for h in ring_list[1:]]
+        holes.sort(key=lambda h: (-abs(geom.ring_signed_area(h)), h[0, 0], h[0, 1]))
+        out.append([shell] + holes)
+    out.sort(
+        key=lambda rl: (-abs(geom.ring_signed_area(rl[0])), rl[0][0, 0], rl[0][0, 1])
+    )
+    return MultiPolygon(out, merge.dropped_unclosed, merge.dropped_invalid)
 
 
 _UNINTERESTING = {"type", "name", "created_by", "source", "fixme"}

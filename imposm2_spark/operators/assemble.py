@@ -101,30 +101,61 @@ _POLYGON_SCHEMA = (
 )
 
 
-def way_polygons(assembled: DataFrame) -> DataFrame:
+def way_polygons(assembled: DataFrame, repair: bool = False) -> DataFrame:
     """G3: closed (first==last), >=4 points, nonzero area; orientation-normalized
-    single-ring polygons. Validity rule = kernels.geom.ring_is_valid (P5)."""
+    single-ring polygons. Validity rule = kernels.geom.ring_is_valid (P5).
+
+    repair=True enables the G5 buffer(0)-equivalent path (reference analog:
+    imposm/geom.py validate; semantics = PostGIS ST_MakeValid linework): a
+    self-intersecting ring is rebuilt from its arrangement under the even-odd
+    rule (kernels.overlay.repair_ring) instead of dropped — a bowtie becomes
+    two shells, emitted as one multipolygon row. Default False preserves the
+    frozen detect-and-drop goldens."""
     closed = assembled.where(
         (F.size("coords") >= 4)
         & (F.element_at("coords", 1) == F.element_at("coords", -1))
     )
 
     def _batch(it):
+        from ..kernels import overlay
+
         for pdf in it:
             out_rows = []
             for rid, tags, coords in zip(pdf["id"], pdf["tags"], pdf["coords"]):
                 ring = np.asarray([list(p) for p in coords], dtype=np.float64)
                 ring = geom.dedup_consecutive(ring)
-                if not geom.ring_is_valid(ring):
+                plain = geom.ring_is_valid(ring) and (
+                    not repair or overlay.ring_is_simple(geom.ensure_closed(ring))
+                )
+                if plain:
+                    ring = geom.ensure_orientation(geom.ensure_closed(ring), ccw=True)
+                    rings_out = [ring]
+                    area = abs(geom.ring_signed_area(ring))
+                    wkb = polygon_wkb([ring])
+                elif repair and len(ring) >= 3:
+                    polys = overlay.repair_ring(geom.ensure_closed(ring))
+                    if not polys:
+                        continue
+                    rings_out = [r for p in polys for r in p]
+                    area = sum(
+                        abs(geom.ring_signed_area(p[0]))
+                        - sum(abs(geom.ring_signed_area(h)) for h in p[1:])
+                        for p in polys
+                    )
+                    wkb = (
+                        multipolygon_wkb(polys)
+                        if len(polys) > 1
+                        else polygon_wkb(polys[0])
+                    )
+                else:
                     continue
-                ring = geom.ensure_orientation(geom.ensure_closed(ring), ccw=True)
                 out_rows.append(
                     {
                         "id": rid,
                         "tags": tags,
-                        "rings": [ring.tolist()],
-                        "area": abs(geom.ring_signed_area(ring)),
-                        "wkb": polygon_wkb([ring]),
+                        "rings": [r.tolist() for r in rings_out],
+                        "area": area,
+                        "wkb": wkb,
                     }
                 )
             yield pd.DataFrame(
@@ -182,14 +213,20 @@ def _finalize_relation(
     rel_tags: dict,
     merge: kr.MergeResult,
     ways_meta: list[tuple[int, dict, float | None]],
+    builder: str = "contains",
 ) -> pd.DataFrame:
     """Shared tail of both assembly paths: nest rings, inherit tags (A4),
     decide way suppression (P4), emit the output row.
 
     ways_meta: (way_id, way_tags, outer_area) — outer_area is the way's own
     shoelace area if it is a closed >=4-point ring, else None.
+    builder: A3 strategy — 'contains' (nesting, the reference default) or
+    'union' (arrangement overlay, tolerant of overlapping/crossing rings).
     """
-    mp = kr.build_multipolygon(merge)
+    if builder == "union":
+        mp = kr.build_multipolygon_union(merge)
+    else:
+        mp = kr.build_multipolygon(merge)
     if not mp.polygons:
         return pd.DataFrame(columns=_REL_OUT_COLUMNS)
 
@@ -222,21 +259,24 @@ def _way_meta(way_id, way_tags, coords: np.ndarray) -> tuple[int, dict, float | 
     return (int(way_id), dict(way_tags or {}), outer_area)
 
 
-def _assemble_relation_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Kernel for one relation group (rows = resolved member ways)."""
-    rel_id = int(pdf["rel_id"].iloc[0])
-    rel_tags = dict(pdf["rel_tags"].iloc[0] or {})
+def _make_assemble_kernel(builder: str):
+    def _assemble_relation_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Kernel for one relation group (rows = resolved member ways)."""
+        rel_id = int(pdf["rel_id"].iloc[0])
+        rel_tags = dict(pdf["rel_tags"].iloc[0] or {})
 
-    pdf = pdf.sort_values("way_id")
-    coords_list = [
-        np.asarray([list(p) for p in c], dtype=np.float64) for c in pdf["coords"]
-    ]
-    ways_meta = [
-        _way_meta(wid, wtags, c)
-        for wid, wtags, c in zip(pdf["way_id"], pdf["way_tags"], coords_list)
-    ]
-    merge = kr.merge_rings(coords_list)
-    return _finalize_relation(rel_id, rel_tags, merge, ways_meta)
+        pdf = pdf.sort_values("way_id")
+        coords_list = [
+            np.asarray([list(p) for p in c], dtype=np.float64) for c in pdf["coords"]
+        ]
+        ways_meta = [
+            _way_meta(wid, wtags, c)
+            for wid, wtags, c in zip(pdf["way_id"], pdf["way_tags"], coords_list)
+        ]
+        merge = kr.merge_rings(coords_list)
+        return _finalize_relation(rel_id, rel_tags, merge, ways_meta, builder)
+
+    return _assemble_relation_group
 
 
 # O10b: AQE cannot split a single applyInPandas group, so a mega-relation
@@ -292,7 +332,14 @@ def _partial_merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def _finalize_chunked_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _make_finalize_chunked_kernel(builder: str):
+    def _finalize_chunked_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _finalize_chunked_group_impl(pdf, builder)
+
+    return _finalize_chunked_group
+
+
+def _finalize_chunked_group_impl(pdf: pd.DataFrame, builder: str) -> pd.DataFrame:
     """Stage-B kernel: stitch cross-chunk chains, validity-filter, nest, and
     emit the same row the single-stage kernel would."""
     rel_id = int(pdf["rel_id"].iloc[0])
@@ -320,13 +367,14 @@ def _finalize_chunked_group(pdf: pd.DataFrame) -> pd.DataFrame:
             meta["way_id"], meta["way_tags"], meta["outer_area"]
         )
     ]
-    return _finalize_relation(rel_id, rel_tags, merge, ways_meta)
+    return _finalize_relation(rel_id, rel_tags, merge, ways_meta, builder)
 
 
 def assemble_relations(
     relations: DataFrame,
     assembled_ways: DataFrame,
     max_members: int = MAX_MEMBERS_PER_GROUP,
+    relation_builder: str = "contains",
 ) -> DataFrame:
     """J2 + A2-A4: -> one row per buildable relation (see _REL_OUT_SCHEMA).
 
@@ -337,6 +385,10 @@ def assemble_relations(
     chunked two-stage path (O10b, see MAX_MEMBERS_PER_GROUP above); output is
     identical to the single-stage path (tests/test_assemble.py proves it on a
     synthetic 10^4-member relation).
+
+    relation_builder: 'contains' (default, reference default) or 'union'
+    (imposm --relation-builder=union analog, kernels.overlay) — affects only
+    the per-group nesting kernel, not the plan shape.
     """
     # Size routing is decided BEFORE the fat resolve join, from the members
     # array itself: `_n` = way-member count, stamped per exploded row for free
@@ -371,7 +423,7 @@ def assemble_relations(
         resolved.where(F.col("_n") <= max_members)
         .drop("_n")
         .groupBy("rel_id")
-        .applyInPandas(_assemble_relation_group, schema=_REL_OUT_SCHEMA)
+        .applyInPandas(_make_assemble_kernel(relation_builder), schema=_REL_OUT_SCHEMA)
     )
 
     chunked = resolved.where(F.col("_n") > max_members).withColumn(
@@ -382,7 +434,7 @@ def assemble_relations(
         _partial_merge_group, schema=_PARTIAL_SCHEMA
     )
     big_out = partial.groupBy("rel_id").applyInPandas(
-        _finalize_chunked_group, schema=_REL_OUT_SCHEMA
+        _make_finalize_chunked_kernel(relation_builder), schema=_REL_OUT_SCHEMA
     )
     return small_out.unionByName(big_out)
 

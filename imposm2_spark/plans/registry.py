@@ -555,6 +555,73 @@ def q_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNION_BUILDER_ORACLE = """
+SELECT CAST(rel_id AS BIGINT) AS rel_id, CAST(area AS DOUBLE) AS area,
+       CAST(n_polys AS INTEGER) AS n_polys, CAST(n_rings AS INTEGER) AS n_rings
+FROM (VALUES
+  (1, 96.0, 1, 2),
+  (2, 175.0, 1, 1),
+  (3, 83.0, 1, 2),
+  (4, 68.0, 2, 3)
+) AS t(rel_id, area, n_polys, n_rings)
+"""
+
+
+@register("relation_multipolygon_union", oracle=_UNION_BUILDER_ORACLE)
+def q_relation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 `union` relation-builder (imposm --relation-builder=union analog,
+    kernels.overlay): UR-1..4 fixture covers nested (== contains), merged
+    overlapping outers, unioned overlapping inners, and island-in-hole.
+    Golden rows hand-derived in fixtures.make_union_fixture."""
+    from ..operators.assemble import assemble_relations, assemble_ways
+
+    nodes, ways, relations = fixtures.union_osm_dfs(spark)
+    aw = assemble_ways(ways, nodes.select("id", "lon", "lat"))
+    rels = assemble_relations(relations, aw, relation_builder="union")
+    return rels.select(
+        "rel_id",
+        F.round("area", 9).alias("area"),
+        F.size("polygons").alias("n_polys"),
+        "n_rings",
+    )
+
+
+_REPAIR_ORACLE = """
+SELECT CAST(id AS BIGINT) AS id, CAST(n_rings AS INTEGER) AS n_rings,
+       CAST(area AS DOUBLE) AS area
+FROM (VALUES
+  (1, 1, 100.0),
+  (2, 2, 8.0),
+  (3, 2, 21.428571),
+  (4, 1, 12.0)
+) AS t(id, n_rings, area)
+"""
+
+
+@register("repair_self_intersections", oracle=_REPAIR_ORACLE)
+def q_repair_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 buffer(0)-equivalent repair (ST_MakeValid linework semantics,
+    kernels.overlay.repair_ring) through way_polygons(repair=True): a valid
+    square passes byte-identically, a zero-shoelace bowtie splits into two
+    lobes (area 8), a nonzero-shoelace hourglass splits too (area 150/7 —
+    the case P5's area test alone cannot catch), a concave valid ring is
+    untouched."""
+    from ..operators.assemble import way_polygons
+
+    rows = [
+        (1, {}, [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]),
+        (2, {}, [[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]),
+        (3, {}, [[0.0, 0.0], [6.0, 6.0], [6.0, 0.0], [0.0, 8.0], [0.0, 0.0]]),
+        (4, {}, [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, 2.0], [0.0, 4.0], [0.0, 0.0]]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, tags map<string,string>, coords array<array<double>>"
+    )
+    return way_polygons(df, repair=True).select(
+        "id", F.size("rings").alias("n_rings"), F.round("area", 6).alias("area")
+    )
+
+
 @register("import_pipeline_landusages", oracle=golden.IMPORT_PIPELINE_LANDUSAGES)
 def q_import_landusages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import defaultmapping as dm

@@ -260,6 +260,89 @@ def make_osm_fixture() -> tuple[list, list, list]:
     return nodes, ways, relations
 
 
+def make_union_fixture() -> tuple[list, list, list]:
+    """UR-1..4: relation cases that distinguish the A3 `union` builder from
+    `contains` (kernels.overlay). Separate id space from MP-01..09 so the
+    frozen MP goldens never move. Hand-derived expectations:
+
+      UR-1 nested shell+hole          -> area 96,  1 poly, 2 rings (== contains)
+      UR-2 overlapping outers         -> area 175, 1 poly, 1 ring  (merged)
+      UR-3 overlapping inners in shell-> area 83,  1 poly, 2 rings (holes union)
+      UR-4 island inside a hole       -> area 68,  2 polys, 3 rings
+    """
+    nodes, ways, relations = [], [], []
+
+    def add_nodes(case: int, pts: list[tuple[float, float]], start: int = 0) -> list[int]:
+        ids = []
+        for k, (x, y) in enumerate(pts, start=start):
+            nid = case * 1000 + k
+            nodes.append((nid, float(x), float(y), {}))
+            ids.append(nid)
+        return ids
+
+    def rect(x0, y0, x1, y1):
+        return [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+
+    # UR-1 nested
+    o = add_nodes(1, rect(0, 0, 10, 10))
+    i = add_nodes(1, rect(2, 2, 4, 4), start=10)
+    ways.append((11, o + o[:1], {}))
+    ways.append((12, i + i[:1], {}))
+    relations.append(
+        (1, [(11, "way", "outer"), (12, "way", "inner")],
+         {"type": "multipolygon", "landuse": "park"})
+    )
+
+    # UR-2 overlapping outers; first split across two open ways (A2 exercised)
+    o1 = add_nodes(2, rect(0, 0, 10, 10))
+    o2 = add_nodes(2, rect(5, 5, 15, 15), start=10)
+    ways.append((21, [o1[0], o1[1], o1[2]], {}))
+    ways.append((22, [o1[2], o1[3], o1[0]], {}))
+    ways.append((23, o2 + o2[:1], {}))
+    relations.append(
+        (2, [(21, "way", "outer"), (22, "way", "outer"), (23, "way", "outer")],
+         {"type": "multipolygon", "natural": "water"})
+    )
+
+    # UR-3 overlapping inners
+    o = add_nodes(3, rect(0, 0, 10, 10))
+    i1 = add_nodes(3, rect(2, 2, 5, 5), start=10)
+    i2 = add_nodes(3, rect(4, 4, 7, 7), start=20)
+    ways.append((31, o + o[:1], {}))
+    ways.append((32, i1 + i1[:1], {}))
+    ways.append((33, i2 + i2[:1], {}))
+    relations.append(
+        (3, [(31, "way", "outer"), (32, "way", "inner"), (33, "way", "inner")],
+         {"type": "multipolygon", "landuse": "forest"})
+    )
+
+    # UR-4 island in hole
+    o = add_nodes(4, rect(0, 0, 10, 10))
+    h = add_nodes(4, rect(2, 2, 8, 8), start=10)
+    isl = add_nodes(4, rect(4, 4, 6, 6), start=20)
+    ways.append((41, o + o[:1], {}))
+    ways.append((42, h + h[:1], {}))
+    ways.append((43, isl + isl[:1], {}))
+    relations.append(
+        (4, [(41, "way", "outer"), (42, "way", "inner"), (43, "way", "outer")],
+         {"type": "multipolygon", "landuse": "meadow"})
+    )
+    return nodes, ways, relations
+
+
+def union_osm_dfs(spark):
+    nodes, ways, relations = make_union_fixture()
+    return (
+        spark.createDataFrame(nodes, OSM_NODES_SCHEMA),
+        spark.createDataFrame(ways, OSM_WAYS_SCHEMA),
+        spark.createDataFrame(
+            [(rid, [{"ref": r, "type": t, "role": ro} for r, t, ro in m], tags)
+             for rid, m, tags in relations],
+            OSM_RELATIONS_SCHEMA,
+        ),
+    )
+
+
 def osm_dfs(spark):
     nodes, ways, relations = make_osm_fixture()
     return (
