@@ -175,6 +175,233 @@ def cosine_topk_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF scale path (inverted-file partitioning, the second classic ANN family
+# next to LSH): corpus is assigned once to n_lists coarse centroids; a query
+# scores only its nprobe closest lists. SURVEY §2 training-data ops: "IVF or
+# LSH-bucketed variant as the scale path" — both now exist.
+# ---------------------------------------------------------------------------
+N_LISTS = 16
+N_PROBE = 4
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_lists: int = N_LISTS,
+    train_cap: int = 4096,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample (standard IVF
+    practice: train on a sample, assign the full corpus distributed).
+
+    Determinism, required for resume/lineage (§2.9): the sample is the first
+    `train_cap` rows by id (one limit-capped collect — bounded driver memory,
+    no toLocalIterator), init is the first n_lists sampled vectors, argmax
+    ties break to the lowest centroid index, and Lloyd runs a FIXED iteration
+    count — same corpus in, same centroids out, no runtime randomness."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_cap).collect()
+    )
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    n_lists = min(n_lists, len(X))
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms == 0, 1.0, norms)
+    C = Xn[:n_lists].copy()
+    for _ in range(iters):
+        sims = Xn @ C.T
+        assign = np.argmax(sims, axis=1)  # first-max: lowest index wins ties
+        for j in range(n_lists):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                ln = np.linalg.norm(m)
+                if ln > 0:
+                    C[j] = m / ln
+    return C
+
+
+def _normed(centroids: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids / np.where(n == 0, 1.0, n)
+
+
+def _make_assign_udf(centroids: np.ndarray):
+    cn = _normed(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / np.where(norms == 0, 1.0, norms)) @ cn.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _make_probe_udf(centroids: np.ndarray, nprobe: int):
+    cn = _normed(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / np.where(norms == 0, 1.0, norms)) @ cn.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return probes
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_lists: int = N_LISTS,
+    nprobe: int = N_PROBE,
+    centroids: np.ndarray | None = None,
+    train_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+) -> DataFrame:
+    """IVF cosine top-k: corpus assigned once to its closest list (one Arrow
+    pass, linear), each query equi-joins only its nprobe probe lists — the
+    scored candidate set is ~nprobe/n_lists of the corpus per query instead
+    of all of it. nprobe == n_lists degenerates to exact brute-force (every
+    vector is a candidate exactly once) — that configuration IS the driver
+    oracle gate; recall at nprobe < n_lists is property-tested on planted
+    near-dups. Hot lists (skewed data) stay correct: no bucket cap on the
+    search path; AQE splits oversized join partitions at runtime."""
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_lists, train_cap, id_col=id_col, vec_col=vec_col
+        )
+    assign = _make_assign_udf(centroids)
+    probe = _make_probe_udf(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+        assign(F.col(vec_col)).alias("_list"),
+    ).withColumn("_nn", _norm2(F.col("_v")))
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id),
+            _as_double(F.col(vec_col)).alias("_q"),
+            probe(F.col(vec_col)).alias("_probes"),
+        )
+        .withColumn("_qn", _norm2(F.col("_q")))
+        .select(query_id, "_q", "_qn", F.explode("_probes").alias("_list"))
+    )
+    cand = (
+        c.join(F.broadcast(q), "_list")
+        .where(F.col(id_col) != F.col(query_id))
+        .withColumn(
+            "_sim", _dot(F.col("_q"), F.col("_v")) / F.sqrt(F.col("_qn") * F.col("_nn"))
+        )
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "rank")
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = N_LISTS,
+    centroids: np.ndarray | None = None,
+    train_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist the IVF index as list-partitioned parquet (S7-style sink): at
+    10^12 rows the index is built once and every search afterwards reads ONLY
+    its probe lists via partition pruning — no full-corpus scan, no re-assign.
+    Centroids ride along as a tiny `_centroids.npy` next to the data."""
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_lists, train_cap, id_col=id_col, vec_col=vec_col
+        )
+    assign = _make_assign_udf(centroids)
+    (
+        corpus.withColumn("_list", assign(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("_list")
+        .parquet(path)
+    )
+    import os
+
+    np.save(os.path.join(path, "_centroids.npy"), centroids)
+    return centroids
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Search a persisted IVF index with partition pruning: the union of the
+    query batch's probe lists becomes a static IN filter on the partition
+    column, so the parquet scan touches only those directories
+    (tests/test_plans.py asserts the PartitionFilters in the plan). The
+    probe-list pull is one bounded collect (queries are the small side by
+    contract — they are broadcast into the join anyway)."""
+    import os
+
+    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    probe = _make_probe_udf(centroids, nprobe)
+    q_assigned = (
+        queries.select(
+            F.col(id_col).alias(query_id),
+            _as_double(F.col(vec_col)).alias("_q"),
+            probe(F.col(vec_col)).alias("_probes"),
+        )
+        .withColumn("_qn", _norm2(F.col("_q")))
+        .select(query_id, "_q", "_qn", F.explode("_probes").alias("_list"))
+    )
+    # queries are the small side by contract (they broadcast into the join),
+    # so one bounded collect materializes them: the probe UDF runs exactly
+    # once and the pruning filter is derived from the same rows that join
+    rows = q_assigned.collect()
+    probe_lists = sorted({r["_list"] for r in rows})
+    q_local = spark.createDataFrame(rows, q_assigned.schema)
+    c = (
+        spark.read.parquet(path)
+        .where(F.col("_list").isin(probe_lists))
+        .select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("_v"),
+            "_list",
+        )
+        .withColumn("_nn", _norm2(F.col("_v")))
+    )
+    cand = (
+        c.join(F.broadcast(q_local), "_list")
+        .where(F.col(id_col) != F.col(query_id))
+        .withColumn(
+            "_sim",
+            _dot(F.col("_q"), F.col("_v")) / F.sqrt(F.col("_qn") * F.col("_nn")),
+        )
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "rank")
+    )
+
+
 def embedding_neardup_window(
     corpus: DataFrame,
     threshold: float,

@@ -1152,6 +1152,35 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_ivf",
+    oracle=f"""
+WITH n AS ({_EMB_NORMED_SQL}),
+q AS (SELECT vec_id AS qid, v, nn FROM n WHERE vec_id < 10)
+SELECT qid, vec_id, rank FROM (
+  SELECT q.qid, n.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_COS_SQL.format(a='q', b='n')} DESC, n.vec_id ASC) AS rank
+  FROM q JOIN n ON n.vec_id <> q.qid) t
+WHERE rank <= 5
+""",
+)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF plumbing exactness gate: with nprobe == n_lists every corpus vector
+    is a candidate exactly once (each belongs to one list; the query probes
+    all lists), so the result is the exact brute top-k and the brute oracle
+    applies verbatim — this checks centroid training, assignment, the probe
+    join and ranking end-to-end. Recall at nprobe < n_lists is the
+    approximate path and is property-tested on planted near-dups
+    (tests/test_ann_dedup.py)."""
+    from ..operators.ann import N_LISTS, cosine_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=N_LISTS
+    )
+
+
+@register(
     "embedding_neardup_window",
     oracle=f"""
 WITH n AS ({_EMB_NORMED_SQL})

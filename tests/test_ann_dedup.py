@@ -134,6 +134,66 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert all(q < 16 for q, _ in approx)
 
 
+def test_ann_ivf_exact_when_probe_all(spark):
+    """nprobe == n_lists must degenerate to exact brute-force: every corpus
+    vector is in exactly one list and the query probes all of them."""
+    from imposm2_spark.operators.ann import N_LISTS, cosine_topk_brute, cosine_topk_ivf
+
+    emb = _emb_df(spark)
+    queries = emb.where(F.col("vec_id") < 16)
+    brute = {(r.qid, r.vec_id, r.rank) for r in cosine_topk_brute(emb, queries, k=3).collect()}
+    ivf = {(r.qid, r.vec_id, r.rank)
+           for r in cosine_topk_ivf(emb, queries, k=3, nprobe=N_LISTS).collect()}
+    assert ivf == brute
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    from imposm2_spark.operators.ann import cosine_topk_brute, cosine_topk_ivf
+
+    emb = _emb_df(spark)
+    queries = emb.where(F.col("vec_id") < 16)  # 8 planted pairs among queries
+    brute = {(r.qid, r.vec_id) for r in cosine_topk_brute(emb, queries, k=1).collect()}
+    approx = {(r.qid, r.vec_id)
+              for r in cosine_topk_ivf(emb, queries, k=1, nprobe=4).collect()}
+    # a ~0.9999-cosine partner lands in the same (or a probed) coarse list
+    assert len(brute & approx) / len(brute) >= 0.8
+
+
+def test_ann_ivf_indexed_matches_and_prunes(spark, tmp_path):
+    """Persisted index: same rows as the in-memory path at equal nprobe, and
+    the parquet scan is partition-pruned to the probe lists."""
+    from imposm2_spark.operators.ann import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = _emb_df(spark)
+    queries = emb.where(F.col("vec_id") < 16)
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(emb, path)
+    indexed = cosine_topk_ivf_indexed(spark, path, queries, k=3, nprobe=4)
+    mem = cosine_topk_ivf(emb, queries, k=3, nprobe=4, centroids=cents)
+    assert {tuple(r) for r in indexed.collect()} == {tuple(r) for r in mem.collect()}
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan.split("PartitionFilters")[1][:200]
+    # centroids round-trip with the index
+    reread = train_centroids(emb)
+    assert np.allclose(cents, reread)
+
+
+def test_ivf_centroids_deterministic_unit_norm(spark):
+    from imposm2_spark.operators.ann import train_centroids
+
+    emb = _emb_df(spark)
+    a = train_centroids(emb)
+    b = train_centroids(emb)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+    assert a.shape == (16, 64)
+
+
 def test_dedup_connected_components_vs_union_find(spark):
     """Min-label propagation matches a driver-side union-find on a graph with
     a long chain (diameter > 1 forces multiple propagation rounds), a
