@@ -1,0 +1,162 @@
+"""Training-data curation operators beyond dedup: decontamination, stratified
+sampling, sequence packing.
+
+Graft additions (no imposm2 analog; SURVEY.md training-data ops group — the
+three standard corpus-preparation steps between "curated documents" and
+"training batches"):
+
+  * contamination_hits / decontaminate — benchmark decontamination: a train
+    document is contaminated iff it shares at least one word-n-gram (default
+    n=13, the publicly standard choice from the GPT-3/PaLM eval protocols)
+    with the test set. Candidate generation is an equi-join on the n-gram
+    rolling hash: the (small) test side's distinct gram set broadcasts, so at
+    10^12 train docs the plan is one linear explode + broadcast-hash
+    semi-style join — never an all-pairs text comparison.
+  * stratified_sample — deterministic per-stratum downsampling (the "data
+    mixing weights" step): keep iff an integer LCG hash of the id falls below
+    the stratum's rate threshold. No runtime randomness (resume/lineage §2.9:
+    re-running yields the same sample), no shuffle — a pure codegen filter.
+  * pack_sequences — greedy first-fit-in-order packing of documents into
+    fixed token-budget training sequences. Sequential by construction, so it
+    parallelizes BY SHARD: rows are hash-sharded, each shard packs
+    independently inside one applyInPandas group (a tight NumPy loop over the
+    group — batch-level work). seq ids are (shard, seq_in_shard) pairs, which
+    is exactly how a 1000-executor run would emit them.
+
+All hashing is integer (rolling 31-polynomial mod 1e9+7 + the shared _COMBINE
+fold), bit-identical to the DuckDB oracle twins in plans.registry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import CHAR_MOD, token_count_ws
+from .dedup import _COMBINE, token_hashes
+
+DECONTAM_N = 13  # word-n-gram order for benchmark-overlap checks
+
+# sampling LCG (fits BIGINT: (P-1)*A < 2^63)
+SAMPLE_P = 2_147_483_647
+SAMPLE_A = 1_103_515_245
+SAMPLE_B = 12_345
+
+
+def ngram_hashes(th: F.Column, n: int) -> F.Column:
+    """Word-n-gram rolling hashes from token hashes (generalizes the fixed
+    3-gram shingle_hashes): gram_i = fold_{j=1..n-1} (acc*C + h_{i+j}) % M
+    seeded with h_i. Fewer than n tokens -> empty array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(th) - (n - 1)),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(1), F.lit(n - 1)),
+            F.element_at(th, i),
+            lambda acc, j: (acc * _COMBINE + F.element_at(th, i + j)) % CHAR_MOD,
+        ),
+    )
+    return F.when(F.size(th) >= n, grams).otherwise(F.array().cast("array<long>"))
+
+
+def contamination_hits(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = DECONTAM_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_hits): count of DISTINCT train-doc n-grams that appear anywhere
+    in the test set. Only contaminated docs appear (n_hits >= 1)."""
+    tr = train.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngram_hashes(token_hashes(F.col(text_col)), n))
+        ).alias("_g"),
+    )
+    te = (
+        test.select(
+            F.explode(ngram_hashes(token_hashes(F.col(text_col)), n)).alias("_g")
+        )
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(te), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = DECONTAM_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train rows with every test-overlapping document removed (anti-join on
+    the contamination hits)."""
+    hits = contamination_hits(train, test, n, id_col, text_col)
+    return train.join(hits.select(id_col), id_col, "left_anti")
+
+
+def sample_hash(id_col: str = "doc_id") -> F.Column:
+    """Deterministic LCG hash of a nonnegative integer id into [0, SAMPLE_P)."""
+    return ((F.col(id_col) % SAMPLE_P) * SAMPLE_A + SAMPLE_B) % SAMPLE_P
+
+
+def stratified_sample(
+    df: DataFrame, rate: F.Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction per row (rate may be any Column
+    expression, typically derived from a stratum column): keep iff
+    lcg(id) < floor(rate * P). Pure codegen filter — no shuffle, no RNG."""
+    thr = F.floor(rate * F.lit(SAMPLE_P)).cast("long")
+    return df.where(sample_hash(id_col) < thr)
+
+
+_PACK_SCHEMA = "shard int, doc_id long, n_tok long, seq_id long"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy in-order sequence packing: within each shard (id hash), docs are
+    taken in ascending id order; a doc joins the current sequence unless that
+    would exceed `budget` whitespace tokens, in which case it starts the next
+    one. A single doc larger than the budget gets its own sequence (never
+    dropped or split). Returns (shard, doc_id, n_tok, seq_id) with seq_id
+    counted per shard.
+
+    The greedy scan is inherently sequential, so parallelism comes from
+    sharding — each applyInPandas group runs one tight NumPy loop. At 10^12
+    docs, n_shards is sized to executor count; group size stays bounded at
+    |corpus|/n_shards rows of (id, n_tok) only — no text shuffles."""
+    toks = docs.select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        token_count_ws(F.col(text_col)).alias("n_tok"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        n_tok = pdf["n_tok"].to_numpy()
+        seq = np.empty(len(pdf), dtype=np.int64)
+        acc = 0
+        cur = -1
+        for i, t in enumerate(n_tok):
+            if cur < 0 or acc + t > budget:
+                cur += 1
+                acc = int(t)
+            else:
+                acc += int(t)
+            seq[i] = cur
+        pdf["seq_id"] = seq
+        return pdf[["shard", "doc_id", "n_tok", "seq_id"]]
+
+    return toks.groupBy("shard").applyInPandas(_pack, _PACK_SCHEMA)

@@ -175,6 +175,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 # ---------------------------------------------------------------------------
 # Aggregation core (A-class ops): pricing summary with exact-decimal sums.
 # ---------------------------------------------------------------------------
@@ -751,6 +753,109 @@ _WS_TOKS_SQL = (
     "CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
     "ELSE regexp_split_to_array(trim(text), '\\s+') END"
 )
+
+# ---------------------------------------------------------------------------
+# Curation ops beyond dedup (operators/curation.py): benchmark
+# decontamination, deterministic stratified sampling, sequence packing.
+# ---------------------------------------------------------------------------
+_NGRAM13_SQL = (
+    "list_transform(generate_series(1, len(h)-12), i -> "
+    "list_reduce(list_prepend(h[i], list_transform(generate_series(1, 12), "
+    f"j -> h[i+j])), (a, b) -> (a*{_COMBINE} + b) % {CHAR_MOD}))"
+)
+
+_DECONTAM_ORACLE = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+train AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 37 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text FROM base WHERE doc_id % 37 = 0),
+test AS (SELECT text FROM base WHERE doc_id % 37 = 0),
+tr_th AS (SELECT doc_id, {_TOKH_SQL} AS h FROM train),
+te_th AS (SELECT {_TOKH_SQL} AS h FROM test),
+tr_g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(h) >= 13 THEN {_NGRAM13_SQL}
+         ELSE CAST([] AS BIGINT[]) END)) AS g
+  FROM tr_th),
+te_g AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(h) >= 13 THEN {_NGRAM13_SQL}
+         ELSE CAST([] AS BIGINT[]) END) AS g
+  FROM te_th)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr_g JOIN te_g USING (g)
+GROUP BY doc_id
+"""
+
+
+@register("decontaminate_train_test", oracle=_DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram overlap, the GPT-3/PaLM protocol
+    shape): the test split is every 37th doc; the train split is the rest
+    PLUS planted verbatim copies of the test docs (id + 1e9) — those copies
+    must surface with full-gram hit counts; sub-13-token docs plant nothing."""
+    from ..operators.curation import contamination_hits
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    test = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0).unionByName(
+        test.select((F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text")
+    )
+    return contamination_hits(train, test)
+
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, source FROM documents
+WHERE ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+      < CAST(floor((CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1)
+                   * CAST(0.2 AS DOUBLE) * 2147483647) AS BIGINT)
+"""
+
+
+@register("sample_stratified", oracle=_SAMPLE_ORACLE)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data-mixing weights): per-source
+    rate = (suffix % 4 + 1) * 0.2, keep iff lcg(doc_id) under the threshold.
+    Pure codegen filter — rerunning yields the identical sample (§2.9)."""
+    from ..operators.curation import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    rate = (
+        (F.regexp_extract(F.col("source"), "([0-9]+)$", 1).cast("int") % 4 + 1)
+        * F.lit(0.2)
+    )
+    return stratified_sample(docs, rate)
+
+
+_PACK_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+packed AS (
+  SELECT shard, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS seq_id, n_tok AS acc
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.doc_id, t.n_tok, t.rn,
+         CASE WHEN p.acc + t.n_tok > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + t.n_tok > 512 THEN t.n_tok ELSE p.acc + t.n_tok END
+  FROM toks t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1)
+SELECT shard, doc_id, n_tok, seq_id FROM packed
+"""
+
+
+@register("pack_sequences_512", oracle=_PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order token-budget packing into training sequences, 8 shards
+    x 512-token budget; the DuckDB twin replays the same greedy scan as a
+    recursive CTE, so every (doc -> sequence) assignment is oracle-checked."""
+    from ..operators.curation import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=512, n_shards=8)
 
 
 def _stop_in(lang: str) -> str:

@@ -1,0 +1,136 @@
+"""operators.curation: decontamination, stratified sampling, sequence packing.
+
+Property-level gates on top of the driver's row-exact oracles: planted
+contamination is removed and nothing else, sampling is a deterministic subset
+at roughly the requested rate, and packing matches an independent reference
+greedy scan with every bin within budget.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _docs(spark, n=200):
+    rows = []
+    for i in range(n):
+        words = [f"w{(i * 13 + j * 7) % 97}" for j in range(10 + (i * 31) % 40)]
+        rows.append((i, " ".join(words), f"src{i % 5}"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+class TestDecontaminate:
+    def test_planted_copies_flagged_and_removed(self, spark):
+        from imposm2_spark.operators.curation import contamination_hits, decontaminate
+
+        docs = _docs(spark)
+        test = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        clean_train = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+        planted = test.select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+        )
+        train = clean_train.unionByName(planted)
+
+        hits = {r.doc_id: r.n_hits for r in contamination_hits(train, test).collect()}
+        planted_ids = {r.doc_id for r in planted.collect()}
+        # every planted full copy with >= 13 tokens is flagged
+        long_enough = {
+            r.doc_id + 10_000
+            for r in test.collect()
+            if len(r.text.split()) >= 13
+        }
+        assert long_enough <= set(hits)
+        assert all(h >= 1 for h in hits.values())
+
+        kept = {r.doc_id for r in decontaminate(train, test).collect()}
+        assert kept.isdisjoint(long_enough)
+        # docs too short to carry a 13-gram are never flagged
+        assert (planted_ids - long_enough) <= kept
+
+    def test_hit_count_equals_distinct_grams(self, spark):
+        from imposm2_spark.operators.curation import contamination_hits
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(20)))], ["doc_id", "text"]
+        )
+        copy = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+        hits = contamination_hits(copy, docs).collect()
+        # 20 tokens -> 8 distinct 13-grams, all shared
+        assert hits == [type(hits[0])(doc_id=101, n_hits=8)] or (
+            hits[0].doc_id == 101 and hits[0].n_hits == 8
+        )
+
+
+class TestStratifiedSample:
+    def test_deterministic_subset_at_rate(self, spark):
+        from imposm2_spark.operators.curation import stratified_sample
+
+        docs = _docs(spark, n=2000)
+        rate = F.when(F.col("source") == "src0", F.lit(0.8)).otherwise(F.lit(0.2))
+        a = {r.doc_id for r in stratified_sample(docs, rate).collect()}
+        b = {r.doc_id for r in stratified_sample(docs, rate).collect()}
+        assert a == b  # rerun-identical (no RNG)
+        assert a <= {r.doc_id for r in docs.collect()}
+        src0 = {r.doc_id for r in docs.where(F.col("source") == "src0").collect()}
+        rest = {r.doc_id for r in docs.where(F.col("source") != "src0").collect()}
+        assert 0.65 <= len(a & src0) / len(src0) <= 0.95
+        assert 0.1 <= len(a & rest) / len(rest) <= 0.3
+
+    def test_rate_bounds(self, spark):
+        from imposm2_spark.operators.curation import stratified_sample
+
+        docs = _docs(spark, n=100)
+        assert stratified_sample(docs, F.lit(0.0)).count() == 0
+        assert stratified_sample(docs, F.lit(1.0)).count() == 100
+
+
+class TestPackSequences:
+    def test_matches_reference_greedy_and_budget(self, spark):
+        from imposm2_spark.operators.curation import pack_sequences
+
+        docs = _docs(spark, n=300)
+        budget, n_shards = 128, 4
+        out = pack_sequences(docs, budget=budget, n_shards=n_shards).collect()
+        got = {(r.shard, r.doc_id): r.seq_id for r in out}
+
+        # independent reference scan
+        toks = {
+            r.doc_id: len(r.text.split()) for r in docs.collect()
+        }
+        want = {}
+        for shard in range(n_shards):
+            ids = sorted(i for i in toks if i % n_shards == shard)
+            acc, cur = 0, -1
+            for i in ids:
+                if cur < 0 or acc + toks[i] > budget:
+                    cur += 1
+                    acc = toks[i]
+                else:
+                    acc += toks[i]
+                want[(shard, i)] = cur
+        assert got == want
+
+        # every multi-doc sequence fits the budget
+        seq_tot: dict = {}
+        seq_n: dict = {}
+        for r in out:
+            seq_tot[(r.shard, r.seq_id)] = seq_tot.get((r.shard, r.seq_id), 0) + r.n_tok
+            seq_n[(r.shard, r.seq_id)] = seq_n.get((r.shard, r.seq_id), 0) + 1
+        for k, tot in seq_tot.items():
+            assert tot <= budget or seq_n[k] == 1
+
+    def test_oversized_doc_own_sequence(self, spark):
+        from imposm2_spark.operators.curation import pack_sequences
+
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(["a"] * 10)),
+                (4, " ".join(["b"] * 999)),  # over budget alone
+                (8, " ".join(["c"] * 10)),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.seq_id for r in pack_sequences(docs, budget=100, n_shards=4).collect()}
+        assert out == {0: 0, 4: 1, 8: 2}
