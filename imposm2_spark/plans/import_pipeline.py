@@ -38,6 +38,8 @@ def import_tables(
     relations: DataFrame,
     specs: list[M.TableSpec],
     tag_whitelist: bool = True,
+    relation_builder: str = "contains",
+    repair_rings: bool = False,
 ) -> dict[str, DataFrame]:
     """-> {table_name: DataFrame with id, mapped field columns, geometry cols}.
 
@@ -46,7 +48,13 @@ def import_tables(
     tag_filter) — full tag maps never shuffle through J1/J2, and P4
     suppression sees exactly the tags the configured mapping would keep
     (a way whose only distinct tag is unmapped IS suppressed, as in the
-    reference)."""
+    reference).
+
+    relation_builder: A3 strategy, 'contains' (reference default) or 'union'
+    (imposm --relation-builder flag analog; kernels.overlay).
+    repair_rings (G5, default off): self-intersecting way rings are rebuilt
+    under the even-odd rule instead of dropped (way pass only; relation ring
+    validity is the merge kernel's)."""
     if tag_whitelist:
         keys = M.spec_tag_keys(specs)
         nodes = M.prune_tags(nodes, keys)
@@ -84,7 +92,9 @@ def import_tables(
     aw = assemble_ways(pruned_ways, nodes.select("id", "lon", "lat")).cache()
 
     # ---- relation pass (before way pass, by dependency) ----
-    rel_out = assemble_relations(interesting_rels, aw).cache()
+    rel_out = assemble_relations(
+        interesting_rels, aw, relation_builder=relation_builder
+    ).cache()
     if poly_specs:
         rel_elements = rel_out.select(
             F.col("rel_id").alias("id"), "tags", "polygons", "area", "wkb"
@@ -101,7 +111,9 @@ def import_tables(
         for s in line_specs:
             out[s.name] = M.apply_fields(routed_lines, s)
     if poly_specs:
-        polys = way_polygons(surviving).select("id", "rings", "area", "wkb")
+        polys = way_polygons(surviving, repair=repair_rings).select(
+            "id", "rings", "area", "wkb"
+        )
         routed_polys = routed_ways.join(polys, "id")
         for s in poly_specs:
             way_tbl = M.apply_fields(routed_polys, s)

@@ -253,6 +253,24 @@ class TestUnionBuilderSpark:
         assert [tuple(r) for r in contains] == [tuple(r) for r in union]
         assert contains[0]["area"] == pytest.approx(96.0)
 
+    def test_import_pipeline_union_builder_identical_on_fixture(self, spark):
+        """Pipeline-level: the MP fixture is properly nested, so flipping the
+        relation builder must not move a single landusages row."""
+        from imposm2_spark.operators import defaultmapping as dm
+        from imposm2_spark.plans.import_pipeline import import_tables
+        from imposm2_spark.sources import fixtures
+
+        nodes, ways, relations = fixtures.osm_dfs(spark)
+        cols = ["id", "name", "type", "area"]
+        a = import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES])
+        b = import_tables(
+            spark, nodes, ways, relations, [dm.LANDUSAGES],
+            relation_builder="union",
+        )
+        ra = sorted(tuple(r) for r in a["landusages"].select(*cols).collect())
+        rb = sorted(tuple(r) for r in b["landusages"].select(*cols).collect())
+        assert ra == rb and len(ra) > 0
+
     def test_way_polygons_repair(self, spark):
         from imposm2_spark.operators.assemble import way_polygons
 
