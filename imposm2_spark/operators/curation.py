@@ -48,7 +48,13 @@ SAMPLE_B = 12_345
 def ngram_hashes(th: F.Column, n: int) -> F.Column:
     """Word-n-gram rolling hashes from token hashes (generalizes the fixed
     3-gram shingle_hashes): gram_i = fold_{j=1..n-1} (acc*C + h_{i+j}) % M
-    seeded with h_i. Fewer than n tokens -> empty array."""
+    seeded with h_i. Fewer than n tokens -> empty array.
+
+    `th` MUST be a cheap reference (a bound column or lambda variable), not a
+    compound expression: higher-order lambdas are interpreted without CSE, so
+    every element_at(th, ...) re-evaluates th — n references per gram times
+    the per-token char fold turned a 2s scan into 200s before
+    text_ngram_hashes below bound it once (measured, BENCH round 3)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(th) - (n - 1)),
         lambda i: F.aggregate(
@@ -58,6 +64,15 @@ def ngram_hashes(th: F.Column, n: int) -> F.Column:
         ),
     )
     return F.when(F.size(th) >= n, grams).otherwise(F.array().cast("array<long>"))
+
+
+def text_ngram_hashes(text: F.Column, n: int) -> F.Column:
+    """n-gram hashes straight from text, with the token-hash array bound ONCE
+    as a lambda variable (transform over a single-element array wrapper) so
+    the interpreted gram fold references a value, not an expression."""
+    return F.element_at(
+        F.transform(F.array(token_hashes(text)), lambda th: ngram_hashes(th, n)), 1
+    )
 
 
 def contamination_hits(
@@ -72,13 +87,11 @@ def contamination_hits(
     tr = train.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(ngram_hashes(token_hashes(F.col(text_col)), n))
+            F.array_distinct(text_ngram_hashes(F.col(text_col), n))
         ).alias("_g"),
     )
     te = (
-        test.select(
-            F.explode(ngram_hashes(token_hashes(F.col(text_col)), n)).alias("_g")
-        )
+        test.select(F.explode(text_ngram_hashes(F.col(text_col), n)).alias("_g"))
         .distinct()
     )
     return (

@@ -209,3 +209,50 @@ def test_spine_batch_size_invariance(spark):
         assert results[0] == results[1]
     finally:
         spark.conf.set(key, orig)
+
+
+def test_sample_stratified_full_pushdown_no_shuffle(spark):
+    """The LCG keep rule is a pure codegen filter: the whole predicate lands
+    in the scan's DataFilters and the plan has no exchange and no Python."""
+    p = plan_of(registry.queries()["sample_stratified"](spark, SF))
+    assert n_exchanges(p) == 0
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "1103515245" in p  # the LCG reached the scan/filter, not a UDF
+
+
+def test_decontaminate_broadcasts_test_grams(spark):
+    """Train side must flow through ONE broadcast hash join against the
+    distinct test-gram set — no sort-merge join, no train-side text shuffle
+    (only the final per-doc count agg exchanges)."""
+    p = plan_of(registry.queries()["decontaminate_train_test"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_sheds_text_before_shuffle(spark):
+    """Only (shard, doc_id, n_tok) may cross the single shard exchange: the
+    token count is computed scan-side so document text never shuffles."""
+    import re
+
+    p = plan_of(registry.queries()["pack_sequences_512"](spark, SF))
+    assert n_exchanges(p) == 1
+    # the Exchange detail block: partitioned on shard, and its Input column
+    # list carries no text column
+    m = re.search(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\].*?"
+        r"Arguments: hashpartitioning\(shard",
+        p,
+        re.S,
+    )
+    assert m is not None, p
+    assert "text" not in m.group(1)
+
+
+def test_ivf_search_broadcasts_probes_no_corpus_shuffle(spark):
+    from imposm2_spark.operators.ann import cosine_topk_ivf
+
+    emb = testdata.load(spark, SF, "embeddings")
+    df = cosine_topk_ivf(emb, emb.where(F.col("vec_id") < 4), k=3, nprobe=2)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p  # probe rows broadcast to corpus lists
+    assert "SortMergeJoin" not in p  # corpus never shuffles for the join
