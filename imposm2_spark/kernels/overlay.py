@@ -54,22 +54,46 @@ def _snap(v: float) -> float:
     return round(float(v), _SNAP_DECIMALS) + 0.0  # +0.0 normalizes -0.0
 
 
-def _collect_segments(rings: list[np.ndarray]) -> list[tuple[tuple[float, float], tuple[float, float]]]:
+def _collect_segments(rings: list[np.ndarray]):
+    """-> (segments, ring_id per segment). Coordinates snapped to the grid."""
     segs = []
-    for ring in rings:
+    ring_ids = []
+    for k, ring in enumerate(rings):
         r = geom.dedup_consecutive(geom.ensure_closed(np.asarray(ring, dtype=np.float64)))
         for i in range(len(r) - 1):
             a = (_snap(r[i, 0]), _snap(r[i, 1]))
             b = (_snap(r[i + 1, 0]), _snap(r[i + 1, 1]))
             if a != b:
                 segs.append((a, b))
-    return segs
+                ring_ids.append(k)
+    return segs, ring_ids
 
 
-def _split_segments(segs):
+def _ring_overlap_matrix(rings: list[np.ndarray]) -> np.ndarray:
+    """(R, R) bool: do the rings' bboxes overlap (touching counts)? The
+    pairwise split below skips segment pairs from non-overlapping rings —
+    disjoint islands (the common many-ring relation shape) then cost
+    O(R^2) bbox tests + per-island local work instead of global O(S^2)."""
+    boxes = np.asarray(
+        [
+            [r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
+            for r in (np.asarray(x, dtype=np.float64) for x in rings)
+        ]
+    )
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    ox = (x0[:, None] <= x1[None, :]) & (x0[None, :] <= x1[:, None])
+    oy = (y0[:, None] <= y1[None, :]) & (y0[None, :] <= y1[:, None])
+    return ox & oy
+
+
+def _split_segments(segs, ring_ids=None, ring_overlap=None):
     """Split segments at all pairwise intersections (proper crossings,
     T-junctions, collinear overlaps). Returns deduped undirected edges as
-    ((ax,ay),(bx,by)) with a < b lexicographically."""
+    ((ax,ay),(bx,by)) with a < b lexicographically.
+
+    ring_ids/ring_overlap (optional): per-segment ring index and the ring
+    bbox-overlap matrix — segment pairs whose rings cannot touch are skipped
+    wholesale (same-ring pairs always tested)."""
     n = len(segs)
     if n == 0:
         return []
@@ -77,12 +101,19 @@ def _split_segments(segs):
     B = np.asarray([s[1] for s in segs], dtype=np.float64)
     R = B - A
     cuts: list[set[float]] = [{0.0, 1.0} for _ in range(n)]
+    rid = np.asarray(ring_ids, dtype=np.int64) if ring_ids is not None else None
 
     for i in range(n - 1):
+        if rid is not None:
+            cand = np.nonzero(ring_overlap[rid[i]][rid[i + 1 :]])[0]
+            if len(cand) == 0:
+                continue
+        else:
+            cand = np.arange(n - i - 1)
         p = A[i]
         r = R[i]
-        q = A[i + 1 :]
-        s = R[i + 1 :]
+        q = A[i + 1 :][cand]
+        s = R[i + 1 :][cand]
         qp = q - p
         denom = r[0] * s[:, 1] - r[1] * s[:, 0]
         t_num = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
@@ -93,7 +124,7 @@ def _split_segments(segs):
             u = np.where(nonpar, u_num / np.where(denom == 0, 1.0, denom), np.nan)
         hit = nonpar & (t >= -_EPS) & (t <= 1 + _EPS) & (u >= -_EPS) & (u <= 1 + _EPS)
         for k in np.nonzero(hit)[0]:
-            j = i + 1 + int(k)
+            j = i + 1 + int(cand[k])
             cuts[i].add(min(1.0, max(0.0, float(t[k]))))
             cuts[j].add(min(1.0, max(0.0, float(u[k]))))
         # collinear overlap: denom ~ 0 and q-p parallel to r
@@ -101,7 +132,7 @@ def _split_segments(segs):
         if coll.any():
             rr = float(r @ r)
             for k in np.nonzero(coll)[0]:
-                j = i + 1 + int(k)
+                j = i + 1 + int(cand[k])
                 t0 = float((q[k] - p) @ r) / rr
                 t1 = float((q[k] + s[k] - p) @ r) / rr
                 for t_ in (t0, t1):
@@ -248,8 +279,8 @@ def overlay(rings: list[np.ndarray], keep_weights: list[int] | None = None) -> l
     rings = [np.asarray(r, dtype=np.float64) for r in rings]
     if not rings:
         return []
-    segs = _collect_segments(rings)
-    edges = _split_segments(segs)
+    segs, ring_ids = _collect_segments(rings)
+    edges = _split_segments(segs, ring_ids, _ring_overlap_matrix(rings))
     if not edges:
         return []
     left, right = _sample_points(edges)
@@ -367,7 +398,7 @@ def ring_is_simple(ring: np.ndarray) -> bool:
     T-junctions, or collinear overlaps between non-adjacent segments): the
     arrangement of its own segments introduces no new split edges. Rings that
     merely touch at a shared vertex count as simple (weakly simple)."""
-    segs = _collect_segments([np.asarray(ring, dtype=np.float64)])
+    segs, _ = _collect_segments([np.asarray(ring, dtype=np.float64)])
     return len(_split_segments(segs)) == len(segs)
 
 

@@ -197,7 +197,13 @@ def build_multipolygon_union(merge: MergeResult) -> MultiPolygon:
     (kernels.overlay). Row-identical to build_multipolygon for properly
     nested input; tolerant of overlapping/crossing rings, which `contains`
     cannot nest. Output rings are canonicalized (min-vertex start, shells
-    CCW / holes CW) and polygons ordered by area desc for stable rows."""
+    CCW / holes CW) and polygons ordered by area desc for stable rows.
+
+    Cost envelope: segment splitting prunes by ring-bbox overlap (disjoint
+    islands cost O(R^2) bbox tests + per-island local work), but the side
+    classification still samples against every ring — the union strategy is
+    the repair path for pathological nesting, not the bulk default;
+    `contains` stays the default exactly as in the reference."""
     from . import overlay
 
     polys = overlay.union_rings(merge.rings)
