@@ -124,6 +124,18 @@ def ring_contains_ring(outer: Ring, inner: Ring) -> bool:
     return bool(points_in_rings(np.asarray([cx]), np.asarray([cy]), [outer])[0])
 
 
+def canonical_ring(ring: Ring, ccw: bool = True) -> Ring:
+    """Rotate a closed ring to start at its lexicographically smallest vertex
+    and fix orientation — the shared canonical form (kernels.rings output
+    stability + kernels.overlay role derivation both depend on it; one
+    implementation so they can never drift)."""
+    body = np.asarray(ring, dtype=np.float64)[:-1]
+    order = np.lexsort((body[:, 1], body[:, 0]))
+    start = int(order[0])
+    rolled = np.vstack([body[start:], body[:start], body[start : start + 1]])
+    return ensure_orientation(rolled, ccw=ccw)
+
+
 def rings_bbox(rings: list[Ring]) -> tuple[float, float, float, float]:
     pts = np.vstack([np.asarray(r, dtype=np.float64) for r in rings])
     return (

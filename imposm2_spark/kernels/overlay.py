@@ -127,8 +127,11 @@ def _split_segments(segs, ring_ids=None, ring_overlap=None):
             j = i + 1 + int(cand[k])
             cuts[i].add(min(1.0, max(0.0, float(t[k]))))
             cuts[j].add(min(1.0, max(0.0, float(u[k]))))
-        # collinear overlap: denom ~ 0 and q-p parallel to r
-        coll = (~nonpar) & (np.abs(u_num) <= 1e-12 * np.maximum(1.0, np.abs(qp).max(initial=1.0)))
+        # collinear overlap: denom ~ 0 and q-p parallel to r; tolerance is
+        # PER-PAIR (|qp_k|-scaled) — a global max would let one far candidate
+        # inflate the threshold and misclassify near-parallel offset pairs
+        _tol = 1e-12 * np.maximum(1.0, np.abs(qp).max(axis=1, initial=1.0))
+        coll = (~nonpar) & (np.abs(u_num) <= _tol)
         if coll.any():
             rr = float(r @ r)
             for k in np.nonzero(coll)[0]:
@@ -306,14 +309,10 @@ def overlay(rings: list[np.ndarray], keep_weights: list[int] | None = None) -> l
 
 
 def _canonicalize(ring: np.ndarray) -> np.ndarray:
-    """Rotate a closed ring to start at its lexicographically smallest vertex,
-    CCW — so interior-point derivation is invariant to input rotation/direction."""
+    """Dedup/close then canonical rotation+CCW (geom.canonical_ring) — so
+    interior-point derivation is invariant to input rotation/direction."""
     r = geom.dedup_consecutive(geom.ensure_closed(np.asarray(ring, dtype=np.float64)))
-    body = r[:-1]
-    order = np.lexsort((body[:, 1], body[:, 0]))
-    start = int(order[0])
-    rolled = np.vstack([body[start:], body[:start], body[start : start + 1]])
-    return geom.ensure_orientation(rolled, ccw=True)
+    return geom.canonical_ring(r, ccw=True)
 
 
 def _interior_point(ring: np.ndarray, others: list[np.ndarray] | None = None) -> tuple[float, float]:
@@ -388,6 +387,18 @@ def union_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     overlapping outers and clips crossing inners instead of failing."""
     rings = [np.asarray(r, dtype=np.float64) for r in rings]
     rings = [r for r in rings if geom.ring_is_valid(r)]
+    # set semantics: exact duplicate rings collapse to one (union of A and A
+    # is A) — also keeps role derivation well-defined; without this, two
+    # coincident rings see each other as containers and both turn inner,
+    # silently emptying the result (the malformed-OSM duplicate-way case)
+    seen: dict[bytes, None] = {}
+    unique = []
+    for r in rings:
+        key = _canonicalize(r).tobytes()
+        if key not in seen:
+            seen[key] = None
+            unique.append(r)
+    rings = unique
     if not rings:
         return []
     return overlay(rings, keep_weights=ring_roles(rings))

@@ -135,13 +135,9 @@ def merge_rings(ways: list[np.ndarray]) -> MergeResult:
 
 
 def _canonical_ring(ring: np.ndarray, ccw: bool = True) -> np.ndarray:
-    """Rotate a closed ring to start at its lexicographically smallest vertex and
-    orient CCW — makes output rows identical under way order/direction permutation."""
-    body = ring[:-1]
-    order = np.lexsort((body[:, 1], body[:, 0]))
-    start = int(order[0])
-    rolled = np.vstack([body[start:], body[:start], body[start : start + 1]])
-    return geom.ensure_orientation(rolled, ccw=ccw)
+    """Canonical rotation/orientation (geom.canonical_ring) — makes output
+    rows identical under way order/direction permutation."""
+    return geom.canonical_ring(ring, ccw=ccw)
 
 
 @dataclass
@@ -203,10 +199,18 @@ def build_multipolygon_union(merge: MergeResult) -> MultiPolygon:
     islands cost O(R^2) bbox tests + per-island local work), but the side
     classification still samples against every ring — the union strategy is
     the repair path for pathological nesting, not the bulk default;
-    `contains` stays the default exactly as in the reference."""
+    `contains` stays the default exactly as in the reference.
+
+    Robustness: this runs inside applyInPandas, where one raising group kills
+    the whole stage — an arrangement too degenerate to trace (snapping
+    collapsed a needed vertex) falls back to the `contains` nesting for THAT
+    relation instead of raising."""
     from . import overlay
 
-    polys = overlay.union_rings(merge.rings)
+    try:
+        polys = overlay.union_rings(merge.rings)
+    except ValueError:
+        return build_multipolygon(merge)
     out: list[list[np.ndarray]] = []
     for ring_list in polys:
         shell = _canonical_ring(ring_list[0], ccw=True)

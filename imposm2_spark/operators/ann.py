@@ -323,7 +323,9 @@ def write_ivf_index(
     """Persist the IVF index as list-partitioned parquet (S7-style sink): at
     10^12 rows the index is built once and every search afterwards reads ONLY
     its probe lists via partition pruning — no full-corpus scan, no re-assign.
-    Centroids ride along as a tiny `_centroids.npy` next to the data."""
+    Centroids ride along as a tiny sibling parquet (`<path>_centroids`) —
+    written through Spark, so hdfs://, s3a://, and local paths all work the
+    same as the data sink itself."""
     if centroids is None:
         centroids = train_centroids(
             corpus, n_lists, train_cap, id_col=id_col, vec_col=vec_col
@@ -335,10 +337,23 @@ def write_ivf_index(
         .partitionBy("_list")
         .parquet(path)
     )
-    import os
-
-    np.save(os.path.join(path, "_centroids.npy"), centroids)
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(j), [float(x) for x in centroids[j]]) for j in range(len(centroids))],
+        "list_id int, vec array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(_centroids_path(path))
     return centroids
+
+
+def _centroids_path(path: str) -> str:
+    return path.rstrip("/") + "_centroids"
+
+
+def _load_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(_centroids_path(path)).collect()
+    rows.sort(key=lambda r: r["list_id"])
+    return np.asarray([list(r["vec"]) for r in rows], dtype=np.float64)
 
 
 def cosine_topk_ivf_indexed(
@@ -357,9 +372,7 @@ def cosine_topk_ivf_indexed(
     (tests/test_plans.py asserts the PartitionFilters in the plan). The
     probe-list pull is one bounded collect (queries are the small side by
     contract — they are broadcast into the join anyway)."""
-    import os
-
-    centroids = np.load(os.path.join(path, "_centroids.npy"))
+    centroids = _load_centroids(spark, path)
     probe = _make_probe_udf(centroids, nprobe)
     q_assigned = (
         queries.select(

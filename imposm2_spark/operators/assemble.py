@@ -133,7 +133,10 @@ def way_polygons(assembled: DataFrame, repair: bool = False) -> DataFrame:
                     area = abs(geom.ring_signed_area(ring))
                     wkb = polygon_wkb([ring])
                 elif repair and len(ring) >= 3:
-                    polys = overlay.repair_ring(geom.ensure_closed(ring))
+                    try:
+                        polys = overlay.repair_ring(geom.ensure_closed(ring))
+                    except ValueError:
+                        continue  # too degenerate to trace: drop, as un-repaired
                     if not polys:
                         continue
                     rings_out = [r for p in polys for r in p]

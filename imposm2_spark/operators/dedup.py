@@ -286,6 +286,7 @@ def dedup_connected_components(
             )
             changed = new_labels.where(F.col("label") != F.col("_prev")).count()
             labels.unpersist()
+            _release_local_checkpoint(labels)
             labels = new_labels.drop("_prev")
             if changed == 0:
                 converged = True
@@ -309,6 +310,7 @@ def dedup_connected_components(
         )
         changed = new_labels.where(F.col("label") != F.col("_prev")).count()
         labels.unpersist()
+        _release_local_checkpoint(labels)
         labels = new_labels.drop("_prev")
         if changed == 0:
             converged = True
@@ -322,6 +324,28 @@ def dedup_connected_components(
             "raise max_iterations rather than consuming under-merged clusters"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor storage a localCheckpoint'ed frame holds.
+
+    Dataset.unpersist() only clears CacheManager entries; the checkpoint's
+    RDD-level persist needs an explicit RDD.unpersist (measured: persistent-
+    RDD count drops to 0 with this, stays 1 without). Walks the logical plan
+    to the LogicalRDD leaf (the frame in the loop is a projection over it).
+    Best-effort: never fails the caller."""
+    try:
+        plans = [df._jdf.logicalPlan()]
+        while plans:
+            p = plans.pop()
+            if p.getClass().getSimpleName() == "LogicalRDD":
+                p.rdd().unpersist(False)
+                continue
+            kids = p.children()
+            for i in range(kids.size()):
+                plans.append(kids.apply(i))
+    except Exception:
+        pass  # storage falls back to ContextCleaner GC
 
 
 def ngram_jaccard_pairs(

@@ -30,9 +30,7 @@ def validate_web_schema(df: DataFrame) -> DataFrame:
 
 
 def _iceberg_runtime_missing(exc: Exception) -> bool:
-    """True only for 'no Iceberg runtime on the classpath' failures — a real
-    Iceberg error (auth, corrupt metadata, schema mismatch) must propagate,
-    not get silently retried as parquet and surface a misleading error."""
+    """'no Iceberg runtime on the classpath' failures (the sandbox shape)."""
     msg = str(exc)
     return (
         "Failed to find data source: iceberg" in msg
@@ -42,15 +40,25 @@ def _iceberg_runtime_missing(exc: Exception) -> bool:
 
 
 def read_web_pages(spark: SparkSession, ref: str) -> DataFrame:
-    """Load the web-page table from a catalog table name or a path."""
+    """Load the web-page table from a catalog table name or a path.
+
+    Path fallback contract: the Iceberg read is tried first; if it fails for
+    ANY reason the path is retried as plain parquet (a plain-parquet dir on a
+    cluster WITH the Iceberg runtime raises NoSuchTableException, and the
+    parquet read is the correct answer there). Error surfacing: if the
+    parquet retry ALSO fails, the more informative root cause wins — the
+    parquet error when Iceberg was merely absent from the classpath, the
+    original Iceberg error (auth, corrupt metadata, ...) otherwise; a schema
+    mismatch from validate_web_schema always propagates as-is."""
     if "/" not in ref:
         return validate_web_schema(spark.read.table(ref))
     try:
-        return validate_web_schema(spark.read.format("iceberg").load(ref))
+        df = spark.read.format("iceberg").load(ref)
     except Exception as exc:
-        if not _iceberg_runtime_missing(exc):
-            raise
         try:
-            return validate_web_schema(spark.read.parquet(ref))
+            df = spark.read.parquet(ref)
         except Exception as pq_exc:
-            raise pq_exc from exc  # keep the root cause chained
+            if _iceberg_runtime_missing(exc):
+                raise pq_exc from exc
+            raise exc from pq_exc
+    return validate_web_schema(df)

@@ -108,6 +108,20 @@ class TestUnionRings:
         assert poly_area(polys) == pytest.approx(8.0)
         grid_check(polys, rings, union_rule([1, 1]))
 
+    def test_duplicate_rings_collapse_to_one(self):
+        """Set semantics: the same outer way twice (malformed-OSM duplicate)
+        must yield the square, not an empty result from mutual containment."""
+        a = sq(0, 0, 4, 4)
+        rot = np.vstack([np.roll(a[:-1], 2, axis=0), np.roll(a[:-1], 2, axis=0)[:1]])
+        for dup in (a.copy(), rot[::-1]):  # identical + rotated/reversed copy
+            polys = overlay.union_rings([a, dup])
+            assert len(polys) == 1 and len(polys[0]) == 1
+            assert poly_area(polys) == pytest.approx(16.0)
+        # duplicate hole inside a shell still subtracts once
+        polys = overlay.union_rings([sq(0, 0, 10, 10), sq(2, 2, 4, 4), sq(2, 2, 4, 4)])
+        assert poly_area(polys) == pytest.approx(96.0)
+        assert sum(len(p) for p in polys) == 2
+
     def test_ring_crossing_shell_engine_defined(self):
         # a ring crossing its would-be shell has no GEOS-defined nesting; the
         # engine classifies it from its first boundary-clear canonical
