@@ -847,6 +847,53 @@ SELECT shard, doc_id, n_tok, seq_id FROM packed
 """
 
 
+_VOCAB_ORACLE = f"""
+WITH th AS (SELECT doc_id, {_TOKH_SQL} AS h FROM documents),
+grams AS (
+  SELECT unnest({_SHINGLES_SQL}) AS g FROM th WHERE len(h) >= 3),
+counted AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY g)
+SELECT g, n, CAST(row_number() OVER (ORDER BY n DESC, g ASC) AS BIGINT) AS rnk
+FROM counted
+ORDER BY n DESC, g ASC
+LIMIT 50
+"""
+
+
+@register("vocab_top_ngrams", oracle=_VOCAB_ORACLE)
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: top-50 word-3-gram hashes by corpus
+    frequency (the n-gram-LM / contamination-screen precompute). One
+    explode + one hash-agg with map-side combine + a single-partition top-k
+    sort on the already-tiny aggregate — the groupBy shuffles only (gram,
+    partial count) pairs, never text."""
+    from ..operators.dedup import shingle_hashes, token_hashes
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    # bind the token-hash array once (HOF lambdas have no CSE; see
+    # curation.text_ngram_hashes) — shingle_hashes guards <3 tokens itself
+    grams = docs.select(
+        F.explode(
+            F.element_at(
+                F.transform(
+                    F.array(token_hashes(F.col("text"))),
+                    lambda th: shingle_hashes(th),
+                ),
+                1,
+            )
+        ).alias("g")
+    )
+    counted = grams.groupBy("g").agg(F.count("*").alias("n"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-50 +
+    # driver merge, no global sort shuffle); the rank window then runs over
+    # 50 rows only
+    top = counted.orderBy(F.col("n").desc(), F.col("g").asc()).limit(50)
+    w = W.orderBy(F.col("n").desc(), F.col("g").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy(
+        F.col("n").desc(), F.col("g").asc()
+    )
+
+
 @register("pack_sequences_512", oracle=_PACK_ORACLE)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy in-order token-budget packing into training sequences, 8 shards
