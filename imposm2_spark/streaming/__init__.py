@@ -1,4 +1,4 @@
-from .ingest import enrich, read_document_stream, stream_ingest, stream_tile_counts
+from .ingest import enrich, read_document_stream, stream_ingest, stream_spine, stream_tile_counts
 from .stateful import stream_dedup_exact
 
 __all__ = [
@@ -6,5 +6,6 @@ __all__ = [
     "read_document_stream",
     "stream_dedup_exact",
     "stream_ingest",
+    "stream_spine",
     "stream_tile_counts",
 ]

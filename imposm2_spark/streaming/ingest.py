@@ -90,6 +90,62 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_spine(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    polygons: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    zoom: int = 8,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    cell_level: int = 4,
+) -> StreamingQuery:
+    """The full M1 spine as one Structured Streaming job: extract -> geotag ->
+    stream-STATIC broadcast PIP join -> watermarked windowed tile stats.
+
+    The polygon side is static (rings pulled once, re-shipped per executor by
+    pip_join's broadcast path); the streaming side goes through only
+    stateless ops before the windowed aggregation, so watermark metadata
+    propagates and closed-window state is evicted — the streaming twin of
+    plans.pipeline.spine, batch-parity-tested in tests/test_streaming.py."""
+    from ..functions.spatial import tile_x, tile_y
+    from ..operators.pip import pip_join
+    from ..plans.pipeline import extract_stage
+
+    src = read_document_stream(spark, landing_dir)
+    enriched = (
+        geotag_stage(extract_stage(src))
+        .withColumn("n_chars", F.length("text_extracted").cast("long"))
+        .drop("html")
+        .withWatermark("warc_ts", watermark)
+    )
+    joined = pip_join(
+        enriched,
+        polygons,
+        cell_level=cell_level,
+        keep_point_cols=["url", "warc_ts", "lon", "lat", "n_chars"],
+    )
+    counts = (
+        joined.groupBy(
+            F.window("warc_ts", window).alias("w"),
+            tile_x(F.col("lon"), zoom).alias("x"),
+            tile_y(F.col("lat"), zoom).alias("y"),
+        )
+        .agg(F.count("*").alias("n_rows"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.col("w.start").alias("window_start"), "x", "y", "n_rows", "sum_chars"
+        )
+    )
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_tile_counts(
     spark: SparkSession,
     landing_dir: str,

@@ -147,3 +147,64 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     second = [r for b in out_batches for r in b]
     texts = sorted(r[2] for r in second)
     assert texts == [f"fresh text {i}" for i in range(5)]  # repeats suppressed via state
+
+
+def test_stream_spine_matches_batch(spark, tmp_path):
+    """The streaming spine (stream-static PIP + windowed tile stats) must
+    reproduce the batch computation of the same windowed aggregate over the
+    same files — the §2.9 parity contract for the flagship pipeline."""
+    from imposm2_spark.sources import fixtures
+    from imposm2_spark.streaming import stream_spine
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    _land_batches(spark, landing, n_batches=2)
+    polygons = fixtures.world_octants_df(spark, cell_level=4)
+
+    rows = []
+    q = stream_spine(
+        spark,
+        landing + "/*",
+        ckpt,
+        polygons,
+        sink=lambda df, _bid: rows.extend(df.collect()),
+        zoom=2,
+        window="1 hour",
+        watermark="2 hours",
+        cell_level=4,
+    )
+    q.awaitTermination(180)
+    # update-mode foreachBatch may emit a window more than once across
+    # microbatches; the LAST emission per key is the final value
+    got = {}
+    for r in rows:
+        got[(r.window_start, r.x, r.y)] = (r.n_rows, r.sum_chars)
+
+    # batch twin over the same landing files
+    from imposm2_spark.functions.spatial import tile_x, tile_y
+    from imposm2_spark.operators.pip import pip_join
+    from imposm2_spark.plans.pipeline import extract_stage, geotag_stage
+    from imposm2_spark.streaming.ingest import DOCUMENTS_WEB_SCHEMA
+
+    docs = spark.read.schema(DOCUMENTS_WEB_SCHEMA).parquet(landing + "/*")
+    enriched = geotag_stage(extract_stage(docs)).withColumn(
+        "n_chars", F.length("text_extracted").cast("long")
+    )
+    joined = pip_join(
+        enriched, polygons, cell_level=4,
+        keep_point_cols=["url", "warc_ts", "lon", "lat", "n_chars"],
+    )
+    want_rows = (
+        joined.groupBy(
+            F.window("warc_ts", "1 hour").alias("w"),
+            tile_x(F.col("lon"), 2).alias("x"),
+            tile_y(F.col("lat"), 2).alias("y"),
+        )
+        .agg(F.count("*").alias("n_rows"), F.sum("n_chars").alias("sum_chars"))
+        .select(F.col("w.start").alias("window_start"), "x", "y", "n_rows", "sum_chars")
+        .collect()
+    )
+    want = {(r.window_start, r.x, r.y): (r.n_rows, r.sum_chars) for r in want_rows}
+    assert len(want) > 0
+    assert got == want
