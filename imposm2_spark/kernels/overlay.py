@@ -80,7 +80,12 @@ def _ring_overlap_matrix(rings: list[np.ndarray]) -> np.ndarray:
             for r in (np.asarray(x, dtype=np.float64) for x in rings)
         ]
     )
-    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    # pad by the snap tolerance: the split kernel works on grid-snapped
+    # coordinates, so raw-coordinate bboxes separated by less than the grid
+    # can still intersect after snapping — an unpadded test would prune a
+    # genuinely-needed split and break the boundary trace
+    pad = 2 * 10.0 ** (-_SNAP_DECIMALS)
+    x0, y0, x1, y1 = boxes[:, 0] - pad, boxes[:, 1] - pad, boxes[:, 2] + pad, boxes[:, 3] + pad
     ox = (x0[:, None] <= x1[None, :]) & (x0[None, :] <= x1[:, None])
     oy = (y0[:, None] <= y1[None, :]) & (y0[None, :] <= y1[:, None])
     return ox & oy
@@ -394,7 +399,10 @@ def union_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     seen: dict[bytes, None] = {}
     unique = []
     for r in rings:
-        key = _canonicalize(r).tobytes()
+        # snap BEFORE canonicalizing so the dedup key matches what the
+        # arrangement kernel treats as identical (near-duplicates within the
+        # grid tolerance must collapse too, or they mutually turn inner)
+        key = _canonicalize(np.round(r, _SNAP_DECIMALS)).tobytes()
         if key not in seen:
             seen[key] = None
             unique.append(r)

@@ -285,8 +285,12 @@ def dedup_connected_components(
                 eager=True
             )
             changed = new_labels.where(F.col("label") != F.col("_prev")).count()
+            # NO _release_local_checkpoint here: round-0 `labels` is the
+            # initial persist()ed frame whose plan may embed the CALLER's
+            # checkpointed input (e.g. a localCheckpoint'ed pairs frame) —
+            # walking it would unpersist caller-owned blocks. Rounds >= 1
+            # only ever see our own checkpoint as the plan leaf.
             labels.unpersist()
-            _release_local_checkpoint(labels)
             labels = new_labels.drop("_prev")
             if changed == 0:
                 converged = True

@@ -39,26 +39,39 @@ def _iceberg_runtime_missing(exc: Exception) -> bool:
     )
 
 
+def _not_an_iceberg_table(exc: Exception) -> bool:
+    """The path exists but is not an Iceberg table (plain parquet dir on a
+    cluster WITH the runtime installed)."""
+    msg = str(exc)
+    return (
+        "NoSuchTableException" in msg
+        or "Table does not exist" in msg
+        or "not an Iceberg table" in msg
+        or "NoSuchNamespaceException" in msg
+    )
+
+
 def read_web_pages(spark: SparkSession, ref: str) -> DataFrame:
     """Load the web-page table from a catalog table name or a path.
 
-    Path fallback contract: the Iceberg read is tried first; if it fails for
-    ANY reason the path is retried as plain parquet (a plain-parquet dir on a
-    cluster WITH the Iceberg runtime raises NoSuchTableException, and the
-    parquet read is the correct answer there). Error surfacing: if the
-    parquet retry ALSO fails, the more informative root cause wins — the
-    parquet error when Iceberg was merely absent from the classpath, the
-    original Iceberg error (auth, corrupt metadata, ...) otherwise; a schema
-    mismatch from validate_web_schema always propagates as-is."""
+    Path fallback contract: the Iceberg read is tried first; the path is
+    retried as plain parquet ONLY when Iceberg could not have served it at
+    all — runtime missing from the classpath, or the path is not an Iceberg
+    table. A REAL Iceberg table failing for real reasons (auth, corrupt
+    metadata, transient catalog errors) propagates: silently re-reading its
+    raw data files as parquet would ignore snapshots/delete files and return
+    stale rows. If the parquet retry also fails, its error chains the
+    original Iceberg cause; a schema mismatch from validate_web_schema
+    always propagates as-is."""
     if "/" not in ref:
         return validate_web_schema(spark.read.table(ref))
     try:
         df = spark.read.format("iceberg").load(ref)
     except Exception as exc:
+        if not (_iceberg_runtime_missing(exc) or _not_an_iceberg_table(exc)):
+            raise
         try:
             df = spark.read.parquet(ref)
         except Exception as pq_exc:
-            if _iceberg_runtime_missing(exc):
-                raise pq_exc from exc
-            raise exc from pq_exc
+            raise pq_exc from exc
     return validate_web_schema(df)

@@ -111,7 +111,6 @@ def stream_spine(
     plans.pipeline.spine, batch-parity-tested in tests/test_streaming.py."""
     from ..functions.spatial import tile_x, tile_y
     from ..operators.pip import pip_join
-    from ..plans.pipeline import extract_stage
 
     src = read_document_stream(spark, landing_dir)
     enriched = (

@@ -194,6 +194,22 @@ def test_ivf_centroids_deterministic_unit_norm(spark):
     assert a.shape == (16, 64)
 
 
+def test_cc_does_not_release_caller_checkpoint(spark):
+    """Regression: the per-round checkpoint-storage release must never walk
+    into the CALLER's plan — a localCheckpoint'ed pairs frame passed in must
+    stay readable after the call."""
+    from imposm2_spark.operators.dedup import dedup_connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    ).localCheckpoint(eager=True)
+    out = dedup_connected_components(pairs).collect()
+    assert len(out) == 5
+    # caller's checkpointed frame still alive (blocks not unpersisted)
+    assert pairs.count() == 3
+    assert pairs.count() == 3
+
+
 def test_dedup_connected_components_vs_union_find(spark):
     """Min-label propagation matches a driver-side union-find on a graph with
     a long chain (diameter > 1 forces multiple propagation rounds), a

@@ -122,6 +122,24 @@ class TestUnionRings:
         assert poly_area(polys) == pytest.approx(96.0)
         assert sum(len(p) for p in polys) == 2
 
+    def test_sub_snap_gap_rings_still_split(self):
+        """Ring bboxes separated by less than the snap grid must not be
+        pruned out of the pairwise split (regression: unpadded raw-coordinate
+        bbox test broke the boundary trace)."""
+        rings = [sq(0, 0, 1 - 4e-10, 2), sq(1 + 4e-10, 1, 2, 3)]
+        polys = overlay.union_rings(rings)
+        assert len(polys) == 1
+        assert poly_area(polys) == pytest.approx(4.0)
+
+    def test_near_duplicate_rings_below_tolerance_collapse(self):
+        """Near-duplicates within the snap grid must dedupe like exact
+        duplicates (regression: byte-exact key missed them and the pair
+        mutually classified inner, emptying the result)."""
+        rings = [sq(0, 0, 4, 4), sq(1e-12, 1e-12, 4 + 1e-12, 4 + 1e-12)]
+        polys = overlay.union_rings(rings)
+        assert len(polys) == 1
+        assert poly_area(polys) == pytest.approx(16.0)
+
     def test_ring_crossing_shell_engine_defined(self):
         # a ring crossing its would-be shell has no GEOS-defined nesting; the
         # engine classifies it from its first boundary-clear canonical
