@@ -167,13 +167,35 @@ def build_multipolygon(merge: MergeResult) -> MultiPolygon:
     rings = sorted(merge.rings, key=lambda r: -abs(geom.ring_signed_area(r)))
     shells: list[list[np.ndarray]] = []  # polygon ring lists
     placed: list[np.ndarray] = []  # all rings placed so far (area desc)
+    placed_bbox: list[tuple[float, float, float, float]] = []
     shell_index: list[int | None] = []  # index into `shells` if ring is a shell
 
+    def bbox(r: np.ndarray) -> tuple[float, float, float, float]:
+        return (
+            float(r[:, 0].min()), float(r[:, 1].min()),
+            float(r[:, 0].max()), float(r[:, 1].max()),
+        )
+
     for ring in rings:
-        containers = [k for k, outer in enumerate(placed) if geom.ring_contains_ring(outer, ring)]
+        # bbox prefilter: bbox containment is NECESSARY for ring containment
+        # (rings are disjoint-or-nested here), so the exact ray-cast runs
+        # only against plausible containers — an archipelago relation with
+        # 10^4 disjoint islands does ~R^2 float compares instead of R^2 full
+        # point-in-polygon tests; output identical by construction
+        rb = bbox(ring)
+        containers = [
+            k
+            for k, outer in enumerate(placed)
+            if placed_bbox[k][0] <= rb[0]
+            and placed_bbox[k][1] <= rb[1]
+            and placed_bbox[k][2] >= rb[2]
+            and placed_bbox[k][3] >= rb[3]
+            and geom.ring_contains_ring(outer, ring)
+        ]
         if len(containers) % 2 == 0:  # even nesting depth -> new shell
             shells.append([geom.ensure_orientation(ring, ccw=True)])
             placed.append(ring)
+            placed_bbox.append(rb)
             shell_index.append(len(shells) - 1)
         else:
             # hole of the smallest containing shell (area-sorted, so the last
@@ -182,6 +204,7 @@ def build_multipolygon(merge: MergeResult) -> MultiPolygon:
             k = min(shell_containers, key=lambda k: abs(geom.ring_signed_area(placed[k])))
             shells[shell_index[k]].append(geom.ensure_orientation(ring, ccw=False))
             placed.append(ring)
+            placed_bbox.append(rb)
             shell_index.append(None)
     return MultiPolygon(shells, merge.dropped_unclosed, merge.dropped_invalid)
 
