@@ -25,6 +25,8 @@ itself (AQE skew).
 
 from __future__ import annotations
 
+import pickle
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -291,9 +293,16 @@ def _make_assemble_kernel(builder: str):
 # executor memory by max_members x way size instead of relation size.
 MAX_MEMBERS_PER_GROUP = 4096
 
+# rings/chains travel as PICKLED BINARY, not array<array<array<double>>>:
+# the Arrow->pandas deserializer (pyarrow 16.1 / applyInPandas) SEGFAULTS on
+# a triple-nested list column whose batch holds only empty/NULL values —
+# exactly what a chunk whose rings all closed produces (chains = []).
+# Reproduced minimally: [(1, [], None-row)] through an identity
+# applyInPandas kills the worker; one non-empty value per batch masks it,
+# which is why the mega-relation identity test (always-open chains) passed.
 _PARTIAL_SCHEMA = (
     "rel_id long, rel_tags map<string,string>, chunk int, kind string, "
-    "rings array<array<array<double>>>, chains array<array<array<double>>>, "
+    "rings binary, chains binary, "
     "dropped_invalid int, way_id long, way_tags map<string,string>, "
     "outer_area double"
 )
@@ -316,8 +325,8 @@ def _partial_merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "rel_id": rel_id, "rel_tags": rel_tags, "chunk": chunk,
             "kind": "geom",
-            "rings": [r.tolist() for r in closed],
-            "chains": [c.tolist() for c in chains],
+            "rings": pickle.dumps([np.asarray(r) for r in closed], protocol=4),
+            "chains": pickle.dumps([np.asarray(c) for c in chains], protocol=4),
             "dropped_invalid": dropped_invalid,
             "way_id": None, "way_tags": None, "outer_area": None,
         }
@@ -351,14 +360,14 @@ def _finalize_chunked_group_impl(pdf: pd.DataFrame, builder: str) -> pd.DataFram
     geoms = pdf[pdf["kind"] == "geom"].sort_values("chunk")
     ways_input: list[np.ndarray] = []
     chunk_invalid = 0
-    for inv, rings_g, chains_g in zip(
+    for inv, rings_b, chains_b in zip(
         geoms["dropped_invalid"], geoms["rings"], geoms["chains"]
     ):
         chunk_invalid += int(inv)
-        for r in rings_g:
-            ways_input.append(np.asarray([list(p) for p in r], dtype=np.float64))
-        for c in chains_g:
-            ways_input.append(np.asarray([list(p) for p in c], dtype=np.float64))
+        for r in pickle.loads(bytes(rings_b)):
+            ways_input.append(np.asarray(r, dtype=np.float64))
+        for c in pickle.loads(bytes(chains_b)):
+            ways_input.append(np.asarray(c, dtype=np.float64))
 
     merge = kr.merge_rings(ways_input)
     merge.dropped_invalid += chunk_invalid

@@ -324,6 +324,29 @@ class TestUnionBuilderSpark:
         assert [tuple(r) for r in contains] == [tuple(r) for r in union]
         assert contains[0]["area"] == pytest.approx(96.0)
 
+    def test_union_builder_chunked_path_identity(self, spark):
+        """O10b x A3-union composition: forcing the two-stage chunked path
+        (max_members=1) must produce byte-identical rows to the single-stage
+        path under the union builder, on the fixture that exercises overlap
+        and ring merging (UR-1..4)."""
+        from imposm2_spark.operators.assemble import assemble_relations, assemble_ways
+        from imposm2_spark.sources import fixtures
+
+        nodes, ways, relations = fixtures.union_osm_dfs(spark)
+        aw = assemble_ways(ways, nodes.select("id", "lon", "lat"))
+        cols = ["rel_id", "area", "n_rings", "dropped_unclosed", "dropped_invalid", "wkb"]
+        single = sorted(
+            tuple(r) for r in assemble_relations(
+                relations, aw, relation_builder="union"
+            ).select(*cols).collect()
+        )
+        chunked = sorted(
+            tuple(r) for r in assemble_relations(
+                relations, aw, max_members=1, relation_builder="union"
+            ).select(*cols).collect()
+        )
+        assert single == chunked and len(single) == 4
+
     def test_import_pipeline_union_builder_identical_on_fixture(self, spark):
         """Pipeline-level: the MP fixture is properly nested, so flipping the
         relation builder must not move a single landusages row."""
