@@ -1,8 +1,15 @@
 """Benchmark: the M1 spine + headline operator queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <spine wall sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ..., ...}
+Output protocol (r4 — BENCH_r03 `parsed: null` fix): the HEADLINE result is a
+SHORT standalone JSON line printed both first and last, so it survives
+whichever end of the stdout buffer the driver's parser scans; the per-query
+map (50 entries — too long for the driver's tail buffer as one line, the r3
+failure) moves to its own middle line `{"queries": {name: median_sec}}` and to
+the BENCH_QUERIES.json file artifact with full median/min/max stats.
+
+Per-query timings are the MEDIAN of SPARK_GRAFT_BENCH_REPS runs (default 3)
+after a JIT warm run: r3 showed single-shot timings swinging ~3x on untouched
+plans from host drift alone, indistinguishable from real regressions.
 
 Spine input = driver documents table fanned out x SPARK_GRAFT_REPLICATION
 (default 100 -> 50k docs) through the full extract -> geotag -> PIP -> tile
@@ -109,36 +116,65 @@ def main() -> None:
     curate_sec = time.perf_counter() - t0
     n_curate_docs = n_base * curate_replication
 
+    from statistics import median
+
     from imposm2_spark.plans import registry
 
-    q_times: dict[str, float] = {"spine": round(spine_sec, 3)}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    q_stats: dict[str, dict] = {
+        "spine": {"median": round(spine_sec, 3), "min": round(spine_sec, 3),
+                  "max": round(spine_sec, 3), "reps": 1}
+    }
     for name, fn in sorted(registry.queries().items()):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # JIT warm
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        q_stats[name] = {
+            "median": round(median(times), 3),
+            "min": round(min(times), 3),
+            "max": round(max(times), 3),
+            "reps": reps,
+        }
 
-    print(
-        json.dumps(
-            {
-                "metric": "spine_wall_sec(extract+geotag+pip+tiles)",
-                "value": round(spine_sec, 3),
-                "unit": "sec",
-                "queries": q_times,
-                "sf": sf,
-                "cpus": cpus,
-                "replication": replication,
-                "n_docs": n_docs,
-                "docs_per_sec": round(n_docs / spine_sec, 1),
-                "n_result_tiles": n_tiles,
-                "curate_replication": curate_replication,
-                "curate_n_docs": n_curate_docs,
-                "curate_sec": round(curate_sec, 3),
-                "curate_docs_per_sec": round(n_curate_docs / curate_sec, 1),
-                "curate_n_kept": n_kept,
-            }
-        )
+    headline = json.dumps(
+        {
+            "metric": "spine_wall_sec(extract+geotag+pip+tiles)",
+            "value": round(spine_sec, 3),
+            "unit": "sec",
+            "sf": sf,
+            "cpus": cpus,
+            "replication": replication,
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / spine_sec, 1),
+            "n_result_tiles": n_tiles,
+            "curate_replication": curate_replication,
+            "curate_n_docs": n_curate_docs,
+            "curate_sec": round(curate_sec, 3),
+            "curate_docs_per_sec": round(n_curate_docs / curate_sec, 1),
+            "curate_n_kept": n_kept,
+            "queries_file": "BENCH_QUERIES.json",
+        },
+        separators=(",", ":"),
     )
+    queries_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+    )
+    with open(queries_path, "w") as f:
+        json.dump(
+            {"sf": sf, "cpus": cpus, "reps": reps, "queries": q_stats},
+            f, indent=1, sort_keys=True,
+        )
+    # Headline printed first AND last (short, complete at either end of a
+    # bounded stdout buffer); per-query medians on their own middle line.
+    print(headline)
+    print(json.dumps(
+        {"queries": {n: s["median"] for n, s in sorted(q_stats.items())}},
+        separators=(",", ":"),
+    ))
+    print(headline)
     spark.stop()
 
 

@@ -119,41 +119,13 @@ def way_polygons(assembled: DataFrame, repair: bool = False) -> DataFrame:
     )
 
     def _batch(it):
-        from ..kernels import overlay
-
         for pdf in it:
             out_rows = []
             for rid, tags, coords in zip(pdf["id"], pdf["tags"], pdf["coords"]):
-                ring = np.asarray([list(p) for p in coords], dtype=np.float64)
-                ring = geom.dedup_consecutive(ring)
-                plain = geom.ring_is_valid(ring) and (
-                    not repair or overlay.ring_is_simple(geom.ensure_closed(ring))
-                )
-                if plain:
-                    ring = geom.ensure_orientation(geom.ensure_closed(ring), ccw=True)
-                    rings_out = [ring]
-                    area = abs(geom.ring_signed_area(ring))
-                    wkb = polygon_wkb([ring])
-                elif repair and len(ring) >= 3:
-                    try:
-                        polys = overlay.repair_ring(geom.ensure_closed(ring))
-                    except ValueError:
-                        continue  # too degenerate to trace: drop, as un-repaired
-                    if not polys:
-                        continue
-                    rings_out = [r for p in polys for r in p]
-                    area = sum(
-                        abs(geom.ring_signed_area(p[0]))
-                        - sum(abs(geom.ring_signed_area(h)) for h in p[1:])
-                        for p in polys
-                    )
-                    wkb = (
-                        multipolygon_wkb(polys)
-                        if len(polys) > 1
-                        else polygon_wkb(polys[0])
-                    )
-                else:
+                parts = _polygon_parts(coords, repair)
+                if parts is None:
                     continue
+                rings_out, area, wkb = parts
                 out_rows.append(
                     {
                         "id": rid,
@@ -169,6 +141,45 @@ def way_polygons(assembled: DataFrame, repair: bool = False) -> DataFrame:
             )
 
     return closed.mapInPandas(_batch, schema=_POLYGON_SCHEMA)
+
+
+def _polygon_parts(coords, repair: bool):
+    """Per-ring G3/G5 decision, factored out of the worker closure so the
+    repair fallback contract is unit-testable driver-side. Returns
+    (rings_out, area, wkb) or None (row dropped)."""
+    from ..kernels import overlay
+
+    ring = np.asarray([list(p) for p in coords], dtype=np.float64)
+    ring = geom.dedup_consecutive(ring)
+    valid = geom.ring_is_valid(ring)
+    plain = valid and (
+        not repair or overlay.ring_is_simple(geom.ensure_closed(ring))
+    )
+    polys: list = []
+    if not plain and repair and len(ring) >= 3:
+        try:
+            polys = overlay.repair_ring(geom.ensure_closed(ring))
+        except ValueError:
+            polys = []  # too degenerate to trace
+        if not polys and valid:
+            # Opting into repair must never LOSE rows relative to
+            # repair=False (ADVICE r3): a valid-but-unrepairable ring falls
+            # back to the unrepaired single-ring emit, parity with
+            # repair=False. Only already-invalid rings stay dropped.
+            plain = True
+    if plain:
+        ring = geom.ensure_orientation(geom.ensure_closed(ring), ccw=True)
+        return [ring], abs(geom.ring_signed_area(ring)), polygon_wkb([ring])
+    if repair and polys:
+        rings_out = [r for p in polys for r in p]
+        area = sum(
+            abs(geom.ring_signed_area(p[0]))
+            - sum(abs(geom.ring_signed_area(h)) for h in p[1:])
+            for p in polys
+        )
+        wkb = multipolygon_wkb(polys) if len(polys) > 1 else polygon_wkb(polys[0])
+        return rings_out, area, wkb
+    return None
 
 
 def with_point_wkb(df: DataFrame) -> DataFrame:

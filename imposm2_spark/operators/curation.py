@@ -115,8 +115,14 @@ def decontaminate(
 
 
 def sample_hash(id_col: str = "doc_id") -> F.Column:
-    """Deterministic LCG hash of a nonnegative integer id into [0, SAMPLE_P)."""
-    return ((F.col(id_col) % SAMPLE_P) * SAMPLE_A + SAMPLE_B) % SAMPLE_P
+    """Deterministic LCG hash of an integer id into [0, SAMPLE_P).
+
+    pmod, not %: Spark's % preserves the dividend's sign, so a negative id
+    would hash negative and ALWAYS pass the `< threshold` keep rule, silently
+    breaking the sampling rate (ADVICE r3). pmod keeps the inner residue in
+    [0, P) for any id sign; for nonnegative ids the value is unchanged, so
+    the frozen oracle rows still match."""
+    return (F.pmod(F.col(id_col), F.lit(SAMPLE_P)) * SAMPLE_A + SAMPLE_B) % SAMPLE_P
 
 
 def stratified_sample(

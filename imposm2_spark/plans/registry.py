@@ -43,11 +43,22 @@ def register(name: str, oracle: str | None = None):
 def queries() -> dict[str, QueryFn]:
     """Oracle-backed queries first (registration order preserved within each
     group), rows-only queries last. The driver enumerates this dict IN ORDER
-    and records correctness rows for a bounded prefix (CORRECTNESS_r02 held
-    exactly the first 50 of 52 registered, silently dropping the oracle-backed
-    `raster_patch_join_z6` and `curate_corpus`) — so a truncated run must only
-    ever drop rows-only entries, whose semantics are pytest-gated anyway."""
+    and records correctness rows for a bounded prefix (observed cap: 50 rows —
+    CORRECTNESS_r02/r03 each held exactly the first 50).
+
+    INVARIANT (r4): oracle-backed count must stay <= 50 so every oracle-backed
+    entry is inside the driver's recorded window; near-duplicate entries are
+    consolidated into one query with a `variant` discriminator column instead
+    of registering separately (see `mapping_fields`, `mapping_route`,
+    `knn_join_3`, `pip_join_grid`, `generalized_landusages`,
+    `embedding_neardup`). A new operator query must either fit the remaining
+    headroom or fold into an existing variant family. Rows-only entries may
+    overflow the window — their semantics are pytest-gated anyway."""
     ordered = sorted(_QUERIES, key=lambda n: n not in _ORACLES)
+    assert sum(1 for n in _QUERIES if n in _ORACLES) <= 50, (
+        "oracle-backed registry overflowed the driver's 50-row artifact window;"
+        " consolidate into a variant family (see queries() docstring)"
+    )
     return {n: _QUERIES[n] for n in ordered}
 
 
@@ -94,16 +105,31 @@ FROM (SELECT unnest(generate_series(0, 4)) AS r) r,
 @register(
     "pip_join_grid",
     oracle=f"""
-WITH pts AS ({PTS_DENSE_SQL}), grid AS ({_GRID_SQL})
-SELECT p.doc_id, g.polygon_id
-FROM pts p JOIN grid g
-  ON p.lon >= g.x0 AND p.lon < g.x1 AND p.lat >= g.y0 AND p.lat < g.y1
+WITH pts AS ({PTS_DENSE_SQL}), grid AS ({_GRID_SQL}),
+j AS (
+  SELECT p.doc_id, g.polygon_id
+  FROM pts p JOIN grid g
+    ON p.lon >= g.x0 AND p.lon < g.x1 AND p.lat >= g.y0 AND p.lat < g.y1
+)
+SELECT 'plain' AS variant, doc_id, polygon_id FROM j
+UNION ALL
+SELECT 'salted' AS variant, doc_id, polygon_id FROM j
 """,
 )
 def q_pip_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + O10a in one driver row (r4 consolidation of `pip_join_grid` +
+    `pip_join_grid_salted`): the broadcast default and the salted shuffle
+    rewrite must produce identical rows, so both run against one oracle with
+    a `variant` discriminator."""
     pts = derived_points_dense(spark, sf_dir)
     polys = fixtures.polygons_admin_df(spark).where(F.col("polygon_id") < 20)
-    return pip_join(pts, polys, keep_point_cols=["doc_id"]).select("doc_id", "polygon_id")
+    plain = pip_join(pts, polys, keep_point_cols=["doc_id"]).select(
+        F.lit("plain").alias("variant"), "doc_id", "polygon_id"
+    )
+    salted = pip_join(
+        pts, polys, keep_point_cols=["doc_id"], salt_factor=8, broadcast_polygons=False
+    ).select(F.lit("salted").alias("variant"), "doc_id", "polygon_id")
+    return plain.unionByName(salted)
 
 
 # ---------------------------------------------------------------------------
@@ -142,20 +168,31 @@ def _grid_sites(spark: SparkSession) -> DataFrame:
     )
 
 
-@register("knn_brute_3", oracle=_KNN_ORACLE)
-def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.knn import knn_join_brute
+_KNN_BOTH_ORACLE = f"""
+WITH base AS ({_KNN_ORACLE})
+SELECT 'brute' AS variant, doc_id, site_id, rank FROM base
+UNION ALL
+SELECT 'kring' AS variant, doc_id, site_id, rank FROM base
+"""
 
-    return knn_join_brute(derived_points_dense(spark, sf_dir), _grid_sites(spark), k=3)
 
+@register("knn_join_3", oracle=_KNN_BOTH_ORACLE)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 both paths in one driver row (r4 consolidation of `knn_brute_3` +
+    `knn_kring_3`): the broadcast brute baseline and the k-ring-expansion
+    scale path are both exact, so they share one oracle with a `variant`
+    discriminator."""
+    from ..operators.knn import knn_join, knn_join_brute
 
-@register("knn_kring_3", oracle=_KNN_ORACLE)
-def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.knn import knn_join
-
-    return knn_join(
-        derived_points_dense(spark, sf_dir), _grid_sites(spark), k=3, level=6
+    pts = derived_points_dense(spark, sf_dir)
+    sites = _grid_sites(spark)
+    brute = knn_join_brute(pts, sites, k=3).select(
+        F.lit("brute").alias("variant"), "doc_id", "site_id", "rank"
     )
+    kring = knn_join(pts, sites, k=3, level=6).select(
+        F.lit("kring").alias("variant"), "doc_id", "site_id", "rank"
+    )
+    return brute.unionByName(kring)
 
 
 # ---------------------------------------------------------------------------
@@ -486,54 +523,61 @@ def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mapping_route",
     oracle=f"""
-WITH t AS ({_TAG_CASES_SQL})
-SELECT doc_id AS id, 'places' AS tbl, 'place' AS matched_key, place_v AS matched_value
-FROM t WHERE place_v IN ('country','state','region','county','city','town','village','hamlet','suburb','locality')
-UNION ALL
-SELECT doc_id, 'mainroads', 'highway', highway_v
-FROM t WHERE highway_v IN ('motorway','motorway_link','trunk','trunk_link','primary','primary_link','secondary','secondary_link')
-UNION ALL
-SELECT doc_id, 'minorroads', 'highway', highway_v
-FROM t WHERE highway_v IN ('tertiary','tertiary_link','residential','unclassified','road','living_street','service','track')
+WITH t AS ({_TAG_CASES_SQL}),
+cand AS (
+  SELECT doc_id, 'places' AS tbl, 'place' AS k, place_v AS v
+  FROM t WHERE place_v IN ('country','state','region','county','city','town','village','hamlet','suburb','locality')
+  UNION ALL
+  SELECT doc_id, 'mainroads', 'highway', highway_v
+  FROM t WHERE highway_v IN ('motorway','motorway_link','trunk','trunk_link','primary','primary_link','secondary','secondary_link')
+  UNION ALL
+  SELECT doc_id, 'minorroads', 'highway', highway_v
+  FROM t WHERE highway_v IN ('tertiary','tertiary_link','residential','unclassified','road','living_street','service','track')
+  UNION ALL
+  SELECT doc_id, 'transport_points', 'railway', railway_v
+  FROM t WHERE railway_v IN ('station','halt','tram_stop','crossing','level_crossing','subway_entrance')
+  UNION ALL
+  SELECT doc_id, 'transport_points', 'aeroway', aeroway_v
+  FROM t WHERE aeroway_v IN ('aerodrome','terminal','helipad','gate')
+  UNION ALL
+  SELECT doc_id, 'transport_points', 'highway', highway_v
+  FROM t WHERE highway_v IN ('mini_roundabout','bus_stop','traffic_signals')
+  UNION ALL
+  SELECT doc_id, 'aeroways', 'aeroway', aeroway_v
+  FROM t WHERE aeroway_v IN ('runway','taxiway')
+  UNION ALL
+  SELECT doc_id, 'barrierways', 'barrier', barrier_v
+  FROM t WHERE barrier_v IN ('city_wall','fence','hedge','retaining_wall','wall',
+                             'bollard','gate','spikes','lift_gate','kissing_gate',
+                             'embankment','yes','wire_fence')
+)
+SELECT doc_id AS id, tbl, k AS matched_key, v AS matched_value
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, tbl ORDER BY k, v) AS rn FROM cand)
+WHERE rn = 1
 """,
 )
 def q_mapping_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 router across six tables in one driver row (r4 consolidation of
+    `mapping_route` + `mapping_route_transport`): single-key tables plus the
+    multi-key transport_points case whose (key, value) dedup must pick the
+    lexicographically smallest pair — frozen match semantics."""
     from ..operators import defaultmapping as dm
     from ..operators.mapping import route
 
     els = _tag_elements(spark, sf_dir)
-    routed = route(els, [dm.PLACES, dm.MAINROADS, dm.MINORROADS], spark)
+    routed = route(
+        els,
+        [dm.PLACES, dm.MAINROADS, dm.MINORROADS,
+         dm.TRANSPORT_POINTS, dm.AEROWAYS, dm.BARRIERWAYS],
+        spark,
+    )
     return routed.select(
         "id", F.col("table").alias("tbl"), "matched_key", "matched_value"
     )
 
 
-@register(
-    "mapping_fields_mainroads",
-    oracle=f"""
-WITH t AS ({_TAG_CASES_SQL})
-SELECT doc_id AS id,
-       name_v AS name,
-       highway_v AS type,
-       false AS tunnel,
-       (bridge_v IS NOT NULL) AS bridge,
-       CASE oneway_v WHEN 'yes' THEN 1 WHEN '-1' THEN -1 ELSE 0 END AS oneway,
-       (CASE highway_v WHEN 'primary' THEN 10 WHEN 'motorway' THEN 14 ELSE 0 END
-        + COALESCE(CAST(layer_v AS INTEGER), 0) * 10
-        + CASE WHEN bridge_v IS NOT NULL THEN 1 ELSE 0 END) AS z_order
-FROM t
-WHERE highway_v IN ('motorway','primary')
-""",
-)
-def q_mapping_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import defaultmapping as dm
-    from ..operators.mapping import build_tables
-
-    els = _tag_elements(spark, sf_dir)
-    tables = build_tables(els, [dm.MAINROADS], spark)
-    return tables["mainroads"].select(
-        "id", "name", "type", "tunnel", "bridge", "oneway", "z_order"
-    )
+# Placeholder: the consolidated `mapping_fields` query is registered after
+# _ZORDER_CASE is defined (see the field-type truth-table section below).
 
 
 # ---------------------------------------------------------------------------
@@ -634,16 +678,48 @@ def q_import_landusages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["landusages"].select("id", "name", "type", F.round("area", 9).alias("area"))
 
 
-@register("generalized_landusages", oracle=golden.GENERALIZED_LANDUSAGES)
+_GEN_CHAIN_ORACLE = """
+SELECT CAST(id AS BIGINT) AS id, CAST(type AS VARCHAR) AS type,
+       CAST(area AS DOUBLE) AS area
+FROM (VALUES
+  (3, 'forest', 164.0),
+  (5, 'meadow', 100.0),
+  (6, 'forest', 100.0),
+  (7, 'park', 100.0),
+  (8, 'park', 100.0)
+) AS t(id, type, area)
+"""
+
+_GEN_BOTH_ORACLE = f"""
+SELECT 'gen' AS variant, id, type, area FROM ({golden.GENERALIZED_LANDUSAGES}) g
+UNION ALL
+SELECT 'chain', id, type, area FROM ({_GEN_CHAIN_ORACLE}) c
+"""
+
+
+@register("generalized_landusages", oracle=_GEN_BOTH_ORACLE)
 def q_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 both forms in one driver row (r4 consolidation of
+    `generalized_landusages` + `generalized_chain_landusages`): the ad-hoc
+    single-level generalized_table and the declared gen0-FROM-gen1 chain run
+    off ONE import (halving the fixture-scale import cost the r3 bench
+    flagged), discriminated by `variant`."""
     from ..operators import defaultmapping as dm
-    from ..operators.generalize import generalized_table
+    from ..operators.generalize import generalized_table, materialize_generalized
     from ..plans.import_pipeline import import_tables
 
     nodes, ways, relations = fixtures.osm_dfs(spark)
     out = import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES])
-    gen = generalized_table(out["landusages"], tolerance=0.5, where=F.col("area") > 50.0)
-    return gen.select("id", "type", F.round("area", 9).alias("area"))
+    lu = out["landusages"]
+    gen = generalized_table(lu, tolerance=0.5, where=F.col("area") > 50.0).select(
+        F.lit("gen").alias("variant"), "id", "type", F.round("area", 9).alias("area")
+    )
+    chain = materialize_generalized(
+        {"landusages": lu}, [dm.LANDUSAGES_GEN1, dm.LANDUSAGES_GEN0]
+    )["landusages_gen0"].select(
+        F.lit("chain").alias("variant"), "id", "type", F.round("area", 9).alias("area")
+    )
+    return gen.unionByName(chain)
 
 
 _ALL_TABLES_ORACLE = """
@@ -678,40 +754,6 @@ def q_import_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, df in sorted(out.items())
     ]
     return reduce(lambda a, b: a.unionByName(b), frames)
-
-
-_GEN_CHAIN_ORACLE = """
-SELECT CAST(id AS BIGINT) AS id, CAST(type AS VARCHAR) AS type,
-       CAST(area AS DOUBLE) AS area
-FROM (VALUES
-  (3, 'forest', 164.0),
-  (5, 'meadow', 100.0),
-  (6, 'forest', 100.0),
-  (7, 'park', 100.0),
-  (8, 'park', 100.0)
-) AS t(id, type, area)
-"""
-
-
-@register("generalized_chain_landusages", oracle=_GEN_CHAIN_ORACLE)
-def q_generalized_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The declared landusages_gen0-FROM-gen1 chain (imposm2 GeneralizedTable
-    instances). Golden hand-derived: gen1 (tol 1.0, area>=50) keeps all 7
-    origin rows (MP holes deviate >1.0 so areas are unchanged); gen0 (tol
-    2.0, area>=100) gates out the two 96.0 parks, and MP-03's 2x2 hole
-    collapses under Douglas-Peucker at tol 2.0 so 160.0 -> 164.0."""
-    from ..operators import defaultmapping as dm
-    from ..operators.generalize import materialize_generalized
-    from ..plans.import_pipeline import import_tables
-
-    nodes, ways, relations = fixtures.osm_dfs(spark)
-    out = import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES])
-    gen = materialize_generalized(
-        {"landusages": out["landusages"]}, [dm.LANDUSAGES_GEN1, dm.LANDUSAGES_GEN0]
-    )
-    return gen["landusages_gen0"].select(
-        "id", "type", F.round("area", 9).alias("area")
-    )
 
 
 @register("polygon_covering_tiles_z8", oracle=golden.POLYGON_COVERING_TILES_Z8)
@@ -1332,26 +1374,15 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_neardup_window",
-    oracle=f"""
+_NEARDUP_WINDOW_ORACLE = f"""
 WITH n AS ({_EMB_NORMED_SQL})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_COS_SQL.format(a='a', b='b')}, 9) AS sim
 FROM n a JOIN n b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
 WHERE round({_COS_SQL.format(a='a', b='b')}, 9) >= 0.3
-""",
-)
-def q_neardup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ann import embedding_neardup_window
+"""
 
-    emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_window(emb, threshold=0.3, window=20)
-
-
-@register(
-    "embedding_neardup_lsh",
-    oracle=f"""
+_NEARDUP_LSH_ORACLE = f"""
 WITH {_LSH_PLANES_SQL.strip()},
 emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1373,24 +1404,41 @@ WHERE round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
       i -> a.v[i]*b.v[i])), (x, y) -> x + y)
   / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x*x)), (p, q) -> p + q)
        * list_reduce(list_prepend(0.0, list_transform(b.v, x -> x*x)), (p, q) -> p + q)), 9) >= 0.9
-""",
-)
-def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthetic corpus has no true 0.9-cosine pairs at small sf, so the
-    query plants deterministic near-copies (every 97th vector re-emitted with
-    a shifted id and a tiny scale: cosine 1.0) — the LSH must bucket and
-    recover them; a 0-row result means the operator is broken, not the data.
-    Deterministic planes + order-pinned float sums make even this approximate
-    path oracle-checkable (see _LSH_PLANES_SQL note)."""
-    from ..operators.ann import embedding_neardup_lsh
+"""
+
+_NEARDUP_BOTH_ORACLE = f"""
+SELECT 'window' AS variant, vec_a, vec_b, sim FROM ({_NEARDUP_WINDOW_ORACLE}) w
+UNION ALL
+SELECT 'lsh', vec_a, vec_b, sim FROM ({_NEARDUP_LSH_ORACLE}) l
+"""
+
+
+@register("embedding_neardup", oracle=_NEARDUP_BOTH_ORACLE)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 both variants in one driver row (r4 consolidation of
+    `embedding_neardup_window` + `embedding_neardup_lsh`).
+
+    LSH variant: the synthetic corpus has no true 0.9-cosine pairs at small
+    sf, so the query plants deterministic near-copies (every 97th vector
+    re-emitted with a shifted id and a tiny scale: cosine 1.0) — the LSH must
+    bucket and recover them; a 0-row result means the operator is broken, not
+    the data. Deterministic planes + order-pinned float sums make even this
+    approximate path oracle-checkable (see _LSH_PLANES_SQL note)."""
+    from ..operators.ann import embedding_neardup_lsh, embedding_neardup_window
 
     emb = load(spark, sf_dir, "embeddings")
+    win = embedding_neardup_window(emb, threshold=0.3, window=20).select(
+        F.lit("window").alias("variant"), "vec_a", "vec_b", "sim"
+    )
     planted = emb.where(F.col("vec_id") % 97 == 0).select(
         (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
         "label",
     )
-    return embedding_neardup_lsh(emb.unionByName(planted), threshold=0.9)
+    lsh = embedding_neardup_lsh(emb.unionByName(planted), threshold=0.9).select(
+        F.lit("lsh").alias("variant"), "vec_a", "vec_b", "sim"
+    )
+    return win.unionByName(lsh)
 
 
 # ---------------------------------------------------------------------------
@@ -1556,66 +1604,74 @@ _ZORDER_CASE = "CASE place_v " + " ".join(
 
 
 @register(
-    "mapping_fields_places",
+    "mapping_fields",
     oracle=f"""
 WITH t AS ({_TAG_CASES_SQL})
-SELECT doc_id AS id,
-       name_v AS name,
-       place_v AS type,
-       {_ZORDER_CASE} AS z_order,
-       TRY_CAST(pop_v AS INTEGER) AS population
-FROM t
-WHERE place_v IN ({", ".join(f"'{v}'" for v in _PLACE_RANKS)})
-""",
-)
-def q_mapping_places(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import defaultmapping as dm
-    from ..operators.mapping import build_tables
-
-    els = _tag_elements(spark, sf_dir)
-    tables = build_tables(els, [dm.PLACES], spark)
-    return tables["places"].select("id", "name", "type", "z_order", "population")
-
-
-@register(
-    "mapping_admin_levels",
-    oracle=f"""
-WITH t AS ({_TAG_CASES_SQL})
-SELECT doc_id AS id, name_v AS name, boundary_v AS type,
-       TRY_CAST(admin_v AS INTEGER) AS admin_level
-FROM t
-WHERE boundary_v = 'administrative'
+SELECT 'mainroads' AS variant, doc_id AS id, name_v AS name, highway_v AS type,
+       false AS tunnel,
+       (bridge_v IS NOT NULL) AS bridge,
+       CASE oneway_v WHEN 'yes' THEN 1 WHEN '-1' THEN -1 ELSE 0 END AS oneway,
+       (CASE highway_v WHEN 'primary' THEN 10 WHEN 'motorway' THEN 14 ELSE 0 END
+        + COALESCE(CAST(layer_v AS INTEGER), 0) * 10
+        + CASE WHEN bridge_v IS NOT NULL THEN 1 ELSE 0 END) AS z_order,
+       CAST(NULL AS INTEGER) AS population,
+       CAST(NULL AS VARCHAR) AS name_en,
+       CAST(NULL AS INTEGER) AS admin_level
+FROM t WHERE highway_v IN ('motorway','primary')
+UNION ALL
+SELECT 'places', doc_id, name_v, place_v,
+       false, false, NULL,
+       {_ZORDER_CASE},
+       TRY_CAST(pop_v AS INTEGER), COALESCE(name_en_v, ''), NULL
+FROM t WHERE place_v IN ({", ".join(f"'{v}'" for v in _PLACE_RANKS)})
+UNION ALL
+SELECT 'amenities', doc_id, name_v, amenity_v,
+       false, false, NULL, NULL, NULL, NULL, NULL
+FROM t WHERE amenity_v IN ('university','school','library','fuel','hospital',
+                           'fire_station','police','townhall')
+UNION ALL
+SELECT 'admin', doc_id, name_v, boundary_v,
+       false, false, NULL, NULL, NULL, NULL, TRY_CAST(admin_v AS INTEGER)
+FROM t WHERE boundary_v = 'administrative'
   AND TRY_CAST(admin_v AS INTEGER) IN (1, 2, 3, 4, 5, 6)
 """,
 )
-def q_mapping_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mapping_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-type truth tables across four mapping tables in one driver row
+    (r4 consolidation of `mapping_fields_mainroads` + `mapping_fields_places`
+    + `mapping_fields_amenities` + `mapping_admin_levels` +
+    `mapping_name_i18n`): Bool/Direction/WayZOrder on mainroads, ZOrder-rank
+    + Integer(try_cast) + localized Name('name:en') on places, plain
+    String/Name on amenities, OneOfInt + field_filter row-drop on admin.
+    Variants are NULL-padded to a superset schema (booleans false-padded:
+    a nullable bool stringifies asymmetrically across the two pandas
+    bridges — Spark None vs DuckDB NaN); the driver's column-sorted value
+    hash covers every cell on both sides."""
     from ..operators import defaultmapping as dm
     from ..operators.mapping import build_tables
 
     els = _tag_elements(spark, sf_dir)
-    tables = build_tables(els, [dm.ADMIN], spark)
-    return tables["admin"].select("id", "name", "type", "admin_level")
-
-
-# ---------------------------------------------------------------------------
-# Salted PIP join (O10a skew path) — same oracle as pip_join_grid: salting
-# must be a pure physical rewrite with identical output rows.
-# ---------------------------------------------------------------------------
-@register(
-    "pip_join_grid_salted",
-    oracle=f"""
-WITH pts AS ({PTS_DENSE_SQL}), grid AS ({_GRID_SQL})
-SELECT p.doc_id, g.polygon_id
-FROM pts p JOIN grid g
-  ON p.lon >= g.x0 AND p.lon < g.x1 AND p.lat >= g.y0 AND p.lat < g.y1
-""",
-)
-def q_pip_join_grid_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = derived_points_dense(spark, sf_dir)
-    polys = fixtures.polygons_admin_df(spark).where(F.col("polygon_id") < 20)
-    return pip_join(
-        pts, polys, keep_point_cols=["doc_id"], salt_factor=8, broadcast_polygons=False
-    ).select("doc_id", "polygon_id")
+    tables = build_tables(els, [dm.MAINROADS, dm.PLACES, dm.AMENITIES, dm.ADMIN], spark)
+    main = tables["mainroads"].select(
+        F.lit("mainroads").alias("variant"),
+        "id", "name", "type", "tunnel", "bridge", "oneway", "z_order",
+    )
+    pad = [F.lit(False).alias("tunnel"), F.lit(False).alias("bridge")]
+    places = tables["places"].select(
+        F.lit("places").alias("variant"),
+        "id", "name", "type", "z_order", "population", "name_en", *pad,
+    )
+    amen = tables["amenities"].select(
+        F.lit("amenities").alias("variant"), "id", "name", "type", *pad
+    )
+    admin = tables["admin"].select(
+        F.lit("admin").alias("variant"), "id", "name", "type", "admin_level", *pad
+    )
+    return (
+        main.unionByName(places, allowMissingColumns=True)
+        .unionByName(amen, allowMissingColumns=True)
+        .unionByName(admin, allowMissingColumns=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1743,88 +1799,6 @@ def q_mapping_pseudoarea(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = way_polygons(ways)  # id, tags, rings, area(shoelace), wkb
     tables = build_tables(polys, [dm.LANDUSAGES], spark)
     return tables["landusages"].select("id", "name", "type", "area")
-
-
-# ---------------------------------------------------------------------------
-# Default-mapping breadth: amenities fields + multi-key transport routing
-# (a doc matching transport_points via BOTH railway and aeroway must dedup to
-# the lexicographically smallest (key, value) pair — frozen match semantics).
-# ---------------------------------------------------------------------------
-@register(
-    "mapping_fields_amenities",
-    oracle=f"""
-WITH t AS ({_TAG_CASES_SQL})
-SELECT doc_id AS id, name_v AS name, amenity_v AS type
-FROM t
-WHERE amenity_v IN ('university','school','library','fuel','hospital',
-                    'fire_station','police','townhall')
-""",
-)
-def q_mapping_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import defaultmapping as dm
-    from ..operators.mapping import build_tables
-
-    els = _tag_elements(spark, sf_dir)
-    tables = build_tables(els, [dm.AMENITIES], spark)
-    return tables["amenities"].select("id", "name", "type")
-
-
-@register(
-    "mapping_name_i18n",
-    oracle=f"""
-WITH t AS ({_TAG_CASES_SQL})
-SELECT doc_id AS id, name_v AS name, COALESCE(name_en_v, '') AS name_en
-FROM t
-WHERE place_v IN ('country','state','region','county','city','town','village',
-                  'hamlet','suburb','locality')
-""",
-)
-def q_mapping_name_i18n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 localized name columns: Name('name:en') beside plain Name()."""
-    from ..operators import defaultmapping as dm
-    from ..operators.mapping import build_tables
-
-    els = _tag_elements(spark, sf_dir)
-    tables = build_tables(els, [dm.PLACES], spark)
-    return tables["places"].select("id", "name", "name_en")
-
-
-@register(
-    "mapping_route_transport",
-    oracle=f"""
-WITH t AS ({_TAG_CASES_SQL}),
-cand AS (
-  SELECT doc_id, 'transport_points' AS tbl, 'railway' AS k, railway_v AS v
-  FROM t WHERE railway_v IN ('station','halt','tram_stop','crossing','level_crossing','subway_entrance')
-  UNION ALL
-  SELECT doc_id, 'transport_points', 'aeroway', aeroway_v
-  FROM t WHERE aeroway_v IN ('aerodrome','terminal','helipad','gate')
-  UNION ALL
-  SELECT doc_id, 'transport_points', 'highway', highway_v
-  FROM t WHERE highway_v IN ('mini_roundabout','bus_stop','traffic_signals')
-  UNION ALL
-  SELECT doc_id, 'aeroways', 'aeroway', aeroway_v
-  FROM t WHERE aeroway_v IN ('runway','taxiway')
-  UNION ALL
-  SELECT doc_id, 'barrierways', 'barrier', barrier_v
-  FROM t WHERE barrier_v IN ('city_wall','fence','hedge','retaining_wall','wall',
-                             'bollard','gate','spikes','lift_gate','kissing_gate',
-                             'embankment','yes','wire_fence')
-)
-SELECT doc_id AS id, tbl, k AS matched_key, v AS matched_value
-FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, tbl ORDER BY k, v) AS rn FROM cand)
-WHERE rn = 1
-""",
-)
-def q_mapping_route_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import defaultmapping as dm
-    from ..operators.mapping import route
-
-    els = _tag_elements(spark, sf_dir)
-    routed = route(els, [dm.TRANSPORT_POINTS, dm.AEROWAYS, dm.BARRIERWAYS], spark)
-    return routed.select(
-        "id", F.col("table").alias("tbl"), "matched_key", "matched_value"
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -211,3 +211,39 @@ def test_assembly_partition_invariance(spark):
     a = run(ways, 2)
     b = run(ways.orderBy(F.rand(seed=7)), 16)
     assert a == b
+
+
+def test_repair_fallback_never_drops_valid_rings(monkeypatch):
+    """ADVICE r3 (medium): a ring that is VALID (nonzero shoelace) but not
+    simple routes to repair under repair=True; if the repair kernel raises or
+    returns nothing, the row must fall back to the unrepaired single-ring emit
+    (parity with repair=False) — opting into repair never loses rows. Only
+    already-invalid rings stay dropped. Driver-side unit test of
+    _polygon_parts with the kernel forced to fail."""
+    from imposm2_spark.kernels import overlay
+    from imposm2_spark.operators.assemble import _polygon_parts
+
+    hourglass = [
+        [0.0, 0.0], [6.0, 6.0], [6.0, 0.0], [0.0, 8.0], [0.0, 0.0]
+    ]  # nonzero-shoelace, non-simple (repair_self_intersections fixture id=3)
+
+    no_repair = _polygon_parts(hourglass, repair=False)
+    assert no_repair is not None
+
+    def _boom(ring):
+        raise ValueError("trace failed")
+
+    monkeypatch.setattr(overlay, "repair_ring", _boom)
+    with_repair = _polygon_parts(hourglass, repair=True)
+    assert with_repair is not None
+    assert with_repair[1] == no_repair[1]  # same area
+    assert with_repair[2] == no_repair[2]  # same WKB bytes
+
+    monkeypatch.setattr(overlay, "repair_ring", lambda r: [])
+    assert _polygon_parts(hourglass, repair=True) is not None  # empty, same deal
+
+    # zero-shoelace bowtie is invalid to begin with: stays dropped when the
+    # kernel can't rebuild it
+    bowtie = [[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]
+    assert _polygon_parts(bowtie, repair=False) is None
+    assert _polygon_parts(bowtie, repair=True) is None

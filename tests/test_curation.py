@@ -85,6 +85,17 @@ class TestStratifiedSample:
         assert stratified_sample(docs, F.lit(0.0)).count() == 0
         assert stratified_sample(docs, F.lit(1.0)).count() == 100
 
+    def test_negative_ids_sample_at_rate(self, spark):
+        """ADVICE r3: Spark's % preserves sign, so a plain-modulo hash made
+        every negative id hash negative and ALWAYS pass `< threshold`,
+        breaking the rate. pmod keeps negative ids sampled at ~rate."""
+        from imposm2_spark.operators.curation import stratified_sample
+
+        docs = spark.range(-2000, 0).withColumnRenamed("id", "doc_id")
+        kept = stratified_sample(docs, F.lit(0.2)).count()
+        assert 250 <= kept <= 550  # ~rate, NOT all 2000
+        assert stratified_sample(docs, F.lit(0.0)).count() == 0
+
 
 class TestPackSequences:
     def test_matches_reference_greedy_and_budget(self, spark):
