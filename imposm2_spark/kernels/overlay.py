@@ -320,6 +320,21 @@ def _canonicalize(ring: np.ndarray) -> np.ndarray:
     return geom.canonical_ring(r, ccw=True)
 
 
+def _point_to_segments_dist2(p: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Squared distance from ONE point to each segment A[k]->B[k] — the
+    transpose of _point_segment_dist2, vectorized over segments (ADVICE r3:
+    the per-edge pure-Python scan here was the O(R * E_total^2) hot spot)."""
+    d = B - A
+    len2 = np.einsum("ij,ij->i", d, d)
+    ap = p[None, :] - A
+    t = np.clip(
+        np.einsum("ij,ij->i", ap, d) / np.where(len2 > 0, len2, 1.0), 0.0, 1.0
+    )
+    proj = A + t[:, None] * d
+    diff = p[None, :] - proj
+    return np.einsum("ij,ij->i", diff, diff)
+
+
 def _interior_point(ring: np.ndarray, others: list[np.ndarray] | None = None) -> tuple[float, float]:
     """A point strictly inside (even-odd) a possibly self-intersecting ring
     and strictly OFF every ring in `others` — the canonical interior sample.
@@ -330,34 +345,62 @@ def _interior_point(ring: np.ndarray, others: list[np.ndarray] | None = None) ->
     first odd-parity candidate wins. Deterministic and rotation/direction
     invariant, which makes union-builder roles well-defined even for rings
     that cross each other (an engine-defined choice; documented in SURVEY
-    App. B — no GEOS reference semantics exist for crossing rings)."""
+    App. B — no GEOS reference semantics exist for crossing rings).
+
+    Scale shape (ADVICE r3): other rings are bbox-prefiltered — a candidate's
+    search radius is bounded by its own edge length <= max_ln, so any ring
+    whose bbox clears this ring's bbox inflated by max_ln can never lower
+    `best` and is dropped EXACTLY; the per-edge distance scans are single
+    NumPy batches (own edges + surviving others' edges), not Python loops."""
     r = _canonicalize(ring)
-    other_edges: list[tuple[np.ndarray, np.ndarray]] = []
+    own_a, own_b = r[:-1], r[1:]
+    edge_d = own_b - own_a
+    edge_len = np.hypot(edge_d[:, 0], edge_d[:, 1])
+    max_ln = float(edge_len.max()) if len(edge_len) else 0.0
+    x0 = float(r[:, 0].min()) - max_ln
+    x1 = float(r[:, 0].max()) + max_ln
+    y0 = float(r[:, 1].min()) - max_ln
+    y1 = float(r[:, 1].max()) + max_ln
+    oa_parts: list[np.ndarray] = []
+    ob_parts: list[np.ndarray] = []
     for o in others or []:
-        oc = geom.dedup_consecutive(geom.ensure_closed(np.asarray(o, dtype=np.float64)))
-        for i in range(len(oc) - 1):
-            other_edges.append((oc[i], oc[i + 1]))
+        oraw = np.asarray(o, dtype=np.float64)
+        if len(oraw) < 2:
+            continue
+        # bbox test BEFORE canonicalization (close/dedup never change the
+        # bbox): pruned rings cost one min/max scan, nothing else
+        if (
+            oraw[:, 0].max() < x0 or oraw[:, 0].min() > x1
+            or oraw[:, 1].max() < y0 or oraw[:, 1].min() > y1
+        ):
+            continue  # farther than any candidate search radius: prune exactly
+        oc = geom.dedup_consecutive(geom.ensure_closed(oraw))
+        if len(oc) < 2:
+            continue
+        oa_parts.append(oc[:-1])
+        ob_parts.append(oc[1:])
+    if oa_parts:
+        OA = np.concatenate(oa_parts)
+        OB = np.concatenate(ob_parts)
+    else:
+        OA = OB = np.empty((0, 2), dtype=np.float64)
 
     for e in range(len(r) - 1):
-        a, b = r[e], r[e + 1]
-        m = (a + b) / 2.0
-        d = b - a
-        ln = math.hypot(d[0], d[1])
+        ln = float(edge_len[e])
         if ln == 0:
             continue
-        pts = m[None, :]
-        best = ln
-        for i in range(len(r) - 1):
-            if i == e:
-                continue
-            d2 = float(_point_segment_dist2(pts, r[i], r[i + 1])[0])
-            best = min(best, math.sqrt(d2))
-        for oa, ob in other_edges:
-            d2 = float(_point_segment_dist2(pts, oa, ob)[0])
-            best = min(best, math.sqrt(d2))
-        delta = 0.25 * best
+        m = (own_a[e] + own_b[e]) / 2.0
+        best2 = ln * ln
+        if len(r) > 2:
+            d2_own = _point_to_segments_dist2(m, own_a, own_b)
+            d2_own[e] = np.inf  # the incident edge itself
+            best2 = min(best2, float(d2_own.min()))
+        if len(OA):
+            best2 = min(best2, float(_point_to_segments_dist2(m, OA, OB).min()))
+        delta = 0.25 * math.sqrt(best2)
         if delta <= 10.0 ** (-_SNAP_DECIMALS):
             continue  # midpoint effectively on another boundary: ambiguous edge
+        d = edge_d[e]
         nL = (-d[1] / ln, d[0] / ln)
         for sgn in (1.0, -1.0):
             p = (m[0] + sgn * delta * nL[0], m[1] + sgn * delta * nL[1])
@@ -372,14 +415,31 @@ def ring_roles(rings: list[np.ndarray]) -> list[int]:
     """Union-builder role derivation (role attributes are ignored, as in the
     reference): a ring nested inside an even number of OTHER rings is an outer
     (+1), odd an inner (-1). Derived from each ring's canonical interior point
-    (boundary-clear w.r.t. the other rings, see _interior_point)."""
-    roles = []
+    (boundary-clear w.r.t. the other rings, see _interior_point).
+
+    The depth ray-cast only visits rings whose bbox contains the interior
+    point — a point outside a ring's bbox has parity 0 by construction, so
+    the skip is exact; disjoint-island relations cost O(R^2) bbox tests plus
+    local work instead of O(R^2) full ray-casts (ADVICE r3)."""
     arrs = [np.asarray(r, dtype=np.float64) for r in rings]
+    boxes = [
+        (
+            float(a[:, 0].min()), float(a[:, 1].min()),
+            float(a[:, 0].max()), float(a[:, 1].max()),
+        )
+        for a in arrs
+    ]
+    roles = []
     for i, r in enumerate(arrs):
         others = [s for j, s in enumerate(arrs) if j != i]
         x, y = _interior_point(r, others)
         depth = 0
-        for s in others:
+        for j, s in enumerate(arrs):
+            if j == i:
+                continue
+            bx0, by0, bx1, by1 = boxes[j]
+            if not (bx0 <= x <= bx1 and by0 <= y <= by1):
+                continue
             if geom.crossings(np.asarray([x]), np.asarray([y]), s)[0] % 2 == 1:
                 depth += 1
         roles.append(1 if depth % 2 == 0 else -1)

@@ -51,6 +51,22 @@ def _not_an_iceberg_table(exc: Exception) -> bool:
     )
 
 
+def _has_iceberg_metadata_dir(spark: SparkSession, ref: str) -> bool:
+    """True if `ref` carries an Iceberg `metadata/` directory — i.e. the path
+    IS (or was) a real Iceberg table, even if its metadata is now unreadable.
+    Probed through the Hadoop FS API so it works on any scheme the cluster
+    can read (s3a/gs/hdfs/file). A probe failure returns False: the caller
+    treats the path as not-a-table and the parquet retry then surfaces
+    whatever is actually wrong with it."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(ref.rstrip("/") + "/metadata")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+    except Exception:
+        return False
+
+
 def read_web_pages(spark: SparkSession, ref: str) -> DataFrame:
     """Load the web-page table from a catalog table name or a path.
 
@@ -60,9 +76,14 @@ def read_web_pages(spark: SparkSession, ref: str) -> DataFrame:
     table. A REAL Iceberg table failing for real reasons (auth, corrupt
     metadata, transient catalog errors) propagates: silently re-reading its
     raw data files as parquet would ignore snapshots/delete files and return
-    stale rows. If the parquet retry also fails, its error chains the
-    original Iceberg cause; a schema mismatch from validate_web_schema
-    always propagates as-is."""
+    stale rows. Because a table whose `metadata/` dir was deleted or
+    corrupted raises the SAME NoSuchTable-shaped errors as a plain parquet
+    dir (ADVICE r3), the fallback first probes for a `metadata/` directory —
+    if one exists the path is a damaged Iceberg table, not parquet, and the
+    original error propagates. Every fallback that does happen logs a
+    warning naming the Iceberg error. If the parquet retry also fails, its
+    error chains the original Iceberg cause; a schema mismatch from
+    validate_web_schema always propagates as-is."""
     if "/" not in ref:
         return validate_web_schema(spark.read.table(ref))
     try:
@@ -70,6 +91,24 @@ def read_web_pages(spark: SparkSession, ref: str) -> DataFrame:
     except Exception as exc:
         if not (_iceberg_runtime_missing(exc) or _not_an_iceberg_table(exc)):
             raise
+        # Probe for BOTH failure classes: whether the runtime is missing or
+        # the catalog says not-a-table, a path carrying metadata/ is a real
+        # Iceberg table and its raw data files must not be served as parquet.
+        if _has_iceberg_metadata_dir(spark, ref):
+            raise RuntimeError(
+                f"{ref!r} has an Iceberg metadata/ directory but the Iceberg "
+                f"read failed ({exc}); refusing to fall back to raw parquet — "
+                "that would ignore snapshots/delete files and return stale "
+                "rows. Repair or re-register the table."
+            ) from exc
+        import warnings
+
+        warnings.warn(
+            f"Iceberg read of {ref!r} failed ({exc}); retrying as plain "
+            "parquet. If this path is a real Iceberg table, fix the runtime/"
+            "catalog instead of relying on this fallback.",
+            stacklevel=2,
+        )
         try:
             df = spark.read.parquet(ref)
         except Exception as pq_exc:

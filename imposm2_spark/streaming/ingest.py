@@ -108,7 +108,16 @@ def stream_spine(
     pip_join's broadcast path); the streaming side goes through only
     stateless ops before the windowed aggregation, so watermark metadata
     propagates and closed-window state is evicted — the streaming twin of
-    plans.pipeline.spine, batch-parity-tested in tests/test_streaming.py."""
+    plans.pipeline.spine, batch-parity-tested in tests/test_streaming.py.
+
+    SINK CONTRACT — `sink` MUST upsert, not append: outputMode('update')
+    re-delivers the same (window_start, x, y) key across micro-batches with
+    monotonically growing counts, so the sink must overwrite by key
+    (last-write-wins; e.g. MERGE INTO / dict[key] = row). A naive append sink
+    double-counts. Update mode is deliberate: availableNow backfills emit
+    every window's current value even when the watermark hasn't closed it yet
+    — append mode would hold back all windows within `watermark` of max event
+    time until a future run."""
     from ..functions.spatial import tile_x, tile_y
     from ..operators.pip import pip_join
 
@@ -158,6 +167,10 @@ def stream_tile_counts(
 
     Late documents beyond `watermark` are dropped deterministically; state for
     closed windows is evicted (bounded memory at unbounded input).
+
+    SINK CONTRACT: same as stream_spine — update mode re-delivers keys with
+    growing counts across micro-batches; `sink` must upsert by
+    (window_start, x, y), never blind-append.
     """
     from ..functions.spatial import tile_x, tile_y
 

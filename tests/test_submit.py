@@ -49,3 +49,27 @@ def test_read_web_pages_parquet_and_validation(spark, tmp_path):
     assert back.count() == docs.count()
     with pytest.raises(ValueError, match="missing columns"):
         validate_web_schema(docs)
+
+
+def test_read_web_pages_refuses_damaged_iceberg_table(spark, tmp_path):
+    """ADVICE r3: a real Iceberg table whose metadata/ dir is corrupted raises
+    the same NoSuchTable-shaped error as a plain parquet dir. The fallback
+    must probe for metadata/ and refuse to serve raw data files (stale rows)
+    — and still fall back happily for a genuine parquet dir (no metadata/)."""
+    import os
+
+    from imposm2_spark.sources import testdata
+    from imposm2_spark.sources.webtable import read_web_pages
+
+    docs = testdata.load(spark, "/root/testdata/sf0.001", "documents")
+    web = testdata.synth_documents_web(docs)
+    path = str(tmp_path / "iceberg_table")
+    web.write.parquet(path)
+    os.makedirs(os.path.join(path, "metadata"))  # the Iceberg fingerprint
+    with pytest.raises(RuntimeError, match="metadata"):
+        read_web_pages(spark, path)
+
+    plain = str(tmp_path / "plain.parquet")
+    web.write.parquet(plain)
+    with pytest.warns(UserWarning, match="retrying as plain"):
+        assert read_web_pages(spark, plain).count() == docs.count()
