@@ -65,6 +65,44 @@ def build_curate_df(spark, sf_dir: str, replication: int):
     return curate(docs)
 
 
+def bench_pip_skew(spark, n: int = 100_000) -> dict:
+    """Dense-cell PIP skew fixture (tests/test_spatial_ops.py twin at bench
+    scale): every point in one level-12 cell, polygon side forced onto the
+    shuffle path. Returns wall seconds for unsalted vs salt_factor=8."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from imposm2_spark.operators.pip import pip_join
+    from imposm2_spark.sources import fixtures
+
+    pts = spark.range(n).select(
+        F.col("id").alias("pid"),
+        (F.pmod(F.col("id") * 9973, 20000) / 1e6).alias("lon"),
+        (F.pmod(F.col("id") * 7919, 20000) / 1e6).alias("lat"),
+    )
+    polys = fixtures.polygons_admin_df(spark)
+    orig_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        counts = {}
+        for name, salt in (("unsalted", None), ("salted8", 8)):
+            df = pip_join(
+                pts, polys, keep_point_cols=["pid"],
+                broadcast_polygons=False, salt_factor=salt,
+            )
+            df.count()  # warm
+            t0 = _t.perf_counter()
+            counts[name] = df.count()
+            out[f"skew_pip_{name}_sec"] = round(_t.perf_counter() - t0, 3)
+        assert counts["unsalted"] == counts["salted8"], counts
+        out["skew_pip_rows"] = counts["salted8"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bc)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -116,6 +154,12 @@ def main() -> None:
     curate_sec = time.perf_counter() - t0
     n_curate_docs = n_base * curate_replication
 
+    # O10a skew row: 10^5 points in ONE level-12 cell through the PIP shuffle
+    # path (auto-broadcast off to force the shuffle; AQE on = production),
+    # salted vs unsalted. Outputs asserted identical; both wall times reported
+    # so the salting win (or AQE already covering it) is measured, not claimed.
+    skew = bench_pip_skew(spark)
+
     from statistics import median
 
     from imposm2_spark.plans import registry
@@ -155,6 +199,7 @@ def main() -> None:
             "curate_sec": round(curate_sec, 3),
             "curate_docs_per_sec": round(n_curate_docs / curate_sec, 1),
             "curate_n_kept": n_kept,
+            **skew,
             "queries_file": "BENCH_QUERIES.json",
         },
         separators=(",", ":"),

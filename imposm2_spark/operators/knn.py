@@ -110,12 +110,23 @@ def knn_join(
     point_lonlat: tuple[str, str] = ("lon", "lat"),
     site_lonlat: tuple[str, str] = ("slon", "slat"),
     broadcast_sites: bool = True,
+    salt_factor: int | None = None,
 ) -> DataFrame:
     """Exact kNN via k-ring expansion at cell `level` (scale path).
 
     Output rows are IDENTICAL to knn_join_brute (asserted by oracle + tests):
     the ring bound makes each accepted top-k provably globally correct, and
     the bounded loop + brute fallback guarantees completeness.
+
+    Skew (O10a twin of pip_join's param): with a shuffled site side
+    (broadcast_sites=False), one dense site cell hashes every matching
+    candidate row to one task. `salt_factor=k` buckets SITES k ways by
+    site_id hash and replicates each point-neighborhood row across the k
+    buckets — the dense cell's site rows spread over k shuffle partitions
+    and the candidate pair set is exactly unchanged (each site lands in one
+    bucket; each point row meets it exactly once), so results stay
+    bit-identical. Salting targets site-side density and is a no-op gain
+    with broadcast sites (no shuffle exists); leave it unset there.
     """
     n = 1 << level
 
@@ -141,6 +152,11 @@ def knn_join(
         grid(F.col("_smx")).alias("_sx"),
         grid(F.col("_smy")).alias("_sy"),
     )
+    salted = bool(salt_factor and salt_factor > 1)
+    if salted:
+        s = s.withColumn(
+            "_sb", F.pmod(F.xxhash64(F.col(site_id)), F.lit(salt_factor)).cast("int")
+        )
     if broadcast_sites:
         s = F.broadcast(s)
 
@@ -168,9 +184,14 @@ def knn_join(
             (F.col("_px") + F.col("_dx")).alias("_nx"),
             (F.col("_py") + F.col("_dy")).alias("_ny"),
         )
-        cand = nbrs.join(
-            s, (F.col("_nx") == F.col("_sx")) & (F.col("_ny") == F.col("_sy"))
-        ).withColumn("_d2", _dist2())
+        join_cond = (F.col("_nx") == F.col("_sx")) & (F.col("_ny") == F.col("_sy"))
+        if salted:
+            nbrs = nbrs.select(
+                "*",
+                F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("_salt"),
+            )
+            join_cond = join_cond & (F.col("_salt") == F.col("_sb"))
+        cand = nbrs.join(s, join_cond).withColumn("_d2", _dist2())
         topk = _topk(cand, point_id, site_id, k)
         # satisfied iff k candidates found AND kth distance strictly inside the
         # ring-r guarantee radius (sites beyond ring r are >= r/n away).

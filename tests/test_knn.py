@@ -72,3 +72,23 @@ def test_rank_is_dense_and_deterministic(spark):
     assert all(r.n == 3 and r.s == 6 for r in agg)
     again = _as_set(knn_join(pts, sites, k=3, level=6))
     assert again == _as_set(out)
+
+
+def test_salted_shuffle_equals_brute(spark):
+    """O10a: site-side salting on the shuffle path is a pure physical rewrite.
+    200 sites packed into one level-6 cell (dense-cell skew) + the scattered
+    baseline sites; salted shuffle-join output must be bit-identical to brute."""
+    pts = _points(spark, n=300)
+    dense = spark.range(200).select(
+        (F.col("id") + 1000).alias("site_id"),
+        (F.col("id") % 20 / 10000.0).alias("slon"),
+        (F.floor(F.col("id") / 20) / 10000.0).alias("slat"),
+    )
+    sites = _sites(spark).unionByName(dense)
+    brute = _as_set(knn_join_brute(pts, sites, k=3))
+    salted = _as_set(
+        knn_join(pts, sites, k=3, level=6, broadcast_sites=False, salt_factor=8)
+    )
+    assert salted == brute
+    unsalted = _as_set(knn_join(pts, sites, k=3, level=6, broadcast_sites=False))
+    assert unsalted == brute

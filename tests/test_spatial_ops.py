@@ -218,3 +218,63 @@ def test_pip_refine_centroid_vs_cells(spark):
     )
     got = {r.pid for r in pip_join(pts, polys, keep_point_cols=["pid"]).collect()}
     assert got == {1}  # (1,9) is in bbox cover but outside the triangle
+
+
+def test_pip_join_skew_salting_spreads_hot_cell(spark):
+    """O10a skew fixture (SURVEY promise): a deliberately dense cell — 20k
+    points in ONE level-12 cell — must (a) produce identical rows salted vs
+    unsalted, and (b) actually spread over >= 4 shuffle partitions when
+    salted while the unsalted hot cell lands in exactly one (AQE disabled
+    for the histogram so the raw hash-partitioning is observable; bench.py's
+    skew row measures the wall-clock effect with production AQE on)."""
+    rng = np.random.default_rng(7)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon": np.round(rng.uniform(0.0, 0.02, n), 6),
+            "lat": np.round(rng.uniform(0.0, 0.02, n), 6),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    polys = fixtures.polygons_admin_df(spark)
+    # cell histogram drives the salt factor: one cell holds everything
+    from imposm2_spark.functions.spatial import cell_encode_col
+
+    hist = (
+        df.groupBy(cell_encode_col(F.col("lon"), F.col("lat"), 12).alias("c"))
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in hist) == n  # the fixture IS one dense cell
+
+    plain = pip_join(df, polys, keep_point_cols=["pid"], broadcast_polygons=False)
+    salted = pip_join(
+        df, polys, keep_point_cols=["pid"], broadcast_polygons=False, salt_factor=8
+    )
+    a = {(r.pid, r.polygon_id) for r in plain.collect()}
+    b = {(r.pid, r.polygon_id) for r in salted.collect()}
+    assert a == b
+    assert len(a) == n  # every point inside the admin grid polygon
+
+    # histogram section: force the real shuffle (Catalyst auto-broadcasts the
+    # tiny fixture polygon side regardless of broadcast_polygons=False, and
+    # AQE re-coalesces) so the raw hash-partitioning is observable
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    orig_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def _nonempty_partitions(d):
+            rows = (
+                d.withColumn("_p", F.spark_partition_id())
+                .groupBy("_p").count().collect()
+            )
+            return len(rows)
+
+        assert _nonempty_partitions(plain) == 1  # the hot cell: one partition
+        assert _nonempty_partitions(salted) >= 4  # measured salt fan-out
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bc)
