@@ -167,34 +167,54 @@ def minhash_lsh_pairs(
 
 # ---------------------------------------------------------------------------
 # SimHash: 32-bit majority-vote fingerprint over token hashes.
-# bit b of each token hash extracted as floor(h / 2^b) % 2 — exact in f64 for
-# h < 2^53 — because bitwise shift-by-column is not available inside lambdas
-# in either engine; the oracle uses the identical floor/pow form.
+# The oracle extracts bit b as floor(h / 2^b) % 2 (DuckDB lambdas lack
+# bitwise shift-by-column); the engine uses literal bit MASKS + bitwiseAND —
+# identical values because token hashes are nonnegative (< CHAR_MOD < 2^30).
 # ---------------------------------------------------------------------------
 SIMHASH_BITS = 32
 
 
+def _bit_masks() -> F.Column:
+    """One literal mask per bit: a constant array, built once per plan.
+    Constructed lazily — F.lit requires an active SparkContext, so a
+    module-level constant would break import before session start."""
+    return F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+
+
 def simhash_from_hashes(th: F.Column) -> F.Column:
-    """SimHash from a PRECOMPUTED token-hash array column.
+    """SimHash from a PRECOMPUTED token-hash array column, in ONE array pass.
 
-    Higher-order functions are interpreted (not codegen'd), and the 32-bit
-    loop references the token array once per bit — passing `text` directly
-    would re-run the O(chars) rolling hash 32x per row. Callers materialize
-    the hash array in a prior projection (see simhash_clusters)."""
+    Higher-order functions are interpreted (not codegen'd), and passing
+    `text` directly would re-run the O(chars) rolling hash per reference —
+    callers materialize the hash array in a prior projection (see
+    simhash_clusters). Within this expression the token array is folded
+    ONCE, zip_with-ing a 32-counter array state against literal bit masks
+    (r3 verdict watch item: the previous form scanned the array once per bit
+    with a float pow/floor per token-bit — measured 2.3x slower at sf0.1:
+    2.32s vs 1.03s median-of-3, outputs bit-identical). The counts array is
+    then bound once as a lambda variable (aggregate over a 1-element array)
+    before the 32 element_at references — an unbound expression would re-run
+    the whole fold per reference (the HOF re-evaluation trap, SKILL.md r3)."""
     n = F.size(th)
-
-    def bit_sum(b: F.Column) -> F.Column:
-        return F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2),
-        )
-
+    counts = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            _bit_masks(),
+            lambda c, m: c
+            + F.when(h.cast("long").bitwiseAND(m) != 0, 1).otherwise(0),
+        ),
+    )
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        F.array(counts),  # binds the counts fold ONCE as a lambda variable
         F.lit(0).cast("long"),
-        lambda acc, b: acc * 2 + F.when(bit_sum(b) * 2 > n, 1).otherwise(0),
+        lambda _zero, cs: F.aggregate(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2
+            + F.when(F.element_at(cs, b.cast("int") + 1) * 2 > n, 1).otherwise(0),
+        ),
     )
 
 
