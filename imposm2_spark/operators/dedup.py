@@ -242,6 +242,7 @@ def dedup_connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 25,
+    use_reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS from a verified pair table: (doc_id, cluster_id)
     where cluster_id = the smallest doc id reachable through the pair graph
@@ -264,7 +265,33 @@ def dedup_connected_components(
     fixpoint — silently returning under-converged (wrong) cluster ids would
     under-dedup downstream curation. With doubling, hitting the default cap
     means a component diameter around 2^25.
+
+    use_reliable_checkpoint: per-round state normally lives in
+    localCheckpoint blocks — fast, but lost with an executor, which fails
+    the whole job on a long run. None (default) sniffs the SparkContext: if
+    a checkpoint dir is set (production clusters:
+    `sc.setCheckpointDir("hdfs://.../ckpt")`), rounds use reliable
+    `.checkpoint()` to that dir and survive executor loss; otherwise
+    localCheckpoint. True requires a checkpoint dir (ValueError if unset);
+    False forces localCheckpoint either way. Results are identical across
+    modes (pytest-gated).
     """
+    sc = pairs.sparkSession.sparkContext
+    ckpt_dir = sc.getCheckpointDir()
+    if use_reliable_checkpoint is None:
+        use_reliable_checkpoint = ckpt_dir is not None
+    elif use_reliable_checkpoint and ckpt_dir is None:
+        raise ValueError(
+            "use_reliable_checkpoint=True requires "
+            "spark.sparkContext.setCheckpointDir(...) so round state has "
+            "somewhere durable to live"
+        )
+
+    def _round_checkpoint(df: DataFrame) -> DataFrame:
+        if use_reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # the symmetric union reads `pairs` twice — persist it so an expensive
     # upstream (the LSH verify chain) executes once, released after edges
     # materialize
@@ -301,8 +328,8 @@ def dedup_connected_components(
         # Round 0 skips the hop — labels are still the identity map, so
         # label(label) is a no-op join.
         if it == 0:
-            new_labels = stepped.withColumnRenamed("_l1", "label").localCheckpoint(
-                eager=True
+            new_labels = _round_checkpoint(
+                stepped.withColumnRenamed("_l1", "label")
             )
             changed = new_labels.where(F.col("label") != F.col("_prev")).count()
             # NO _release_local_checkpoint here: round-0 `labels` is the
@@ -317,12 +344,12 @@ def dedup_connected_components(
                 break
             continue
         hop = labels.select(F.col("id").alias("_hid"), F.col("label").alias("_hlabel"))
-        # localCheckpoint (not persist): each round references `labels` TWICE,
+        # checkpoint (not persist): each round references `labels` TWICE,
         # so lineage doubles per round — caching truncates execution but not
         # the logical plan, and Catalyst's tree walk OOMs around round 10.
-        # Eager checkpoint materializes the round AND cuts the plan to a
-        # LogicalRDD (production clusters wanting executor-loss recovery set
-        # a checkpoint dir and swap in .checkpoint()).
+        # An eager checkpoint materializes the round AND cuts the plan to a
+        # LogicalRDD; _round_checkpoint picks local vs reliable per the
+        # use_reliable_checkpoint contract above.
         new_labels = (
             stepped.join(hop, stepped["_l1"] == hop["_hid"], "left")
             .select(
@@ -330,11 +357,14 @@ def dedup_connected_components(
                 F.least("_l1", F.coalesce("_hlabel", "_l1")).alias("label"),
                 "_prev",
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _round_checkpoint(new_labels)
         changed = new_labels.where(F.col("label") != F.col("_prev")).count()
         labels.unpersist()
-        _release_local_checkpoint(labels)
+        if not use_reliable_checkpoint:
+            # local-checkpoint blocks need the explicit rdd release; reliable
+            # checkpoints live as files under the checkpoint dir instead
+            _release_local_checkpoint(labels)
         labels = new_labels.drop("_prev")
         if changed == 0:
             converged = True

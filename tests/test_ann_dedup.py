@@ -306,3 +306,44 @@ def test_decode_media_dispatch():
     assert np.allclose(out * 32768.0, s)
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "png")
+
+
+def test_cc_reliable_checkpoint_mode(spark, tmp_path):
+    """r4: production checkpoint option. With a checkpoint dir set, the CC
+    loop auto-switches to reliable .checkpoint() (executor-loss-safe) and
+    produces identical clusters; True without a dir raises; False forces
+    localCheckpoint under a dir. Checkpoint files actually land in the dir."""
+    import os
+
+    from imposm2_spark.operators.dedup import dedup_connected_components
+
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    base = {r.doc_id: r.cluster_id for r in dedup_connected_components(df).collect()}
+
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        dedup_connected_components(df, use_reliable_checkpoint=True)
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    sc = spark.sparkContext
+    try:
+        sc.setCheckpointDir(ckpt)
+        # None sniffs the dir -> reliable mode
+        auto = {
+            r.doc_id: r.cluster_id
+            for r in dedup_connected_components(df).collect()
+        }
+        assert auto == base
+        assert any(os.scandir(ckpt))  # checkpoint files actually written
+        forced_local = {
+            r.doc_id: r.cluster_id
+            for r in dedup_connected_components(
+                df, use_reliable_checkpoint=False
+            ).collect()
+        }
+        assert forced_local == base
+    finally:
+        # unset so the session-scoped fixture doesn't leak reliable mode into
+        # later tests (Scala setCheckpointDir(null) clears it)
+        sc._jsc.sc().setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
