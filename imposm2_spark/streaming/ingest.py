@@ -118,12 +118,62 @@ def stream_spine(
     every window's current value even when the watermark hasn't closed it yet
     — append mode would hold back all windows within `watermark` of max event
     time until a future run."""
+    src = read_document_stream(spark, landing_dir)
+    return _spine_query(
+        src, checkpoint_dir, polygons, sink, zoom, window, watermark, cell_level
+    )
+
+
+def stream_curated_spine(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    polygons: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    dedup_state_ttl_ms: int = 24 * 3_600_000,
+    zoom: int = 8,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    cell_level: int = 4,
+) -> StreamingQuery:
+    """The full streaming CURATION story: stream_spine with cross-micro-batch
+    first-seen dedup chained in front — duplicate documents (same text,
+    any url, arriving in any later micro-batch or after a query restart via
+    the state store) are suppressed BEFORE paying extract/geotag/PIP.
+
+    Two stateful operators in one query (supported since Spark 3.4):
+    applyInPandasWithState dedup (append, processing-time timeout) feeding
+    the watermarked windowed aggregation. The dedup keeper is deterministic
+    (lowest url within the hash's first micro-batch), so batch/stream parity
+    is testable — tests/test_streaming.py::test_curated_spine_*.
+
+    SINK CONTRACT: same upsert-by-key rule as stream_spine."""
+    from .stateful import stream_dedup_first_seen
+
+    src = read_document_stream(spark, landing_dir)
+    deduped = stream_dedup_first_seen(src, state_ttl_ms=dedup_state_ttl_ms)
+    return _spine_query(
+        deduped, checkpoint_dir, polygons, sink, zoom, window, watermark, cell_level
+    )
+
+
+def _spine_query(
+    docs: DataFrame,
+    checkpoint_dir: str,
+    polygons: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    zoom: int,
+    window: str,
+    watermark: str,
+    cell_level: int,
+) -> StreamingQuery:
+    """Shared spine tail: extract -> geotag -> stream-static PIP ->
+    watermarked windowed tile stats -> update-mode foreachBatch."""
     from ..functions.spatial import tile_x, tile_y
     from ..operators.pip import pip_join
 
-    src = read_document_stream(spark, landing_dir)
     enriched = (
-        geotag_stage(extract_stage(src))
+        geotag_stage(extract_stage(docs))
         .withColumn("n_chars", F.length("text_extracted").cast("long"))
         .drop("html")
         .withWatermark("warc_ts", watermark)

@@ -75,6 +75,54 @@ def make_dedup_fn(state_ttl_ms: int):
     return fn
 
 
+_COUNT_STATE = T.StructType([T.StructField("n_seen", T.LongType())])
+
+
+def stream_dedup_first_seen(
+    docs: DataFrame,
+    state_ttl_ms: int = 24 * 3_600_000,
+    text_col: str = "text",
+    order_col: str = "url",
+) -> DataFrame:
+    """Schema-preserving first-seen suppression, keyed on md5(`text_col`).
+
+    Unlike stream_dedup_exact (fixed 4-column output), this carries EVERY
+    input column through, so it composes in front of the streaming spine:
+    the first document per distinct text (deterministic keeper: lowest
+    `order_col` within the first micro-batch that contains the hash) is
+    emitted once; later copies — including cross-micro-batch and
+    cross-restart repeats, via the state store — are dropped. State per hash
+    is one long; `state_ttl_ms` processing-time timeout bounds total state
+    at unbounded input (an evicted hash may re-emit — the dedup-cache
+    trade-off documented in the module header)."""
+    cols = list(docs.columns)
+    out_schema = docs.schema
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        (n_seen,) = state.get if state.exists else (0,)
+        keeper = None
+        for pdf in pdfs:
+            if n_seen == 0 and len(pdf):
+                pdf = pdf.sort_values(order_col, kind="stable")
+                keeper = pdf.iloc[[0]][cols]
+            n_seen += len(pdf)
+        state.update((n_seen,))
+        state.setTimeoutDuration(state_ttl_ms)
+        return iter(()) if keeper is None else iter([keeper])
+
+    keyed = docs.withColumn("_text_hash", F.md5(text_col)).groupBy("_text_hash")
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_COUNT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_dedup_exact(
     docs: DataFrame, state_ttl_ms: int = 24 * 3_600_000
 ) -> DataFrame:

@@ -208,3 +208,105 @@ def test_stream_spine_matches_batch(spark, tmp_path):
     want = {(r.window_start, r.x, r.y): (r.n_rows, r.sum_chars) for r in want_rows}
     assert len(want) > 0
     assert got == want
+
+
+def test_curated_spine_dedup_suppresses_cross_batch_through_restart(spark, tmp_path):
+    """r4: the full streaming curation story. stream_curated_spine chains
+    first-seen stateful dedup in front of the spine; duplicate documents
+    (same text, different url) arriving in a LATER micro-batch — delivered
+    after a query RESTART, so suppression must come from the restored state
+    store — never reach the windowed tile stats. Batch twin: the spine
+    aggregate over first-seen keepers picked by the same deterministic rule
+    (lowest url within the hash's first arrival batch)."""
+    from imposm2_spark.sources import fixtures
+    from imposm2_spark.streaming import stream_curated_spine
+    from imposm2_spark.streaming.ingest import DOCUMENTS_WEB_SCHEMA
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    polygons = fixtures.world_octants_df(spark, cell_level=4)
+
+    docs = testdata.synth_documents_web(
+        testdata.load(spark, "/root/testdata/sf0.001", "documents")
+    ).limit(60).cache()
+    # batch0: 60 docs + 30 in-batch duplicates under different urls
+    b0_dups = docs.limit(30).withColumn("url", F.concat(F.lit("d0/"), F.col("url")))
+    docs.unionByName(b0_dups).coalesce(1).write.parquet(landing + "/b0")
+
+    got = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[(r.window_start, r.x, r.y)] = (r.n_rows, r.sum_chars)
+
+    q = stream_curated_spine(
+        spark, landing + "/*", ckpt, polygons, sink,
+        zoom=2, window="1 hour", watermark="2 hours", cell_level=4,
+    )
+    q.awaitTermination(180)
+    assert len(got) > 0
+
+    # batch1 after a restart: 20 cross-batch repeats (new urls) + 15 new docs
+    repeats = docs.limit(20).withColumn("url", F.concat(F.lit("d1/"), F.col("url")))
+    fresh = (
+        testdata.synth_documents_web(
+            testdata.load(spark, "/root/testdata/sf0.001", "documents")
+        )
+        .orderBy(F.col("url").desc())
+        .limit(15)
+        .withColumn("url", F.concat(F.lit("new/"), F.col("url")))
+        .withColumn("text", F.concat(F.lit("unseen "), F.col("text")))
+        .withColumn("html", F.col("html"))
+    )
+    repeats.unionByName(fresh).coalesce(1).write.parquet(landing + "/b1")
+
+    q2 = stream_curated_spine(
+        spark, landing + "/*", ckpt, polygons, sink,
+        zoom=2, window="1 hour", watermark="2 hours", cell_level=4,
+    )
+    q2.awaitTermination(180)
+
+    # batch twin: first-seen keeper = rn 1 over (arrival batch, url) per hash
+    from pyspark.sql import Window as W
+
+    from imposm2_spark.functions.spatial import tile_x, tile_y
+    from imposm2_spark.operators.pip import pip_join
+    from imposm2_spark.plans.pipeline import extract_stage, geotag_stage
+
+    all_docs = (
+        spark.read.schema(DOCUMENTS_WEB_SCHEMA).parquet(landing + "/b0")
+        .withColumn("_b", F.lit(0))
+        .unionByName(
+            spark.read.schema(DOCUMENTS_WEB_SCHEMA).parquet(landing + "/b1")
+            .withColumn("_b", F.lit(1))
+        )
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("_b", "url")
+    kept = (
+        all_docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_b")
+    )
+    enriched = geotag_stage(extract_stage(kept)).withColumn(
+        "n_chars", F.length("text_extracted").cast("long")
+    )
+    joined = pip_join(
+        enriched, polygons, cell_level=4,
+        keep_point_cols=["url", "warc_ts", "lon", "lat", "n_chars"],
+    )
+    want_rows = (
+        joined.groupBy(
+            F.window("warc_ts", "1 hour").alias("w"),
+            tile_x(F.col("lon"), 2).alias("x"),
+            tile_y(F.col("lat"), 2).alias("y"),
+        )
+        .agg(F.count("*").alias("n_rows"), F.sum("n_chars").alias("sum_chars"))
+        .select(F.col("w.start").alias("window_start"), "x", "y", "n_rows", "sum_chars")
+        .collect()
+    )
+    want = {(r.window_start, r.x, r.y): (r.n_rows, r.sum_chars) for r in want_rows}
+    # 60 + 15 keepers total; duplicates contributed nothing
+    assert sum(v[0] for v in want.values()) == 75
+    assert got == want
+    docs.unpersist()
