@@ -60,15 +60,70 @@ _TILE_ARRAY = T.ArrayType(
 )
 
 
-def _covering_tiles_kernel(rings_nested, z: int) -> list[dict]:
+def _tile_lonlat_bounds(xs: np.ndarray, ys: np.ndarray, z: int):
+    """Each tile's axis-aligned LON/LAT rectangle (lon0, lon1, lat_bot,
+    lat_top). Tiles are mercator rectangles, and both axes are monotone
+    transforms of lon/lat independently — so in lon/lat space a tile is
+    still an axis-aligned rect, and the engine's planar-lon/lat segments
+    (geom ray-cast semantics) can be tested against it exactly."""
+    n = float(1 << z)
+    lon0 = xs / n * 360.0 - 180.0
+    lon1 = (xs + 1.0) / n * 360.0 - 180.0
+    lat_top = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ys / n))))
+    lat_bot = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (ys + 1.0) / n))))
+    return lon0, lon1, lat_bot, lat_top
+
+
+def _edge_hits(xs: np.ndarray, ys: np.ndarray, ring_arrays, z: int) -> np.ndarray:
+    """(T,) bool: does any ring EDGE (straight in lon/lat — the engine's
+    planar geometry) intersect the tile's lon/lat rectangle? Exact
+    segment-vs-axis-aligned-box via SAT (axes: lon, lat, segment normal),
+    vectorized as a (T, E) matrix with edges concatenated across rings.
+    Memory is T*E booleans — both sides are bounded (T by the bbox cover,
+    E by the polygon); chunk the edge axis if a pathological polygon ever
+    needs it."""
+    A = np.concatenate([r[:-1] for r in ring_arrays])  # (E,2) lon/lat
+    B = np.concatenate([r[1:] for r in ring_arrays])
+    if not len(A):
+        return np.zeros(len(xs), dtype=bool)
+    lon0, lon1, lat_bot, lat_top = _tile_lonlat_bounds(
+        xs.astype(np.float64), ys.astype(np.float64), z
+    )
+    x0, x1 = lon0[:, None], lon1[:, None]  # (T,1)
+    y0, y1 = lat_bot[:, None], lat_top[:, None]
+    ax, ay, bx, by = A[None, :, 0], A[None, :, 1], B[None, :, 0], B[None, :, 1]
+    # SAT lon/lat axes: segment bbox vs rect
+    overlap = (
+        (np.minimum(ax, bx) <= x1) & (np.maximum(ax, bx) >= x0)
+        & (np.minimum(ay, by) <= y1) & (np.maximum(ay, by) >= y0)
+    )
+    # SAT segment-normal axis: rect corners not all strictly one side of the
+    # segment's supporting line. n = (-(by-ay), bx-ax); corner projections.
+    nx, ny = -(by - ay), (bx - ax)
+    c = nx * ax + ny * ay  # line offset
+    p00 = nx * x0 + ny * y0 - c
+    p10 = nx * x1 + ny * y0 - c
+    p01 = nx * x0 + ny * y1 - c
+    p11 = nx * x1 + ny * y1 - c
+    all_pos = (p00 > 0) & (p10 > 0) & (p01 > 0) & (p11 > 0)
+    all_neg = (p00 < 0) & (p10 < 0) & (p01 < 0) & (p11 < 0)
+    return (overlap & ~(all_pos | all_neg)).any(axis=1)
+
+
+def _covering_tiles_kernel(rings_nested, z: int, refine: str = "center") -> list[dict]:
+    """refine="center" (frozen default, FIXTURES golden): keep tiles whose
+    center is inside OR that contain a ring vertex — a sliver crossing a
+    tile mid-edge (no center, no vertex) is missed. refine="exact" (r4
+    opt-in, SURVEY App. B #6 upgrade path) additionally keeps tiles any ring
+    edge intersects, which together with center-in (tile wholly interior)
+    and vertex-in (polygon wholly inside tile) is the exact intersection set
+    for closed rings (boundary-touching tiles included)."""
     ring_arrays = nested_to_rings(rings_nested)
     lon_min, lat_min, lon_max, lat_max = geom.rings_bbox(ring_arrays)
     cover = kcells.covering_cells_bbox(lon_min, lat_min, lon_max, lat_max, z)
     _, xs, ys = kcells.cell_decode(cover)
     if len(xs) == 0:
         return []
-    # refine: keep tiles whose center is inside OR that contain any ring vertex
-    # OR that any ring edge's bbox overlaps (conservative: center-in OR vertex-in-tile)
     lon_c = (xs + 0.5) / float(1 << z) * 360.0 - 180.0
     n = float(1 << z)
     lat_c = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (ys + 0.5) / n))))
@@ -81,28 +136,36 @@ def _covering_tiles_kernel(rings_nested, z: int) -> list[dict]:
     for i, (x, y) in enumerate(zip(xs.tolist(), ys.tolist())):
         if (x, y) in vert_tiles:
             keep[i] = True
+    if refine == "exact":
+        keep |= _edge_hits(xs, ys, ring_arrays, z)
     return [
         {"x": int(x), "y": int(y)}
         for x, y in zip(xs[keep].tolist(), ys[keep].tolist())
     ]
 
 
-def covering_tiles_udf(z: int):
+def covering_tiles_udf(z: int, refine: str = "center"):
     @F.pandas_udf(_TILE_ARRAY)
     def _udf(rings: pd.Series) -> pd.Series:
-        return rings.map(lambda r: _covering_tiles_kernel(r, z))
+        return rings.map(lambda r: _covering_tiles_kernel(r, z, refine))
 
     return _udf
 
 
-def assign_polygon_tiles(polygons: DataFrame, zooms: list[int]) -> DataFrame:
-    """(polygon_id, rings) -> one row per (polygon_id, z, x, y) covering tile."""
+def assign_polygon_tiles(
+    polygons: DataFrame, zooms: list[int], refine: str = "center"
+) -> DataFrame:
+    """(polygon_id, rings) -> one row per (polygon_id, z, x, y) covering tile.
+
+    refine="exact" additionally assigns tiles that a ring edge crosses
+    mid-tile (sliver polygons); default preserves the frozen goldens — see
+    _covering_tiles_kernel."""
     outs = []
     for z in zooms:
         tiles = polygons.select(
             "polygon_id",
             F.lit(z).alias("z"),
-            F.explode(covering_tiles_udf(z)(F.col("rings"))).alias("_t"),
+            F.explode(covering_tiles_udf(z, refine)(F.col("rings"))).alias("_t"),
         ).select("polygon_id", "z", F.col("_t.x").alias("x"), F.col("_t.y").alias("y"))
         outs.append(tiles)
     result = outs[0]

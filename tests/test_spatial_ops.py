@@ -278,3 +278,53 @@ def test_pip_join_skew_salting_spreads_hot_cell(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bc)
+
+
+def test_covering_tiles_exact_refine_catches_slivers(spark):
+    """r4 opt-in (SURVEY App. B #6 upgrade path): refine="exact" assigns
+    tiles a ring edge crosses mid-tile. Oracle = dense boundary sampling in
+    the engine's planar-lon/lat geometry; the frozen "center" default is
+    untouched (polygon_covering_tiles_z8 golden still gates it)."""
+    from imposm2_spark.kernels import cells as kc
+    from imposm2_spark.operators.tiles import _covering_tiles_kernel
+
+    z = 8
+    tile_deg = 360.0 / 256
+    sliver = [
+        [0.1, 0.01],
+        [0.1 + 5 * tile_deg, 0.012],
+        [0.1, 0.011],
+        [0.1, 0.01],
+    ]
+
+    def boundary_oracle(rings, n_samp=20000):
+        tiles = set()
+        for r in rings:
+            r = np.asarray(r)
+            for i in range(len(r) - 1):
+                ts = np.linspace(0, 1, n_samp)
+                px = r[i, 0] * (1 - ts) + r[i + 1, 0] * ts
+                py = r[i, 1] * (1 - ts) + r[i + 1, 1] * ts
+                xs, ys = kc.lonlat_to_xy(px, py, z)
+                tiles |= set(zip(xs.tolist(), ys.tolist()))
+        return tiles
+
+    center = {(t["x"], t["y"]) for t in _covering_tiles_kernel([sliver], z, "center")}
+    exact = {(t["x"], t["y"]) for t in _covering_tiles_kernel([sliver], z, "exact")}
+    want = boundary_oracle([sliver])
+    assert want <= exact  # every boundary-touched tile assigned
+    assert exact == want | center  # and nothing beyond boundary + kept-center
+    assert len(exact) == 6 and len(center) == 2  # the 4 sliver tiles recovered
+
+    # superset property on the real fixture polygons through the Spark path;
+    # default mode output unchanged (frozen golden’s shape)
+    polys = fixtures.polygons_admin_df(spark)
+    base = {
+        (r.polygon_id, r.z, r.x, r.y)
+        for r in assign_polygon_tiles(polys, [8]).collect()
+    }
+    exact_rows = {
+        (r.polygon_id, r.z, r.x, r.y)
+        for r in assign_polygon_tiles(polys, [8], refine="exact").collect()
+    }
+    assert base <= exact_rows
