@@ -362,9 +362,14 @@ def dedup_connected_components(
         changed = new_labels.where(F.col("label") != F.col("_prev")).count()
         labels.unpersist()
         if not use_reliable_checkpoint:
-            # local-checkpoint blocks need the explicit rdd release; reliable
-            # checkpoints live as files under the checkpoint dir instead
+            # local-checkpoint blocks need the explicit rdd release
             _release_local_checkpoint(labels)
+        else:
+            # superseded reliable checkpoint: delete its files, keep only the
+            # latest round's (rounds >= 1 only ever see our own checkpoint as
+            # the plan leaf — round 0's frame is caller-owned, same contract
+            # as the local-release rule above)
+            _delete_reliable_checkpoint(labels)
         labels = new_labels.drop("_prev")
         if changed == 0:
             converged = True
@@ -378,6 +383,35 @@ def dedup_connected_components(
             "raise max_iterations rather than consuming under-merged clusters"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _delete_reliable_checkpoint(df: DataFrame) -> None:
+    """Delete the checkpoint FILES a reliably-checkpointed frame owns.
+
+    Reliable round checkpoints are durable by design, but each round
+    supersedes the last: without explicit deletion a 20-round CC run leaves
+    ~20 full label-frame copies under the checkpoint dir (Spark only
+    auto-cleans with spark.cleaner.referenceTracking.cleanCheckpoints=true,
+    default false). Called on the SUPERSEDED round only — the latest
+    checkpoint backs the returned DataFrame and is kept. Best-effort."""
+    try:
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        plans = [df._jdf.logicalPlan()]
+        while plans:
+            p = plans.pop()
+            if p.getClass().getSimpleName() == "LogicalRDD":
+                opt = p.rdd().getCheckpointFile()
+                if opt.isDefined():
+                    path = jvm.org.apache.hadoop.fs.Path(opt.get())
+                    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+                    fs.delete(path, True)
+                continue
+            kids = p.children()
+            for i in range(kids.size()):
+                plans.append(kids.apply(i))
+    except Exception:
+        pass  # leak is bounded by run length; never fail the caller
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:

@@ -152,7 +152,11 @@ def knn_join(
         grid(F.col("_smx")).alias("_sx"),
         grid(F.col("_smy")).alias("_sy"),
     )
-    salted = bool(salt_factor and salt_factor > 1)
+    # salting only exists to spread a SHUFFLE's hot keys; with broadcast
+    # sites there is no shuffle, and replicating every point-neighborhood
+    # row salt_factor x would just multiply probe work — so it's a no-op
+    # there (output identical either way).
+    salted = bool(salt_factor and salt_factor > 1) and not broadcast_sites
     if salted:
         s = s.withColumn(
             "_sb", F.pmod(F.xxhash64(F.col(site_id)), F.lit(salt_factor)).cast("int")

@@ -74,40 +74,52 @@ def _tile_lonlat_bounds(xs: np.ndarray, ys: np.ndarray, z: int):
     return lon0, lon1, lat_bot, lat_top
 
 
+_EDGE_CHUNK = 4096  # bounds the (T, E_chunk) SAT intermediates (~10 arrays)
+
+
 def _edge_hits(xs: np.ndarray, ys: np.ndarray, ring_arrays, z: int) -> np.ndarray:
     """(T,) bool: does any ring EDGE (straight in lon/lat — the engine's
     planar geometry) intersect the tile's lon/lat rectangle? Exact
     segment-vs-axis-aligned-box via SAT (axes: lon, lat, segment normal),
-    vectorized as a (T, E) matrix with edges concatenated across rings.
-    Memory is T*E booleans — both sides are bounded (T by the bbox cover,
-    E by the polygon); chunk the edge axis if a pathological polygon ever
-    needs it."""
+    vectorized as (T, E_chunk) blocks with edges concatenated across rings.
+    The edge axis is CHUNKED (a 200k-edge coastline against a 5k-tile cover
+    would otherwise materialize ~10 full (T,E) float64 intermediates — a
+    worker OOM); tiles already hit are dropped from later chunks."""
     A = np.concatenate([r[:-1] for r in ring_arrays])  # (E,2) lon/lat
     B = np.concatenate([r[1:] for r in ring_arrays])
+    hit = np.zeros(len(xs), dtype=bool)
     if not len(A):
-        return np.zeros(len(xs), dtype=bool)
+        return hit
     lon0, lon1, lat_bot, lat_top = _tile_lonlat_bounds(
         xs.astype(np.float64), ys.astype(np.float64), z
     )
-    x0, x1 = lon0[:, None], lon1[:, None]  # (T,1)
-    y0, y1 = lat_bot[:, None], lat_top[:, None]
-    ax, ay, bx, by = A[None, :, 0], A[None, :, 1], B[None, :, 0], B[None, :, 1]
-    # SAT lon/lat axes: segment bbox vs rect
-    overlap = (
-        (np.minimum(ax, bx) <= x1) & (np.maximum(ax, bx) >= x0)
-        & (np.minimum(ay, by) <= y1) & (np.maximum(ay, by) >= y0)
-    )
-    # SAT segment-normal axis: rect corners not all strictly one side of the
-    # segment's supporting line. n = (-(by-ay), bx-ax); corner projections.
-    nx, ny = -(by - ay), (bx - ax)
-    c = nx * ax + ny * ay  # line offset
-    p00 = nx * x0 + ny * y0 - c
-    p10 = nx * x1 + ny * y0 - c
-    p01 = nx * x0 + ny * y1 - c
-    p11 = nx * x1 + ny * y1 - c
-    all_pos = (p00 > 0) & (p10 > 0) & (p01 > 0) & (p11 > 0)
-    all_neg = (p00 < 0) & (p10 < 0) & (p01 < 0) & (p11 < 0)
-    return (overlap & ~(all_pos | all_neg)).any(axis=1)
+    for e0 in range(0, len(A), _EDGE_CHUNK):
+        todo = np.flatnonzero(~hit)
+        if not len(todo):
+            break
+        Ac = A[e0 : e0 + _EDGE_CHUNK]
+        Bc = B[e0 : e0 + _EDGE_CHUNK]
+        x0, x1 = lon0[todo][:, None], lon1[todo][:, None]  # (T',1)
+        y0, y1 = lat_bot[todo][:, None], lat_top[todo][:, None]
+        ax, ay = Ac[None, :, 0], Ac[None, :, 1]
+        bx, by = Bc[None, :, 0], Bc[None, :, 1]
+        # SAT lon/lat axes: segment bbox vs rect
+        overlap = (
+            (np.minimum(ax, bx) <= x1) & (np.maximum(ax, bx) >= x0)
+            & (np.minimum(ay, by) <= y1) & (np.maximum(ay, by) >= y0)
+        )
+        # SAT segment-normal axis: rect corners not all strictly one side of
+        # the segment's supporting line. n = (-(by-ay), bx-ax).
+        nx, ny = -(by - ay), (bx - ax)
+        c = nx * ax + ny * ay  # line offset
+        p00 = nx * x0 + ny * y0 - c
+        p10 = nx * x1 + ny * y0 - c
+        p01 = nx * x0 + ny * y1 - c
+        p11 = nx * x1 + ny * y1 - c
+        all_pos = (p00 > 0) & (p10 > 0) & (p01 > 0) & (p11 > 0)
+        all_neg = (p00 < 0) & (p10 < 0) & (p01 < 0) & (p11 < 0)
+        hit[todo] = (overlap & ~(all_pos | all_neg)).any(axis=1)
+    return hit
 
 
 def _covering_tiles_kernel(rings_nested, z: int, refine: str = "center") -> list[dict]:

@@ -103,11 +103,19 @@ def stream_dedup_first_seen(
             state.remove()
             return iter(())
         (n_seen,) = state.get if state.exists else (0,)
+        # A group bigger than the Arrow batch size arrives as MULTIPLE pandas
+        # chunks (exactly the heavy-duplication case this operator serves), so
+        # the keeper min must be tracked across ALL chunks — first-chunk-only
+        # would make the emitted keeper depend on nondeterministic chunking.
+        new_hash = n_seen == 0
         keeper = None
         for pdf in pdfs:
-            if n_seen == 0 and len(pdf):
-                pdf = pdf.sort_values(order_col, kind="stable")
-                keeper = pdf.iloc[[0]][cols]
+            if new_hash and len(pdf):
+                cand = pdf.sort_values(order_col, kind="stable").iloc[[0]][cols]
+                if keeper is None or (
+                    cand.iloc[0][order_col] < keeper.iloc[0][order_col]
+                ):
+                    keeper = cand
             n_seen += len(pdf)
         state.update((n_seen,))
         state.setTimeoutDuration(state_ttl_ms)

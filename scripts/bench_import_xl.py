@@ -135,7 +135,12 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
         extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            # shuffle_totals diffs AppStatusStore snapshots: the default
+            # 1000-stage retention would evict warm-run stages between the
+            # two snapshots, undercounting (or negating) the deltas exactly
+            # at the scale this script targets
+            "spark.ui.retainedStages": "100000",
         },
     )
 

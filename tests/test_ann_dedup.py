@@ -335,6 +335,13 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path):
         }
         assert auto == base
         assert any(os.scandir(ckpt))  # checkpoint files actually written
+        # superseded round checkpoints are DELETED (review r4): only the
+        # final round's rdd-* dir may remain, not one per round
+        rdd_dirs = [
+            d for root, dirs, _ in os.walk(ckpt) for d in dirs
+            if d.startswith("rdd-")
+        ]
+        assert len(rdd_dirs) <= 1, rdd_dirs
         forced_local = {
             r.doc_id: r.cluster_id
             for r in dedup_connected_components(

@@ -310,3 +310,40 @@ def test_curated_spine_dedup_suppresses_cross_batch_through_restart(spark, tmp_p
     assert sum(v[0] for v in want.values()) == 75
     assert got == want
     docs.unpersist()
+
+
+def test_first_seen_keeper_across_arrow_chunks(spark, tmp_path):
+    """Review r4: a group larger than the Arrow batch size reaches the
+    stateful fn as MULTIPLE pandas chunks; the deterministic lowest-url
+    keeper must be the min across ALL chunks, not the first chunk's min."""
+    from imposm2_spark.streaming.stateful import stream_dedup_first_seen
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # 30 rows, one text; urls DESCENDING so the global min lands in the
+    # last Arrow chunk once the batch is split into chunks of 4
+    rows = [(f"u{99 - i:02d}", "the only text") for i in range(30)]
+    spark.createDataFrame(rows, ["url", "text"]).coalesce(1).write.parquet(
+        landing + "/b0"
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    orig = spark.conf.get(key)
+    out = []
+    try:
+        spark.conf.set(key, "4")
+        src = spark.readStream.schema("url string, text string").parquet(
+            landing + "/*"
+        )
+        q = (
+            stream_dedup_first_seen(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(lambda df, e: out.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(key, orig)
+    assert len(out) == 1
+    assert out[0].url == "u70"  # the global min url (last arrival order)
