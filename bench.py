@@ -103,6 +103,50 @@ def bench_pip_skew(spark, n: int = 100_000) -> dict:
     return out
 
 
+def bench_knn_skew(spark, n_points: int = 50_000, n_dense_sites: int = 5_000) -> dict:
+    """O10a twin for kNN (tests/test_knn.py::test_salted_shuffle_equals_brute
+    at bench scale): all dense sites packed into ONE level-6 cell, site side
+    forced onto the shuffle path (broadcast_sites=False), unsalted vs
+    salt_factor=8. Output counts asserted identical; both wall times reported."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from imposm2_spark.operators.knn import knn_join
+
+    # points clustered around the dense cell so every probe hits it
+    pts = spark.range(n_points).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 9973, 40000) / 1e5).alias("lon"),
+        (F.pmod(F.col("id") * 7919, 40000) / 1e5).alias("lat"),
+    )
+    side = int(n_dense_sites**0.5) + 1
+    sites = spark.range(n_dense_sites).select(
+        F.col("id").alias("site_id"),
+        (F.pmod(F.col("id"), side) / 1e5).alias("slon"),
+        (F.floor(F.col("id") / side) / 1e5).alias("slat"),
+    )
+    orig_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        counts = {}
+        for name, salt in (("unsalted", None), ("salted8", 8)):
+            df = knn_join(
+                pts, sites, k=3, level=6,
+                broadcast_sites=False, salt_factor=salt,
+            )
+            df.count()  # warm
+            t0 = _t.perf_counter()
+            counts[name] = df.count()
+            out[f"skew_knn_{name}_sec"] = round(_t.perf_counter() - t0, 3)
+        assert counts["unsalted"] == counts["salted8"], counts
+        out["skew_knn_rows"] = counts["salted8"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bc)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -159,6 +203,7 @@ def main() -> None:
     # salted vs unsalted. Outputs asserted identical; both wall times reported
     # so the salting win (or AQE already covering it) is measured, not claimed.
     skew = bench_pip_skew(spark)
+    skew.update(bench_knn_skew(spark))
 
     from statistics import median
 

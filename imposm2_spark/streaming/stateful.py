@@ -107,15 +107,27 @@ def stream_dedup_first_seen(
         # chunks (exactly the heavy-duplication case this operator serves), so
         # the keeper min must be tracked across ALL chunks — first-chunk-only
         # would make the emitted keeper depend on nondeterministic chunking.
+        # Per-chunk min is an O(n) mask scan, not a sort, and null order_col
+        # values neither crash the comparison nor win over real values (an
+        # all-null group still emits its first row rather than vanishing).
         new_hash = n_seen == 0
         keeper = None
+        keeper_key = None  # None = keeper has a null order_col
         for pdf in pdfs:
             if new_hash and len(pdf):
-                cand = pdf.sort_values(order_col, kind="stable").iloc[[0]][cols]
-                if keeper is None or (
-                    cand.iloc[0][order_col] < keeper.iloc[0][order_col]
+                nn = pdf[order_col].dropna()
+                if len(nn):
+                    k = nn.min()
+                    cand = pdf.loc[[nn[nn == k].index[0]]][cols]
+                else:
+                    k = None
+                    cand = pdf.iloc[[0]][cols]
+                if (
+                    keeper is None
+                    or (keeper_key is None and k is not None)
+                    or (k is not None and k < keeper_key)
                 ):
-                    keeper = cand
+                    keeper, keeper_key = cand, k
             n_seen += len(pdf)
         state.update((n_seen,))
         state.setTimeoutDuration(state_ttl_ms)

@@ -347,3 +347,36 @@ def test_first_seen_keeper_across_arrow_chunks(spark, tmp_path):
         spark.conf.set(key, orig)
     assert len(out) == 1
     assert out[0].url == "u70"  # the global min url (last arrival order)
+
+
+def test_first_seen_keeper_null_order_col(spark, tmp_path):
+    """Null order_col values must neither crash the keeper comparison nor
+    beat real values; a group whose order_col is ALL null still emits one
+    row (its first) instead of vanishing."""
+    from imposm2_spark.streaming.stateful import stream_dedup_first_seen
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = [
+        (None, "mixed text"),  # null url must lose to the real min below
+        ("b-url", "mixed text"),
+        ("a-url", "mixed text"),
+        (None, "all null text"),  # all-null group: still emitted once
+        (None, "all null text"),
+    ]
+    spark.createDataFrame(rows, "url string, text string").coalesce(1).write.parquet(
+        landing + "/b0"
+    )
+    src = spark.readStream.schema("url string, text string").parquet(landing + "/*")
+    out = []
+    q = (
+        stream_dedup_first_seen(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, e: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.text: r.url for r in out}
+    assert got == {"mixed text": "a-url", "all null text": None}
