@@ -147,9 +147,18 @@ def stream_curated_spine(
     (lowest url within the hash's first micro-batch), so batch/stream parity
     is testable — tests/test_streaming.py::test_curated_spine_*.
 
-    SINK CONTRACT: same upsert-by-key rule as stream_spine."""
-    from .stateful import stream_dedup_first_seen
+    SINK CONTRACT: same upsert-by-key rule as stream_spine.
 
+    TERMINATION: this query drains with availableNow, and the dedup state's
+    processing-time timeouts would otherwise keep Spark scheduling state-
+    cleanup microbatches forever (stateful module header) — so this helper
+    calls enable_drain_termination(spark), a session-wide conf flip that
+    makes TTL eviction lazy-on-next-data-batch. If the same session also
+    runs a continuous stateful query that RELIES on idle-time eviction,
+    start that query in a separate session."""
+    from .stateful import enable_drain_termination, stream_dedup_first_seen
+
+    enable_drain_termination(spark)
     src = read_document_stream(spark, landing_dir)
     deduped = stream_dedup_first_seen(src, state_ttl_ms=dedup_state_ttl_ms)
     return _spine_query(

@@ -18,6 +18,17 @@ per-key state is ~100 bytes; the timeout bounds total state to (arrival rate
 x ttl). For exact-forever dedup at 10^12 docs, the batch MinHash/exact passes
 (operators.dedup) remain the right tool; this operator is the low-latency
 stream-side filter in front of them.
+
+DRAIN TERMINATION (availableNow): once any key has a ProcessingTimeTimeout
+registered, Spark schedules back-to-back "no new data but cleaning up state"
+microbatches indefinitely (each advances processing time and re-arms the
+check), so an availableNow query over these operators NEVER self-terminates
+— it processes all data, then spins ~1 batch/sec until the TTL (hours)
+elapses. For drain/backfill runs, call `enable_drain_termination(spark)`
+before `.start()`: it disables no-data microbatches session-wide, making
+timeout eviction lazy (fires on the next batch that carries data) — exactly
+the dedup-cache trade-off above. Continuous queries (processingTime trigger)
+should leave the default: paced no-data batches are what evict idle state.
 """
 
 from __future__ import annotations
@@ -29,6 +40,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+def enable_drain_termination(spark) -> None:
+    """Make availableNow queries over stateful-timeout operators terminate.
+
+    Disables no-data microbatches (session-wide; see module header for why
+    and when NOT to). Idempotent; returns nothing."""
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
 
 STATE_SCHEMA = T.StructType(
     [
