@@ -307,17 +307,20 @@ def apply_fields(routed: DataFrame, spec: TableSpec, tags_col: str = "tags") -> 
     tags = F.col(tags_col)
     for flt in spec.field_filter:
         df = df.where(flt.predicate(tags))
+    # one schema fetch (each .columns is a driver round-trip; this fn runs
+    # once per table so the chattiness multiplies across a 16-table import)
+    columns = df.columns
     derived_names = {name for name, _ in spec.fields}
     cols = [
         F.col(c)
-        for c in df.columns
+        for c in columns
         if c not in ("table", "geom_type", "matched_key", "matched_value", tags_col)
         and c not in derived_names  # derived fields shadow carried columns
     ]
     derived = []
     for name, ft in spec.fields:
         required = getattr(ft, "requires", ())
-        if any(r not in df.columns for r in required):
+        if any(r not in columns for r in required):
             # geometry-derived field over a frame with no geometry -> NULL
             derived.append(F.lit(None).cast(getattr(ft, "null_type", "string")).alias(name))
         else:
