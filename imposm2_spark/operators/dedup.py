@@ -444,10 +444,24 @@ def ngram_jaccard_pairs(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
 ) -> DataFrame:
-    """Exact word-shingle Jaccard for an explicit candidate-pair table."""
+    """Exact word-shingle Jaccard for an explicit candidate-pair table.
+
+    Pairs referencing a doc with < SHINGLE_N tokens keep the empty-shingle
+    semantics (jaccard 0.0, or null when both sides are empty) — no rows are
+    dropped relative to the caller's pair table."""
+    # token hashes bound ONCE via the single-element-array transform trick
+    # (see curation.text_ngram_hashes): shingle_hashes references its input
+    # ~5x inside interpreted lambdas (no CSE), so inlining token_hashes there
+    # re-runs the per-char fold per reference — measured 25x slower at sf0.1.
     sh = docs.select(
         F.col(id_col),
-        shingle_hashes(token_hashes(F.col(text_col))).alias("shs"),
+        F.element_at(
+            F.transform(
+                F.array(token_hashes(F.col(text_col))),
+                lambda th: shingle_hashes(th),
+            ),
+            1,
+        ).alias("shs"),
     )
     return (
         pairs.join(sh.select(F.col(id_col).alias(a_col), F.col("shs").alias("sa")), a_col)
