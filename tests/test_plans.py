@@ -256,3 +256,22 @@ def test_ivf_search_broadcasts_probes_no_corpus_shuffle(spark):
     p = plan_of(df)
     assert "BroadcastHashJoin" in p  # probe rows broadcast to corpus lists
     assert "SortMergeJoin" not in p  # corpus never shuffles for the join
+
+
+def test_ngram_jaccard_pairs_binds_token_hashes_once(spark):
+    """The HOF re-evaluation trap (verify SKILL, r3/r4): shingle_hashes
+    references its input ~5x inside interpreted lambdas, which have no
+    common-subexpression elimination — inlining token_hashes there re-runs
+    the per-character fold per reference (measured 25x slower at sf0.1).
+    The fix binds the token-hash array once per verify side; lock that shape
+    by counting the split-on-space feeding the char fold in the analyzed
+    plan: exactly one per side (doc_a + doc_b), not ~5."""
+    from imposm2_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = testdata.load(spark, SF, "documents")
+    pairs = docs.select(F.col("doc_id").alias("doc_a")).withColumn(
+        "doc_b", F.col("doc_a") + 1
+    )
+    out = ngram_jaccard_pairs(docs, pairs)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("split(text") == 2, analyzed
