@@ -179,3 +179,113 @@ def pack_sequences(
         return pdf[["shard", "doc_id", "n_tok", "seq_id"]]
 
     return toks.groupBy("shard").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+# Gopher-style repetition thresholds (public spec: Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Table A1 repetition filters; RefinedWeb, Penedo et al. 2023, reuses them).
+# The corpus here is single-line space-joined tokens, so the duplicate-LINE
+# metrics specialize to duplicate-TOKEN metrics at the same thresholds.
+DUP_TOKEN_FRAC_MAX = 0.30
+DUP_TOKEN_CHAR_FRAC_MAX = 0.20
+TOP_BIGRAM_CHAR_FRAC_MAX = 0.20
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition metrics + keep flag (Gopher Table A1 shape).
+
+    Per doc: (id, n_tokens, dup_token_frac, dup_token_char_frac,
+    top_bigram_char_frac, keep) where
+      * dup_token_frac       = 1 - distinct_tokens / n_tokens
+      * dup_token_char_frac  = chars of token slots AFTER their first
+                               occurrence / length(text)
+      * top_bigram_char_frac = occurrences-of-most-frequent-word-bigram x
+                               its length / length(text), clamped to 1.0
+                               (overlapping occurrences can exceed the text);
+                               ties broken by lexicographically greatest gram
+      * keep                 = all three under the module thresholds
+                               (evaluated on the 6dp-rounded values so the
+                               DuckDB oracle agrees bit-for-bit)
+
+    Scale shape: the per-row metrics are bounded in-row JVM HOFs (the
+    first-occurrence scan is O(n_tokens^2) with ~50-token docs — cheap,
+    shuffle-free); the bigram mode is explode -> map-side-combined count ->
+    per-doc max -> equi-join back, all keyed by doc id — linear at 10^12
+    docs, no all-pairs anywhere. The token array is materialized once in a
+    projection (HOF lambdas have no CSE; see text_ngram_hashes)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_toks"),
+        F.length(F.col(text_col)).alias("_n_chars"),
+    )
+    # token slots after their first occurrence: 1-based array_position vs
+    # the 0-based filter index
+    dup_slots = F.filter(
+        F.col("_toks"),
+        lambda x, i: F.array_position(F.col("_toks"), x) < i + 1,
+    )
+    dup_chars = F.aggregate(
+        dup_slots, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    row = toks.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("_toks")) / F.size("_toks"),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(dup_chars / F.greatest("_n_chars", F.lit(1)), 6).alias(
+            "dup_token_char_frac"
+        ),
+        F.col("_n_chars"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_toks"), i),
+                        F.element_at(F.col("_toks"), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_t"))
+    )
+    out = row.join(top, id_col, "left")
+    top_frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.coalesce(
+                F.col("_t.cnt")
+                * F.length(F.col("_t.gram"))
+                / F.greatest("_n_chars", F.lit(1)),
+                F.lit(0.0),
+            ),
+        ),
+        6,
+    )
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_token_frac",
+        "dup_token_char_frac",
+        top_frac.alias("top_bigram_char_frac"),
+        (
+            (F.col("dup_token_frac") <= DUP_TOKEN_FRAC_MAX)
+            & (F.col("dup_token_char_frac") <= DUP_TOKEN_CHAR_FRAC_MAX)
+            & (top_frac <= TOP_BIGRAM_CHAR_FRAC_MAX)
+        ).alias("keep"),
+    )

@@ -986,29 +986,50 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_lang_id",
-    oracle=f"""
-WITH t AS (SELECT doc_id, {_WS_TOKS_SQL} AS toks FROM documents),
-h AS (SELECT doc_id,
-  len(list_filter(toks, x -> lower(x) IN ({_stop_in('en')}))) AS h_en,
-  len(list_filter(toks, x -> lower(x) IN ({_stop_in('de')}))) AS h_de,
-  len(list_filter(toks, x -> lower(x) IN ({_stop_in('fr')}))) AS h_fr,
-  len(list_filter(toks, x -> lower(x) IN ({_stop_in('es')}))) AS h_es
-FROM t)
-SELECT doc_id, CASE
-  WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-  WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
-  WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr'
-  WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
-  ELSE 'und' END AS lang_pred
-FROM h
+    "text_repetition",
+    # Gopher Table A1 repetition filters over the single-line corpus (see
+    # operators/curation.py::repetition_metrics): duplicate-token fraction,
+    # duplicate-token char fraction (first-occurrence slots, 1-based
+    # list_position on both sides), top-word-bigram char coverage (ties ->
+    # lexicographically greatest gram on both sides), and the keep flag
+    # evaluated on the 6dp-rounded values so the engines agree bit-for-bit.
+    oracle="""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                  length(text) AS n_chars FROM documents),
+r AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+      AS dup_token_frac,
+  round(list_sum(list_transform(toks, (x, i) ->
+          CASE WHEN list_position(toks, x) < i THEN length(x) ELSE 0 END))
+        / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS dup_token_char_frac,
+  n_chars
+FROM t),
+g AS (SELECT doc_id,
+  unnest(list_transform(toks[1:len(toks)-1], (x, i) -> x || ' ' || toks[i+1]))
+      AS gram
+FROM t WHERE len(toks) >= 2),
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+tp AS (SELECT doc_id, cnt, gram,
+  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+FROM gc),
+m AS (SELECT r.doc_id, r.n_tokens, r.dup_token_frac, r.dup_token_char_frac,
+  round(least(1.0, coalesce(
+      tp.cnt * length(tp.gram) / CAST(greatest(r.n_chars, 1) AS DOUBLE),
+      0.0)), 6) AS top_bigram_char_frac
+FROM r LEFT JOIN (SELECT * FROM tp WHERE rn = 1) tp ON r.doc_id = tp.doc_id)
+SELECT doc_id, n_tokens, dup_token_frac, dup_token_char_frac,
+  top_bigram_char_frac,
+  (dup_token_frac <= 0.30 AND dup_token_char_frac <= 0.20
+   AND top_bigram_char_frac <= 0.20) AS keep
+FROM m
 """,
 )
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import text_analysis as ta
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import repetition_metrics
 
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", ta.lang_id(F.col("text")).alias("lang_pred"))
+    return repetition_metrics(docs)
 
 
 @register(
@@ -1025,18 +1046,31 @@ f AS (SELECT doc_id,
   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
         / CAST(greatest(length(text), 1) AS DOUBLE) AS r_punct,
   len(list_filter(toks, x -> lower(x) IN ({_stop_in('en')})))
-        / CAST(greatest(len(toks), 1) AS DOUBLE) AS r_stop
+        / CAST(greatest(len(toks), 1) AS DOUBLE) AS r_stop,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('en')}))) AS h_en,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('de')}))) AS h_de,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('fr')}))) AS h_fr,
+  len(list_filter(toks, x -> lower(x) IN ({_stop_in('es')}))) AS h_es
 FROM t)
 SELECT doc_id, n_chars, n_tokens,
   round(r_alpha, 6) AS alpha_ratio, round(r_punct, 6) AS punct_ratio,
   round(r_stop, 6) AS stopword_ratio,
   round(greatest(0.0, least(1.0,
       0.5*r_alpha + 0.3*r_stop
-      + 0.2*least(n_tokens/100.0, 1.0) - 0.5*r_punct)), 6) AS score
+      + 0.2*least(n_tokens/100.0, 1.0) - 0.5*r_punct)), 6) AS score,
+  CASE
+    WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+    WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+    WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr'
+    WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
+    ELSE 'und' END AS lang_pred
 FROM f
 """,
 )
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 + T8 in one driver row (r4 window consolidation: absorbs the old
+    `text_lang_id` — lang_pred comes off the same tokenizing scan the
+    quality features already run, one column wider, one slot cheaper)."""
     from ..functions import text_analysis as ta
 
     docs = load(spark, sf_dir, "documents")
@@ -1049,6 +1083,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(ta.quality_score(F.col("text")), 6).alias("score"),
+        ta.lang_id(F.col("text")).alias("lang_pred"),
     )
 
 

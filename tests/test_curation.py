@@ -145,3 +145,65 @@ class TestPackSequences:
         )
         out = {r.doc_id: r.seq_id for r in pack_sequences(docs, budget=100, n_shards=4).collect()}
         assert out == {0: 0, 4: 1, 8: 2}
+
+
+class TestRepetitionMetrics:
+    def test_hand_computed_vectors(self, spark):
+        from imposm2_spark.operators.curation import repetition_metrics
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a"),  # heavy repetition
+                (2, "x y z w"),    # all distinct
+                (3, "solo"),       # single token, no bigrams
+                (4, ""),           # empty text -> [''] single slot
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+
+        r1 = got[1]
+        assert r1.n_tokens == 5
+        assert r1.dup_token_frac == 0.6          # 1 - 2/5
+        assert r1.dup_token_char_frac == 0.333333  # 3 dup chars / 9
+        # "a b" and "b a" both occur twice; tie -> lexicographically greatest
+        # gram "b a", covered 2*3=6 of 9 chars
+        assert r1.top_bigram_char_frac == 0.666667
+        assert r1.keep is False
+
+        r2 = got[2]
+        assert (r2.dup_token_frac, r2.dup_token_char_frac) == (0.0, 0.0)
+        assert r2.top_bigram_char_frac == 0.428571  # "z w" once, 3/7
+        assert r2.keep is False  # top-bigram over threshold on a tiny doc
+
+        r3 = got[3]
+        assert (r3.n_tokens, r3.top_bigram_char_frac, r3.keep) == (1, 0.0, True)
+
+        r4 = got[4]
+        assert (r4.n_tokens, r4.dup_token_frac, r4.dup_token_char_frac,
+                r4.top_bigram_char_frac, r4.keep) == (1, 0.0, 0.0, 0.0, True)
+
+    def test_no_nulls_and_keep_thresholds(self, spark):
+        from imposm2_spark.operators.curation import (
+            DUP_TOKEN_CHAR_FRAC_MAX,
+            DUP_TOKEN_FRAC_MAX,
+            TOP_BIGRAM_CHAR_FRAC_MAX,
+            repetition_metrics,
+        )
+
+        out = repetition_metrics(_docs(spark)).cache()
+        n = out.count()
+        assert n == 200
+        for c in out.columns:
+            assert out.where(F.col(c).isNull()).count() == 0, c
+        # keep flag is exactly the conjunction of the three rounded metrics
+        mismatch = out.where(
+            F.col("keep")
+            != (
+                (F.col("dup_token_frac") <= DUP_TOKEN_FRAC_MAX)
+                & (F.col("dup_token_char_frac") <= DUP_TOKEN_CHAR_FRAC_MAX)
+                & (F.col("top_bigram_char_frac") <= TOP_BIGRAM_CHAR_FRAC_MAX)
+            )
+        ).count()
+        assert mismatch == 0
+        out.unpersist()

@@ -275,3 +275,15 @@ def test_ngram_jaccard_pairs_binds_token_hashes_once(spark):
     out = ngram_jaccard_pairs(docs, pairs)
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("split(text") == 2, analyzed
+
+
+def test_repetition_metrics_linear_shape(spark):
+    """T23 scale shape: the bigram mode is explode -> map-side-combined
+    count -> per-doc max -> equi-join back, all keyed by doc id — bounded
+    exchanges, no all-pairs operator anywhere. The per-row metrics add no
+    shuffle at all."""
+    p = plan_of(registry.queries()["text_repetition"](spark, SF))
+    assert n_exchanges(p) <= 3
+    assert "partial_count" in p  # gram counts combine map-side
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
