@@ -289,3 +289,65 @@ def repetition_metrics(
             & (top_frac <= TOP_BIGRAM_CHAR_FRAC_MAX)
         ).alias("keep"),
     )
+
+
+def source_mix_rates(
+    docs: DataFrame,
+    weights: dict,
+    token_budget: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, total_tokens, rate): the deterministic per-source sampling
+    rate that hits `token_budget` split by `weights` (domain-mixing step,
+    publicly standard from The Pile / LLaMA data recipes): rate_s =
+    min(1.0, budget * w_s / sum(w) / tokens_s). Sources absent from
+    `weights` get no row (weight zero -> dropped).
+
+    The rate arithmetic is written as one left-associative double chain so
+    the DuckDB oracle twin (same literal order) produces bit-identical
+    IEEE doubles — the LCG keep rule in stratified_sample then agrees
+    exactly on both engines."""
+    spark = docs.sparkSession
+    wsum = float(sum(weights.values()))
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{source_col} string, _w double"
+    )
+    totals = docs.groupBy(source_col).agg(
+        F.sum(token_count_ws(F.col(text_col))).alias("_toks")
+    )
+    return totals.join(F.broadcast(wdf), source_col).select(
+        source_col,
+        F.col("_toks").alias("total_tokens"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * F.col("_w")
+            / F.lit(wsum)
+            / F.col("_toks").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Docs downsampled per source to hit `token_budget` at the `weights`
+    mix: the source_mix_rates table (tiny — one row per corpus domain)
+    broadcasts onto the corpus and the deterministic LCG keep rule of
+    stratified_sample applies per row. Output = the kept docs' columns +
+    their source's `rate`.
+
+    Scale shape: one map-side-combined aggregation for the per-source token
+    totals, then a broadcast join + codegen filter over the corpus — no
+    corpus shuffle, rerun-identical (resume/lineage §2.9)."""
+    rates = source_mix_rates(docs, weights, token_budget, text_col, source_col)
+    joined = docs.join(
+        F.broadcast(rates.select(source_col, "rate")), source_col, "inner"
+    )
+    return stratified_sample(joined, F.col("rate"), id_col)

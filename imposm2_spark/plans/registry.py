@@ -953,11 +953,14 @@ def _stop_in(lang: str) -> str:
 
 @register(
     "text_token_counts",
+    # T10 + T11 in one driver row (r4 window consolidation: absorbs the old
+    # `text_fingerprint` — the rolling-hash fp rides the same per-doc scan)
     oracle=f"""
 SELECT doc_id,
        CASE WHEN len(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws,
-       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe,
+       {_CHASH_SQL.format(s='text')} AS fp
 FROM documents
 """,
 )
@@ -969,20 +972,59 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ta.token_count_ws(F.col("text")).alias("n_ws"),
         ta.token_count_bpe(F.col("text")).alias("n_bpe"),
+        ta.fingerprint(F.col("text")).alias("fp"),
     )
 
 
+from ..operators.curation import SAMPLE_A, SAMPLE_B, SAMPLE_P  # noqa: E402
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 10_000
+_MIX_W_CASE = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())
+)
+
+
 @register(
-    "text_fingerprint",
+    "mix_sources",
+    # T24 domain mixing: per-source rates (least(1, budget*w/wsum/toks) as
+    # the SAME left-associative double chain on both engines -> bit-equal
+    # IEEE rates) feed the LCG keep rule of sample_stratified. src4 carries
+    # no weight and must vanish entirely (inner join on the weight table).
     oracle=f"""
-SELECT doc_id, {_CHASH_SQL.format(s='text')} AS fp FROM documents
+WITH toks AS (SELECT doc_id, source,
+  CASE WHEN len(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+FROM documents),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS toks FROM toks
+        WHERE source IN ({", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))})
+        GROUP BY 1),
+rates AS (SELECT source,
+  least(1.0, {float(_MIX_BUDGET)} * (CASE source {_MIX_W_CASE} END)
+             / {float(sum(_MIX_WEIGHTS.values()))} / CAST(toks AS DOUBLE))
+      AS rate
+FROM tot),
+kept AS (SELECT t.doc_id, t.source, t.n, r.rate
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE ((t.doc_id % {SAMPLE_P}) * {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_P}
+      < CAST(floor(r.rate * {SAMPLE_P}) AS BIGINT))
+SELECT source, round(max(rate), 6) AS rate,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY 1
 """,
 )
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import text_analysis as ta
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_analysis import token_count_ws
+    from ..operators.curation import mix_sources
 
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+    kept = mix_sources(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+    return kept.groupBy("source").agg(
+        F.round(F.max("rate"), 6).alias("rate"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("tokens_kept"),
+    )
 
 
 @register(

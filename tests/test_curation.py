@@ -207,3 +207,47 @@ class TestRepetitionMetrics:
         ).count()
         assert mismatch == 0
         out.unpersist()
+
+
+class TestMixSources:
+    WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+    def test_unweighted_source_dropped_and_deterministic(self, spark):
+        from imposm2_spark.operators.curation import mix_sources
+
+        docs = _docs(spark)  # sources src0..src4
+        kept = mix_sources(docs, self.WEIGHTS, token_budget=2000)
+        a = {r.doc_id for r in kept.collect()}
+        assert {r.source for r in kept.select("source").distinct().collect()} <= set(
+            self.WEIGHTS
+        )  # src4 carries no weight -> gone entirely
+        b = {r.doc_id for r in mix_sources(docs, self.WEIGHTS, 2000).collect()}
+        assert a == b and len(a) > 0  # rerun-identical (resume contract)
+
+    def test_rates_cap_at_one_and_budget_shapes_sample(self, spark):
+        from imposm2_spark.functions.text_analysis import token_count_ws
+        from imposm2_spark.operators.curation import mix_sources, source_mix_rates
+
+        docs = _docs(spark)
+        # budget far above the corpus: every weighted source caps at 1.0 and
+        # every weighted doc is kept
+        rates = {r.source: r.rate for r in
+                 source_mix_rates(docs, self.WEIGHTS, 10**9).collect()}
+        assert set(rates) == set(self.WEIGHTS)
+        assert all(r == 1.0 for r in rates.values())
+        n_weighted = docs.where(F.col("source") != "src4").count()
+        assert mix_sources(docs, self.WEIGHTS, 10**9).count() == n_weighted
+        # tight budget: rates fall strictly under 1 and the kept token mass
+        # lands near rate * total per source (LCG is uniform-ish)
+        tight = source_mix_rates(docs, self.WEIGHTS, 2000)
+        for r in tight.collect():
+            assert 0.0 < r.rate < 1.0
+        kept = mix_sources(docs, self.WEIGHTS, 2000)
+        got = {
+            r.source: r.n_tok
+            for r in kept.groupBy("source")
+            .agg(F.sum(token_count_ws(F.col("text"))).alias("n_tok"))
+            .collect()
+        }
+        for r in tight.collect():
+            assert got.get(r.source, 0) <= r.total_tokens

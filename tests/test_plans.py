@@ -287,3 +287,14 @@ def test_repetition_metrics_linear_shape(spark):
     assert "partial_count" in p  # gram counts combine map-side
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mix_sources_broadcasts_rates_no_corpus_shuffle(spark):
+    """T24 scale shape: the per-source rate table (one row per domain)
+    broadcasts onto the corpus; the only hash exchange is the map-side-
+    combined token-totals aggregation. The corpus itself never shuffles —
+    the keep rule is a codegen filter."""
+    p = plan_of(registry.queries()["mix_sources"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_sum" in p  # token totals combine map-side
