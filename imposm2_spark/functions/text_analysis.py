@@ -129,3 +129,40 @@ def quality_score(text: Column) -> Column:
         - F.lit(0.5) * f["punct_ratio"]
     )
     return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (public recipe: the C4 / RefinedWeb curation step that masks
+# contact-like strings before training). Patterns are deliberately RE2-safe
+# (no backreferences/lookaround) so the Java-regex engine side and a
+# DuckDB/RE2 oracle replace the exact same spans — the differential test in
+# tests/test_text_analysis.py asserts byte equality on a planted corpus.
+# Order matters and is fixed: emails first (their local part may contain
+# digits a later pass would mis-tag), then dotted IPv4 (dots are not part of
+# the phone pattern), then phone-like digit runs.
+# ---------------------------------------------------------------------------
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class match counts {email, ipv4, phone} — counted on the
+    progressively scrubbed text exactly as scrub_pii replaces (an email's
+    digits never double-count as a phone)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
+def scrub_pii(text: Column) -> Column:
+    """Text with every PII_PATTERNS match masked by its class token."""
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur
