@@ -251,3 +251,56 @@ class TestMixSources:
         }
         for r in tight.collect():
             assert got.get(r.source, 0) <= r.total_tokens
+
+
+class TestRepetitionProperty:
+    @staticmethod
+    def _reference(text):
+        """Independent pure-Python twin of repetition_metrics (no Spark)."""
+        toks = text.split(" ")
+        n = len(toks)
+        n_chars = len(text)
+        dup_frac = round(1.0 - len(set(toks)) / n, 6)
+        seen = set()
+        dup_chars = 0
+        for t in toks:
+            if t in seen:
+                dup_chars += len(t)
+            else:
+                seen.add(t)
+        dup_char_frac = round(dup_chars / max(n_chars, 1), 6)
+        grams = [f"{toks[i]} {toks[i+1]}" for i in range(n - 1)]
+        if grams:
+            from collections import Counter
+
+            cnt = Counter(grams)
+            best = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+            top = round(min(1.0, best[1] * len(best[0]) / max(n_chars, 1)), 6)
+        else:
+            top = 0.0
+        return (n, dup_frac, dup_char_frac, top)
+
+    def test_matches_python_reference_on_random_corpora(self, spark):
+        """Randomized cross-check: the JVM HOF/agg plan must agree with a
+        direct Python implementation on every metric (seeded corpus of
+        short high-collision vocab docs — the worst case for the
+        first-occurrence and tie-break logic)."""
+        import random
+
+        from imposm2_spark.operators.curation import repetition_metrics
+
+        rng = random.Random(20260817)
+        vocab = ["a", "bb", "ccc", "x", "yz", "q"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(300)
+        ]
+        got = {
+            r.doc_id: (r.n_tokens, r.dup_token_frac, r.dup_token_char_frac,
+                       r.top_bigram_char_frac)
+            for r in repetition_metrics(
+                spark.createDataFrame(rows, ["doc_id", "text"])
+            ).collect()
+        }
+        for i, text in rows:
+            assert got[i] == self._reference(text), (i, text, got[i])
