@@ -209,83 +209,127 @@ def repetition_metrics(
                                (evaluated on the 6dp-rounded values so the
                                DuckDB oracle agrees bit-for-bit)
 
-    Scale shape: the per-row metrics are bounded in-row JVM HOFs (the
-    first-occurrence scan is O(n_tokens^2) with ~50-token docs — cheap,
-    shuffle-free); the bigram mode is explode -> map-side-combined count ->
-    per-doc max -> equi-join back, all keyed by doc id — linear at 10^12
-    docs, no all-pairs anywhere. The token array is materialized once in a
-    projection (HOF lambdas have no CSE; see text_ngram_hashes)."""
+    Scale shape: EVERYTHING is in-row — zero shuffles, no join, no
+    aggregation (plan-tested). The r4-initial shape exploded grams through
+    two hash aggregations and an equi-join back; correct but the 50x gram
+    blow-up transited two exchanges. Duplicate accounting needs no scan at
+    all: dup slot chars = (total slot chars) - (distinct token chars),
+    and total slot chars = n_chars - (n_tokens - 1) exactly, because
+    split-on-single-space consumes exactly n_tokens-1 one-char separators
+    for ANY input. The top bigram is the longest run in the SORTED gram
+    array: run starts = positions whose gram differs from its predecessor
+    (one filter over an index sequence), run lengths = successive-start
+    deltas, winner = array_max over (cnt, gram) structs — struct ordering
+    ties break on the lexicographically greatest gram, matching the
+    oracle's `ORDER BY cnt DESC, gram DESC`. All HOF lambdas here are
+    single simple expressions (no struct-accumulator folds — an earlier
+    fold formulation was 2x SLOWER than the explode shape at 1M docs);
+    arrays are bound ONCE as lambda variables (transform over a 1-element
+    array — HOF lambdas have no CSE; see text_ngram_hashes)."""
     toks = docs.select(
         F.col(id_col),
         F.split(F.col(text_col), " ").alias("_toks"),
         F.length(F.col(text_col)).alias("_n_chars"),
     )
-    # token slots after their first occurrence: 1-based array_position vs
-    # the 0-based filter index
-    dup_slots = F.filter(
-        F.col("_toks"),
-        lambda x, i: F.array_position(F.col("_toks"), x) < i + 1,
+
+    zero = F.lit(0).cast("long")
+
+    # (distinct count, distinct chars) off the deduped token array, bound once
+    stats = F.element_at(
+        F.transform(
+            F.array(F.array_distinct(F.col("_toks"))),
+            lambda d: F.struct(
+                F.size(d).cast("long").alias("distinct"),
+                F.aggregate(
+                    d, zero, lambda acc, x: acc + F.length(x)
+                ).alias("dchars"),
+            ),
+        ),
+        1,
     )
-    dup_chars = F.aggregate(
-        dup_slots, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+
+    def _best_run(gs: F.Column) -> F.Column:
+        """(cnt, gram) of the modal gram from a BOUND sorted gram array."""
+        n = F.size(gs)
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(gs, i) != F.element_at(gs, i - 1)),
+        )
+        return F.element_at(
+            F.transform(
+                F.array(starts),
+                lambda st: F.array_max(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(st)),
+                        lambda j: F.struct(
+                            (
+                                F.when(
+                                    j < F.size(st), F.element_at(st, j + 1)
+                                ).otherwise(n + 1)
+                                - F.element_at(st, j)
+                            ).cast("long").alias("cnt"),
+                            F.element_at(
+                                gs, F.element_at(st, j)
+                            ).alias("gram"),
+                        ),
+                    )
+                ),
+            ),
+            1,
+        )
+
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_toks"), i),
+            F.element_at(F.col("_toks"), i + 1),
+        ),
     )
-    row = toks.select(
+    top = F.when(
+        F.size("_toks") >= 2,
+        F.element_at(
+            F.transform(
+                F.array(F.array_sort(gram_arr)), lambda gs: _best_run(gs)
+            ),
+            1,
+        ),
+    ).otherwise(F.struct(zero.alias("cnt"), F.lit("").alias("gram")))
+
+    mid = toks.select(
         F.col(id_col),
         F.size("_toks").cast("long").alias("n_tokens"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct("_toks")) / F.size("_toks"),
-            6,
-        ).alias("dup_token_frac"),
-        F.round(dup_chars / F.greatest("_n_chars", F.lit(1)), 6).alias(
-            "dup_token_char_frac"
-        ),
         F.col("_n_chars"),
+        stats.alias("_s"),
+        top.alias("_t"),
     )
-    grams = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("_toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_toks") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("_toks"), i),
-                        F.element_at(F.col("_toks"), i + 1),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("_s.distinct") / F.col("n_tokens"), 6
     )
-    top = (
-        grams.groupBy(id_col, "gram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy(id_col)
-        .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_t"))
+    dup_char_frac = F.round(
+        (F.col("_n_chars") - F.col("n_tokens") + 1 - F.col("_s.dchars"))
+        / F.greatest("_n_chars", F.lit(1)),
+        6,
     )
-    out = row.join(top, id_col, "left")
     top_frac = F.round(
         F.least(
             F.lit(1.0),
-            F.coalesce(
-                F.col("_t.cnt")
-                * F.length(F.col("_t.gram"))
-                / F.greatest("_n_chars", F.lit(1)),
-                F.lit(0.0),
-            ),
+            F.col("_t.cnt")
+            * F.length(F.col("_t.gram"))
+            / F.greatest("_n_chars", F.lit(1)),
         ),
         6,
     )
-    return out.select(
+    return mid.select(
         F.col(id_col),
         "n_tokens",
-        "dup_token_frac",
-        "dup_token_char_frac",
+        dup_frac.alias("dup_token_frac"),
+        dup_char_frac.alias("dup_token_char_frac"),
         top_frac.alias("top_bigram_char_frac"),
         (
-            (F.col("dup_token_frac") <= DUP_TOKEN_FRAC_MAX)
-            & (F.col("dup_token_char_frac") <= DUP_TOKEN_CHAR_FRAC_MAX)
+            (dup_frac <= DUP_TOKEN_FRAC_MAX)
+            & (dup_char_frac <= DUP_TOKEN_CHAR_FRAC_MAX)
             & (top_frac <= TOP_BIGRAM_CHAR_FRAC_MAX)
         ).alias("keep"),
     )
