@@ -65,10 +65,17 @@ def build_curate_df(spark, sf_dir: str, replication: int):
     return curate(docs)
 
 
-def bench_pip_skew(spark, n: int = 100_000) -> dict:
+def bench_pip_skew(spark, n: int = 500_000) -> dict:
     """Dense-cell PIP skew fixture (tests/test_spatial_ops.py twin at bench
     scale): every point in one level-12 cell, polygon side forced onto the
-    shuffle path. Returns wall seconds for unsalted vs salt_factor=8."""
+    shuffle path. Returns wall seconds for unsalted vs salt_factor=8.
+
+    n=500k is the smallest size where the hot task dominates wall clock:
+    measured 5.0s unsalted vs 3.7s salted8 (AQE on; AQE's own skew-join
+    split recovers only ~0.8s of that), while at 100k both are <1.3s and
+    fixed overhead inverts the comparison. salt 16/32 measured no better
+    than 8 at this size (3.8s) — ring-broadcast + scan floor, not the hot
+    task, bounds further spread."""
     import time as _t
 
     from pyspark.sql import functions as F
@@ -103,11 +110,17 @@ def bench_pip_skew(spark, n: int = 100_000) -> dict:
     return out
 
 
-def bench_knn_skew(spark, n_points: int = 50_000, n_dense_sites: int = 5_000) -> dict:
+def bench_knn_skew(spark, n_points: int = 10_000, n_dense_sites: int = 5_000) -> dict:
     """O10a twin for kNN (tests/test_knn.py::test_salted_shuffle_equals_brute
     at bench scale): all dense sites packed into ONE level-6 cell, site side
     forced onto the shuffle path (broadcast_sites=False), unsalted vs
-    salt_factor=8. Output counts asserted identical; both wall times reported."""
+    salt_factor=8. Output counts asserted identical; both wall times reported.
+
+    Timing protocol: knn_join materializes its ring loop EAGERLY at call
+    time (driver-side plan loop persists + counts each round), so the timed
+    region must wrap construction + count — a count over the returned frame
+    alone re-reads the internal caches and times nothing (the pre-fix row
+    did exactly that). Caches are cleared between runs for the same reason."""
     import time as _t
 
     from pyspark.sql import functions as F
@@ -132,13 +145,18 @@ def bench_knn_skew(spark, n_points: int = 50_000, n_dense_sites: int = 5_000) ->
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         counts = {}
         for name, salt in (("unsalted", None), ("salted8", 8)):
-            df = knn_join(
-                pts, sites, k=3, level=6,
-                broadcast_sites=False, salt_factor=salt,
-            )
-            df.count()  # warm
+
+            def run() -> int:
+                n = knn_join(
+                    pts, sites, k=3, level=6,
+                    broadcast_sites=False, salt_factor=salt,
+                ).count()
+                spark.catalog.clearCache()  # drop the loop's persisted rounds
+                return n
+
+            counts[name] = run()  # warm (JIT)
             t0 = _t.perf_counter()
-            counts[name] = df.count()
+            assert run() == counts[name]
             out[f"skew_knn_{name}_sec"] = round(_t.perf_counter() - t0, 3)
         assert counts["unsalted"] == counts["salted8"], counts
         out["skew_knn_rows"] = counts["salted8"]
@@ -198,7 +216,7 @@ def main() -> None:
     curate_sec = time.perf_counter() - t0
     n_curate_docs = n_base * curate_replication
 
-    # O10a skew row: 10^5 points in ONE level-12 cell through the PIP shuffle
+    # O10a skew row: 5*10^5 points in ONE level-12 cell through the PIP shuffle
     # path (auto-broadcast off to force the shuffle; AQE on = production),
     # salted vs unsalted. Outputs asserted identical; both wall times reported
     # so the salting win (or AQE already covering it) is measured, not claimed.
