@@ -2041,3 +2041,124 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic corpus predicts only en/other with the tiny stopword sets
     kept = curate(docs, min_quality=0.3, langs=("en",), neardup_threshold=0.5)
     return curate_stats(kept)
+
+
+# ---------------------------------------------------------------------------
+# T26: URL canonicalization + host-level curation (functions/urlx.py).
+# URLs are synthesized deterministically from doc_id INSIDE the query (the
+# driver documents table has no url column) with case / www / default-port /
+# tracking-param / param-order / fragment variants, so canonicalization does
+# real collapsing work. Even-numbered hosts get a tiny path modulus (3) so
+# their URL-duplication rate crosses the 0.5 block threshold at sf0.01;
+# odd hosts stay nearly all-unique and pass. The oracle mirrors the
+# canonical form expression-for-expression (RE2-safe regexes both sides).
+# Scale shape: synthesis + canonicalization are one codegen projection over
+# the scan; the host rollup is one hash-agg (count-distinct expands once) —
+# linear at 10^12 URLs, no Python boundary.
+# ---------------------------------------------------------------------------
+_URL_SYNTH_SQL = r"""
+SELECT doc_id,
+  (CASE WHEN doc_id%2=0 THEN 'https' ELSE 'HTTPS' END)
+  || '://'
+  || (CASE WHEN doc_id%5=0 THEN 'WWW.' ELSE '' END)
+  || 'H' || CAST((doc_id*7)%5 AS VARCHAR) || '.Example.org'
+  || (CASE WHEN doc_id%7=0 THEN ':443' ELSE '' END)
+  || '/Pg/' || CAST(doc_id % (CASE WHEN ((doc_id*7)%5)%2=0 THEN 3 ELSE 997 END) AS VARCHAR)
+  || (CASE doc_id%3 WHEN 0 THEN '?id=' || CAST(doc_id%7 AS VARCHAR) || '&utm_source=feed'
+                    WHEN 1 THEN '?utm_campaign=Xz&id=' || CAST(doc_id%7 AS VARCHAR)
+                    ELSE '?b=2&a=1&fbclid=IwAR12345' END)
+  || (CASE WHEN doc_id%4=0 THEN '#Top' ELSE '' END) AS url
+FROM documents
+"""
+
+
+@register(
+    "url_host_curation",
+    oracle=r"""
+WITH u AS ("""
+    + _URL_SYNTH_SQL
+    + r"""),
+c2 AS (
+  SELECT doc_id,
+    lower(regexp_extract(regexp_replace(url, '#.*', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM u
+),
+c3 AS (
+  SELECT doc_id, scheme, rest, regexp_extract(rest, '^([^/?]*)', 1) AS raw_auth FROM c2
+),
+c4 AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme='https' THEN regexp_replace(lower(raw_auth), ':443$', '')
+           WHEN scheme='http'  THEN regexp_replace(lower(raw_auth), ':80$', '')
+           ELSE lower(raw_auth) END,
+      '^www\.', '') AS host,
+    substr(rest, length(raw_auth)+1) AS pathq
+  FROM c3
+),
+c5 AS (
+  SELECT doc_id, scheme, host,
+    CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+    array_to_string(list_sort(list_filter(
+        str_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)='))), '&') AS q2
+  FROM c4
+),
+curl AS (
+  SELECT doc_id, host,
+    scheme || '://' || host || path || (CASE WHEN q2='' THEN '' ELSE '?' || q2 END) AS curl
+  FROM c5
+)
+SELECT host, count(*) AS n_docs, count(DISTINCT curl) AS n_unique_urls,
+  round(1.0 - (count(DISTINCT curl) * 1.0) / count(*), 6) AS dup_url_frac,
+  round(1.0 - (count(DISTINCT curl) * 1.0) / count(*), 6) <= 0.5 AS keep
+FROM curl GROUP BY host
+""",
+)
+def q_url_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26: canonicalize crawl URLs, roll up per host, block high-dup hosts.
+
+    The keep rule runs on the 6dp-ROUNDED duplication rate so the DuckDB
+    oracle agrees bit-for-bit at the threshold boundary."""
+    from ..functions import urlx
+
+    d = F.col("doc_id")
+    h = (d * 7) % 5
+    path_mod = F.when(h % 2 == 0, F.lit(3)).otherwise(F.lit(997))
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("H"),
+        h.cast("string"),
+        F.lit(".Example.org"),
+        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Pg/"),
+        (d % path_mod).cast("string"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("?id="), (d % 7).cast("string"), F.lit("&utm_source=feed")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("?utm_campaign=Xz&id="), (d % 7).cast("string")),
+        )
+        .otherwise(F.lit("?b=2&a=1&fbclid=IwAR12345")),
+        F.when(d % 4 == 0, F.lit("#Top")).otherwise(F.lit("")),
+    )
+    docs = load(spark, sf_dir, "documents").select(d.alias("doc_id"), url.alias("url"))
+    per_doc = docs.select(
+        urlx.url_host(F.col("url")).alias("host"),
+        urlx.canonicalize_url(F.col("url")).alias("curl"),
+    )
+    dup = F.round(
+        F.lit(1.0) - F.countDistinct("curl") * F.lit(1.0) / F.count("*"), 6
+    )
+    return per_doc.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("curl").alias("n_unique_urls"),
+        dup.alias("dup_url_frac"),
+        (dup <= F.lit(0.5)).alias("keep"),
+    )
