@@ -28,3 +28,50 @@ def merge_extracts(extracts: list[DataFrame], key: str, ord_col: str = ORD_COL) 
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def apply_diff(
+    base: DataFrame,
+    diff: DataFrame,
+    key: str,
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """S6b: apply an OSC-style change set to a base element table.
+
+    Reference analog: imposm2's ``--diff`` update mode (SURVEY.md S6) —
+    minutely/hourly OSM change files carry create/modify/delete records per
+    element id and version; applying one yields the next table state. Here:
+
+      * `base` rows are implicitly the lowest-precedence state; `diff` rows
+        carry `op_col` (create/modify/`delete_op`) and win over base at
+        equal `version_col`.
+      * winner per `key` = max (version, diff-beats-base, op) — the trailing
+        op term only breaks (key, version) collisions WITHIN a malformed
+        diff deterministically; well-formed diffs have unique (key, version).
+      * a winning `delete_op` removes the id from the output entirely.
+
+    Scale shape: ONE map-side-combinable aggregation (`max_by` over a struct
+    — ObjectHashAggregate with partial aggregation), not a sort window: at
+    10^12 elements the per-key state is one row, never a sorted run. Plan
+    test asserts the single-exchange shape. Base rows missing from the diff
+    stream through the same agg unchanged; no join anywhere.
+    """
+    if op_col not in base.columns:
+        base = base.withColumn(op_col, F.lit("base"))
+    b = base.withColumn("_pri", F.lit(0))
+    d = diff.withColumn("_pri", F.lit(1))
+    unioned = b.unionByName(d, allowMissingColumns=True)
+    payload = [c for c in unioned.columns if c != key]
+    winner = unioned.groupBy(key).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col(version_col), F.col("_pri"), F.col(op_col)),
+        ).alias("_w")
+    )
+    return (
+        winner.where(F.col(f"_w.{op_col}") != delete_op)
+        .select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        .drop("_pri")
+    )

@@ -2162,3 +2162,76 @@ def q_url_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("dup_url_frac"),
         (dup <= F.lit(0.5)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S6b: OSC-style diff application (operators/merge.py::apply_diff) — the
+# imposm2 --diff update mode as one map-side-combinable max_by aggregation.
+# The change set is synthesized deterministically from doc_id: every %3==0
+# doc gets a v2 modify, every %5==1 doc a v3 delete, every %7==2 doc spawns
+# a v1 create under a shifted id. The oracle applies the same set with a
+# row_number window (precedence: version, diff-over-base, op).
+# ---------------------------------------------------------------------------
+@register(
+    "apply_osm_diff",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS version, 'base' AS op, md5(text) AS content, 0 AS pri
+  FROM documents
+),
+mods AS (
+  SELECT doc_id, CAST(2 AS BIGINT) AS version, 'modify' AS op, md5(text || 'v2') AS content, 1 AS pri
+  FROM documents WHERE doc_id % 3 = 0
+),
+dels AS (
+  SELECT doc_id, CAST(3 AS BIGINT) AS version, 'delete' AS op, 'deleted' AS content, 1 AS pri
+  FROM documents WHERE doc_id % 5 = 1
+),
+crts AS (
+  SELECT doc_id + 10000000 AS doc_id, CAST(1 AS BIGINT) AS version, 'create' AS op, content, 1 AS pri
+  FROM (SELECT doc_id, md5('new:' || CAST(doc_id AS VARCHAR)) AS content
+        FROM documents WHERE doc_id % 7 = 2)
+),
+u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM mods
+  UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM crts
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, pri DESC, op DESC) AS rn
+  FROM u
+)
+SELECT doc_id, version, op, content FROM w WHERE rn = 1 AND op <> 'delete'
+""",
+)
+def q_apply_osm_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6b: next table state after applying a versioned create/modify/delete
+    change set — deletes vanish, modifies supersede, creates appear."""
+    from ..operators.merge import apply_diff
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.lit(1).cast("long").alias("version"),
+        F.md5("text").alias("content"),
+    )
+    mods = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit(2).cast("long").alias("version"),
+        F.lit("modify").alias("op"),
+        F.md5(F.concat(F.col("text"), F.lit("v2"))).alias("content"),
+    )
+    dels = docs.where(F.col("doc_id") % 5 == 1).select(
+        "doc_id",
+        F.lit(3).cast("long").alias("version"),
+        F.lit("delete").alias("op"),
+        F.lit("deleted").alias("content"),
+    )
+    crts = docs.where(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("create").alias("op"),
+        F.md5(F.concat(F.lit("new:"), F.col("doc_id").cast("string"))).alias("content"),
+    )
+    diff = mods.unionByName(dels).unionByName(crts)
+    out = apply_diff(base, diff, key="doc_id")
+    return out.select("doc_id", "version", "op", "content")
