@@ -58,6 +58,10 @@ def apply_diff(
     test asserts the single-exchange shape. Base rows missing from the diff
     stream through the same agg unchanged; no join anywhere.
     """
+    if op_col not in diff.columns:
+        # a missing op would union in as NULL, fail the delete comparison,
+        # and silently drop every diff winner — refuse loudly instead
+        raise ValueError(f"diff frame must carry an {op_col!r} column")
     if op_col not in base.columns:
         base = base.withColumn(op_col, F.lit("base"))
     b = base.withColumn("_pri", F.lit(0))

@@ -122,3 +122,31 @@ def test_url_host_curation_blocks_dense_hosts(spark):
             assert not r["keep"], (host, r)
         else:
             assert r["keep"], (host, r)
+
+
+def test_canonicalize_fuzz_differential(spark):
+    """Seeded fuzz: URLs assembled from adversarial fragments (repeated ?,
+    #, &, empty params, mixed-case schemes/hosts, ports, userinfo) must
+    canonicalize identically in Spark and the pure-Python reference, and
+    stay idempotent."""
+    import random
+
+    rng = random.Random(20260817)
+    schemes = ["https", "HTTPS", "http", "hTTp", "ftp", ""]
+    hosts = ["WWW.Ex.COM", "ex.com", "www.ex.com:443", "EX.com:80", "ex.com:8080",
+             "user@Ex.Com", "www.w.ww", ""]
+    paths = ["", "/", "/A/b", "/p?x", "//d", "/%7Euser"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&a=1&",
+               "?&&", "?id=9&fbclid=z&ref=t", "?A=1&a=0?c=2"]
+    frags = ["", "#", "#Top", "#a#b"]
+    urls = []
+    for _ in range(400):
+        s = rng.choice(schemes)
+        u = (s + "://" if s else "") + rng.choice(hosts) + rng.choice(paths) \
+            + rng.choice(queries) + rng.choice(frags)
+        urls.append(u)
+    got = _canon_many(spark, urls)
+    got2 = _canon_many(spark, got)
+    for u, g, g2 in zip(urls, got, got2):
+        assert g == _py_canon(u), (u, g, _py_canon(u))
+        assert g2 == g, ("not idempotent", u, g, g2)
