@@ -37,12 +37,15 @@ def apply_diff(
     version_col: str = "version",
     op_col: str = "op",
     delete_op: str = "delete",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """S6b: apply an OSC-style change set to a base element table.
 
-    Reference analog: imposm2's ``--diff`` update mode (SURVEY.md S6) —
-    minutely/hourly OSM change files carry create/modify/delete records per
-    element id and version; applying one yields the next table state. Here:
+    Reference analog: NONE in imposm2 itself — diff/replication support
+    arrived in imposm3; imposm2 re-imports and swaps (SURVEY.md §2.9, S8).
+    This operator supplies that successor workflow's semantics: OSC change
+    files carry create/modify/delete records per element id and version;
+    applying one yields the next table state. Here:
 
       * `base` rows are implicitly the lowest-precedence state; `diff` rows
         carry `op_col` (create/modify/`delete_op`) and win over base at
@@ -50,7 +53,15 @@ def apply_diff(
       * winner per `key` = max (version, diff-beats-base, op) — the trailing
         op term only breaks (key, version) collisions WITHIN a malformed
         diff deterministically; well-formed diffs have unique (key, version).
-      * a winning `delete_op` removes the id from the output entirely.
+      * a winning `delete_op` removes the id from the output entirely —
+        unless `keep_tombstones=True`, which RETAINS the winning delete row
+        (readers filter `op != delete_op`). Tombstones matter when diffs
+        are applied incrementally across batches: without them, a later
+        batch carrying a LOWER-version op for a deleted id would resurrect
+        it (the id is simply absent from the new base, so any op wins).
+        With monotonically increasing versions across batches — the OSM
+        reality — both modes chain-compose identically
+        (tests/test_merge_diff.py property test).
 
     Scale shape: ONE map-side-combinable aggregation (`max_by` over a struct
     — ObjectHashAggregate with partial aggregation), not a sort window: at
@@ -74,8 +85,8 @@ def apply_diff(
             F.struct(F.col(version_col), F.col("_pri"), F.col(op_col)),
         ).alias("_w")
     )
-    return (
-        winner.where(F.col(f"_w.{op_col}") != delete_op)
-        .select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
-        .drop("_pri")
-    )
+    if not keep_tombstones:
+        winner = winner.where(F.col(f"_w.{op_col}") != delete_op)
+    return winner.select(
+        key, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    ).drop("_pri")

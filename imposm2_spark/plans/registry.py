@@ -2166,7 +2166,8 @@ def q_url_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # S6b: OSC-style diff application (operators/merge.py::apply_diff) — the
-# imposm2 --diff update mode as one map-side-combinable max_by aggregation.
+# imposm3-successor update mode (imposm2 re-imports + swaps, SURVEY §2.9)
+# as one map-side-combinable max_by aggregation.
 # The change set is synthesized deterministically from doc_id: every %3==0
 # doc gets a v2 modify, every %5==1 doc a v3 delete, every %7==2 doc spawns
 # a v1 create under a shifted id. The oracle applies the same set with a

@@ -57,3 +57,66 @@ def test_apply_diff_single_exchange_plan(spark):
     assert plan.count("Exchange") == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Window" not in plan, plan
+
+
+def test_apply_diff_chain_equivalence_monotone(spark):
+    """Property: with versions monotonically increasing across batches,
+    applying diffs batch-by-batch equals applying their union at once —
+    in both tombstone modes."""
+    base = spark.createDataFrame(
+        [(i, 1, "v1") for i in range(20)], ["id", "version", "val"]
+    )
+    d1 = spark.createDataFrame(
+        [(i, 2, "modify", "v2") for i in range(0, 20, 3)]
+        + [(i, 2, "delete", None) for i in range(1, 20, 5)]
+        + [(100 + i, 2, "create", "new") for i in range(3)],
+        ["id", "version", "op", "val"],
+    )
+    d2 = spark.createDataFrame(
+        [(i, 3, "modify", "v3") for i in range(0, 20, 4)]
+        + [(i, 3, "delete", None) for i in range(2, 20, 7)]
+        + [(100, 3, "delete", None)],
+        ["id", "version", "op", "val"],
+    )
+    for tomb in (False, True):
+        chained = apply_diff(
+            apply_diff(base, d1, key="id", keep_tombstones=tomb),
+            d2, key="id", keep_tombstones=tomb,
+        )
+        combined = apply_diff(
+            base, d1.unionByName(d2), key="id", keep_tombstones=tomb
+        )
+        a = {r["id"]: (r["version"], r["val"]) for r in chained.collect()
+             if r["op"] != "delete"}
+        b = {r["id"]: (r["version"], r["val"]) for r in combined.collect()
+             if r["op"] != "delete"}
+        assert a == b, (tomb, a, b)
+
+
+def test_apply_diff_tombstone_blocks_resurrection(spark):
+    """Out-of-order cross-batch diffs: a later batch carrying a LOWER-version
+    modify for a deleted id resurrects it WITHOUT tombstones (the id is
+    simply absent from the new base) but stays dead WITH them."""
+    base = spark.createDataFrame([(1, 1, "x")], ["id", "version", "val"])
+    schema = "id long, version long, op string, val string"
+    d_del = spark.createDataFrame([(1, 5, "delete", None)], schema)
+    d_late = spark.createDataFrame([(1, 3, "modify", "stale")], schema)
+
+    no_tomb = apply_diff(apply_diff(base, d_del, key="id"), d_late, key="id")
+    assert [r["val"] for r in no_tomb.collect()] == ["stale"]  # the hazard
+
+    with_tomb = apply_diff(
+        apply_diff(base, d_del, key="id", keep_tombstones=True),
+        d_late, key="id", keep_tombstones=True,
+    )
+    rows = with_tomb.collect()
+    assert len(rows) == 1 and rows[0]["op"] == "delete"  # still dead
+
+
+def test_apply_diff_requires_op_column(spark):
+    base = spark.createDataFrame([(1, 1, "x")], ["id", "version", "val"])
+    bad = spark.createDataFrame([(1, 2, "y")], ["id", "version", "val"])
+    import pytest
+
+    with pytest.raises(ValueError, match="op"):
+        apply_diff(base, bad, key="id")

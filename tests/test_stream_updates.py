@@ -1,0 +1,81 @@
+"""Continuous-update loop (streaming/updates.py): diff stream -> apply_diff
+-> atomic Deploy publish; stream-vs-batch parity, checkpointed resume, and
+order-independence from version monotonicity."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from imposm2_spark.operators.merge import apply_diff
+from imposm2_spark.sources.catalog import Deploy
+from imposm2_spark.streaming.updates import (
+    read_current,
+    read_diff_stream,
+    stream_updates,
+)
+
+DIFF_SCHEMA = "id long, version long, op string, val string"
+
+
+def _write_diff(spark, path, rows):
+    spark.createDataFrame(rows, DIFF_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_stream_updates_parity_and_resume(spark, tmp_path):
+    root = str(tmp_path / "deploy")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    deploy = Deploy(root)
+    base = spark.createDataFrame(
+        [(i, 1, "base", f"v1-{i}") for i in range(10)], DIFF_SCHEMA
+    )
+    deploy.publish({"elements": deploy.stage("elements", base, lon=None, lat=None)})
+
+    d1 = [(0, 2, "modify", "v2-0"), (1, 2, "delete", None), (50, 2, "create", "new")]
+    d2 = [(0, 3, "modify", "v3-0"), (2, 3, "delete", None), (50, 3, "delete", None)]
+    _write_diff(spark, os.path.join(landing, "diff1"), d1)
+    _write_diff(spark, os.path.join(landing, "diff2"), d2)
+
+    diffs = read_diff_stream(spark, landing + "/*", DIFF_SCHEMA, max_files=1)
+    q = stream_updates(diffs, deploy, "elements", key="id", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    # parity: streamed end-state == one-shot batch apply of the union
+    expect = apply_diff(
+        base,
+        spark.createDataFrame(d1 + d2, DIFF_SCHEMA),
+        key="id",
+        keep_tombstones=True,
+    ).where(F.col("op") != "delete")
+    got = read_current(spark, deploy, "elements")
+    a = sorted((r["id"], r["version"], r["val"]) for r in got.collect())
+    b = sorted((r["id"], r["version"], r["val"]) for r in expect.collect())
+    assert a == b and len(a) > 0
+    assert {r[0] for r in a} == {0, 3, 4, 5, 6, 7, 8, 9}  # 1,2,50 dead
+
+    # resume: a fresh drain with the same checkpoint and no new files must
+    # publish nothing (file-source progress is checkpointed)
+    v_before = deploy.current()["elements"]
+    q2 = stream_updates(
+        read_diff_stream(spark, landing + "/*", DIFF_SCHEMA, max_files=1),
+        deploy, "elements", key="id", checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    assert deploy.current()["elements"] == v_before
+
+    # incremental catch-up: one new diff file -> exactly one more publish
+    _write_diff(spark, os.path.join(landing, "diff3"), [(3, 4, "delete", None)])
+    q3 = stream_updates(
+        read_diff_stream(spark, landing + "/*", DIFF_SCHEMA, max_files=1),
+        deploy, "elements", key="id", checkpoint_dir=ckpt,
+    )
+    q3.awaitTermination(120)
+    ids = {r["id"] for r in read_current(spark, deploy, "elements").collect()}
+    assert ids == {0, 4, 5, 6, 7, 8, 9}
+    assert int(deploy.current()["elements"][1:]) == int(v_before[1:]) + 1
