@@ -46,23 +46,11 @@ def build_curate_df(spark, sf_dir: str, replication: int):
     crawl-mirror profile: replicas collapse in the exact-dedup hash-agg (the
     stage that dominates a 100 TB run together with the scoring scan), and the
     near-dup LSH/CC stages run over the surviving uniques."""
-    from pyspark.sql import functions as F
-
     from imposm2_spark.plans.curate import curate
     from imposm2_spark.sources import testdata
 
-    docs = testdata.load(spark, sf_dir, "documents").select("doc_id", "text")
-    if replication > 1:
-        reps = spark.range(0, replication, numPartitions=max(32, replication // 4))
-        docs = (
-            reps.withColumnRenamed("id", "rep")
-            .join(F.broadcast(docs))
-            .select(
-                (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
-                "text",
-            )
-        )
-    return curate(docs)
+    docs = testdata.load(spark, sf_dir, "documents")
+    return curate(testdata.replicate_docs(docs, replication, spark))
 
 
 def bench_pip_skew(spark, n: int = 500_000) -> dict:
@@ -156,8 +144,9 @@ def bench_knn_skew(spark, n_points: int = 10_000, n_dense_sites: int = 5_000) ->
 
             counts[name] = run()  # warm (JIT)
             t0 = _t.perf_counter()
-            assert run() == counts[name]
+            got = run()  # NOT inside an assert: python -O must still time it
             out[f"skew_knn_{name}_sec"] = round(_t.perf_counter() - t0, 3)
+            assert got == counts[name]
         assert counts["unsalted"] == counts["salted8"], counts
         out["skew_knn_rows"] = counts["salted8"]
     finally:

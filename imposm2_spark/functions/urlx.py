@@ -12,10 +12,12 @@ plans/registry.py mirrors it expression-for-expression):
   1. fragment stripped (everything from the first ``#``)
   2. scheme lowercased
   3. authority lowercased; default port stripped (``:443`` for https,
-     ``:80`` for http); leading ``www.`` stripped
+     ``:80`` for http); leading ``www.`` prefixes stripped (ALL of them —
+     one-pass stripping breaks idempotence on www.www.* hosts)
   4. path preserved case-sensitively; empty path becomes ``/``
   5. query params: tracking params dropped (``utm_*``, ``fbclid``,
-     ``gclid``, ``msclkid``, ``ref``), the rest sorted lexicographically
+     ``gclid``, ``msclkid``, ``ref`` — names matched lowercase, as the
+     trackers emit them), the rest sorted lexicographically
      as full ``k=v`` strings and re-joined with ``&``; an emptied query
      loses its ``?``
 
@@ -35,7 +37,7 @@ from pyspark.sql import functions as F
 # the full "k=v" token, anchored, value unconstrained. Kept as ONE frozen
 # alternation so the Spark rlike and the DuckDB regexp_matches stay textually
 # identical (see registry.URL_TRACKING_RE usage).
-TRACKING_PARAM_RE = r"^(utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)="
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)="
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
@@ -56,7 +58,7 @@ def url_host(url: F.Column) -> F.Column:
         F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(auth)
     )
     return F.when(scheme == "", F.lit("")).otherwise(
-        F.regexp_replace(auth, r"^www\.", "")
+        F.regexp_replace(auth, r"^(www\.)+", "")
     )
 
 

@@ -73,6 +73,11 @@ def apply_diff(
         # a missing op would union in as NULL, fail the delete comparison,
         # and silently drop every diff winner — refuse loudly instead
         raise ValueError(f"diff frame must carry an {op_col!r} column")
+    for frame, name in ((base, "base"), (diff, "diff")):
+        if version_col not in frame.columns:
+            raise ValueError(
+                f"{name} frame must carry a {version_col!r} column"
+            )
     if op_col not in base.columns:
         base = base.withColumn(op_col, F.lit("base"))
     b = base.withColumn("_pri", F.lit(0))
@@ -86,7 +91,10 @@ def apply_diff(
         ).alias("_w")
     )
     if not keep_tombstones:
-        winner = winner.where(F.col(f"_w.{op_col}") != delete_op)
+        # null-safe: a winning row with a NULL op (malformed record) must
+        # NOT satisfy the delete test — dropping it would silently delete a
+        # live element; it is kept and surfaces as a null-op row instead
+        winner = winner.where(~F.col(f"_w.{op_col}").eqNullSafe(delete_op))
     return winner.select(
         key, *[F.col(f"_w.{c}").alias(c) for c in payload]
     ).drop("_pri")

@@ -2072,6 +2072,36 @@ FROM documents
 """
 
 
+def url_synth_col() -> F.Column:
+    """The Spark twin of _URL_SYNTH_SQL: deterministic URL variants from
+    doc_id. Shared with tests/test_urlx.py's differential so the corpus the
+    fuzz reference checks IS the corpus the oracle query runs."""
+    d = F.col("doc_id")
+    h = (d * 7) % 5
+    path_mod = F.when(h % 2 == 0, F.lit(3)).otherwise(F.lit(997))
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("H"),
+        h.cast("string"),
+        F.lit(".Example.org"),
+        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Pg/"),
+        (d % path_mod).cast("string"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("?id="), (d % 7).cast("string"), F.lit("&utm_source=feed")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("?utm_campaign=Xz&id="), (d % 7).cast("string")),
+        )
+        .otherwise(F.lit("?b=2&a=1&fbclid=IwAR12345")),
+        F.when(d % 4 == 0, F.lit("#Top")).otherwise(F.lit("")),
+    )
+
+
 @register(
     "url_host_curation",
     oracle=r"""
@@ -2093,7 +2123,7 @@ c4 AS (
       CASE WHEN scheme='https' THEN regexp_replace(lower(raw_auth), ':443$', '')
            WHEN scheme='http'  THEN regexp_replace(lower(raw_auth), ':80$', '')
            ELSE lower(raw_auth) END,
-      '^www\.', '') AS host,
+      '^(www\.)+', '') AS host,
     substr(rest, length(raw_auth)+1) AS pathq
   FROM c3
 ),
@@ -2103,7 +2133,7 @@ c5 AS (
          ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
     array_to_string(list_sort(list_filter(
         str_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
-        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)='))), '&') AS q2
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)='))), '&') AS q2
   FROM c4
 ),
 curl AS (
@@ -2124,31 +2154,9 @@ def q_url_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle agrees bit-for-bit at the threshold boundary."""
     from ..functions import urlx
 
-    d = F.col("doc_id")
-    h = (d * 7) % 5
-    path_mod = F.when(h % 2 == 0, F.lit(3)).otherwise(F.lit(997))
-    url = F.concat(
-        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
-        F.lit("://"),
-        F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("H"),
-        h.cast("string"),
-        F.lit(".Example.org"),
-        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/Pg/"),
-        (d % path_mod).cast("string"),
-        F.when(
-            d % 3 == 0,
-            F.concat(F.lit("?id="), (d % 7).cast("string"), F.lit("&utm_source=feed")),
-        )
-        .when(
-            d % 3 == 1,
-            F.concat(F.lit("?utm_campaign=Xz&id="), (d % 7).cast("string")),
-        )
-        .otherwise(F.lit("?b=2&a=1&fbclid=IwAR12345")),
-        F.when(d % 4 == 0, F.lit("#Top")).otherwise(F.lit("")),
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", url_synth_col().alias("url")
     )
-    docs = load(spark, sf_dir, "documents").select(d.alias("doc_id"), url.alias("url"))
     per_doc = docs.select(
         urlx.url_host(F.col("url")).alias("host"),
         urlx.canonicalize_url(F.col("url")).alias("curl"),

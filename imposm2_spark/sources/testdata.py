@@ -79,6 +79,27 @@ FROM documents
 """
 
 
+def replicate_docs(
+    docs: DataFrame, replication: int, spark: SparkSession, cols: tuple[str, ...] = ("text",)
+) -> DataFrame:
+    """Crawl-mirror fan-out shared by the bench headlines and XL scripts:
+    replicate the docs table R times with DISJOINT doc_ids (rep * 1e6 shift
+    — testdata ids stay far below 1e6) and verbatim payload columns, via a
+    parallel range x broadcast cross-join so partitioning follows the range
+    and parallelism is free."""
+    if replication <= 1:
+        return docs.select("doc_id", *cols)
+    reps = spark.range(0, replication, numPartitions=max(32, replication // 4))
+    return (
+        reps.withColumnRenamed("id", "rep")
+        .join(F.broadcast(docs))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
+            *cols,
+        )
+    )
+
+
 def synth_documents_web(
     docs: DataFrame, replication: int | None = None, spark: SparkSession | None = None
 ) -> DataFrame:

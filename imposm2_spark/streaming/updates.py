@@ -58,7 +58,9 @@ def read_current(spark: SparkSession, deploy: Deploy, table: str) -> DataFrame:
 
     df = deploy.read(spark, table)
     if "op" in df.columns:
-        df = df.where(F.col("op") != TOMBSTONE_OP)
+        # null-safe: a null-op row (malformed record kept by apply_diff's
+        # conservative filter) stays visible rather than vanishing
+        df = df.where(~F.col("op").eqNullSafe(TOMBSTONE_OP))
     return df
 
 
@@ -80,6 +82,9 @@ def stream_updates(
     needed on the updated table.
     """
     spark = diffs.sparkSession
+    # fail at call time, not as an opaque StreamingQueryException inside the
+    # first micro-batch: the base version must already be published
+    deploy.table_path(table)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         base = deploy.read(spark, table)

@@ -22,25 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fan_out(spark, sf_dir: str, replication: int):
-    from pyspark.sql import functions as F
-
     from imposm2_spark.sources import testdata
 
-    docs = testdata.load(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
-    )
-    if replication <= 1:
-        return docs
-    reps = spark.range(0, replication, numPartitions=max(32, replication // 4))
-    return (
-        reps.withColumnRenamed("id", "rep")
-        .join(F.broadcast(docs))
-        .select(
-            (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
-            "text",
-            "source",
-        )
-    )
+    docs = testdata.load(spark, sf_dir, "documents")
+    return testdata.replicate_docs(docs, replication, spark, cols=("text", "source"))
 
 
 def main() -> None:

@@ -25,7 +25,7 @@ def _py_canon(u: str) -> str:
         auth = re.sub(r":443$", "", auth)
     elif scheme == "http":
         auth = re.sub(r":80$", "", auth)
-    host = re.sub(r"^www\.", "", auth)
+    host = re.sub(r"^(www\.)+", "", auth)
     pathq = rest[len(raw_auth):]
     path = re.match(r"^([^?]*)", pathq).group(1) or "/"
     qm = re.search(r"\?(.*)$", pathq)
@@ -33,7 +33,7 @@ def _py_canon(u: str) -> str:
     kept = sorted(
         p
         for p in qs.split("&")
-        if p and not re.match(r"^(utm_[a-z0-9]*|fbclid|gclid|msclkid|ref)=", p)
+        if p and not re.match(r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)=", p)
     )
     return f"{scheme}://{host}{path}" + (f"?{'&'.join(kept)}" if kept else "")
 
@@ -73,22 +73,8 @@ def test_canonicalize_differential_and_idempotent(spark):
     from imposm2_spark.plans import registry
 
     base = registry.load(spark, "/root/testdata/sf0.001", "documents")
-    d = F.col("doc_id")
-    h = (d * 7) % 5
-    path_mod = F.when(h % 2 == 0, F.lit(3)).otherwise(F.lit(997))
-    url = F.concat(
-        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
-        F.lit("://"),
-        F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("H"), h.cast("string"), F.lit(".Example.org"),
-        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/Pg/"), (d % path_mod).cast("string"),
-        F.when(d % 3 == 0, F.concat(F.lit("?id="), (d % 7).cast("string"),
-                                    F.lit("&utm_source=feed")))
-        .when(d % 3 == 1, F.concat(F.lit("?utm_campaign=Xz&id="), (d % 7).cast("string")))
-        .otherwise(F.lit("?b=2&a=1&fbclid=IwAR12345")),
-        F.when(d % 4 == 0, F.lit("#Top")).otherwise(F.lit("")),
-    )
+    # the SAME synthesis the oracle query runs — not a copy that could drift
+    url = registry.url_synth_col()
     rows = (
         base.select(url.alias("url"))
         .select(
@@ -134,10 +120,11 @@ def test_canonicalize_fuzz_differential(spark):
     rng = random.Random(20260817)
     schemes = ["https", "HTTPS", "http", "hTTp", "ftp", ""]
     hosts = ["WWW.Ex.COM", "ex.com", "www.ex.com:443", "EX.com:80", "ex.com:8080",
-             "user@Ex.Com", "www.w.ww", ""]
+             "user@Ex.Com", "www.w.ww", "WWW.www.Ex.com", ""]
     paths = ["", "/", "/A/b", "/p?x", "//d", "/%7Euser"]
     queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&a=1&",
-               "?&&", "?id=9&fbclid=z&ref=t", "?A=1&a=0?c=2"]
+               "?&&", "?id=9&fbclid=z&ref=t", "?A=1&a=0?c=2",
+               "?utm_source_platform=web&id=1", "?utm_Source=x"]
     frags = ["", "#", "#Top", "#a#b"]
     urls = []
     for _ in range(400):
