@@ -462,7 +462,11 @@ def union_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
         # snap BEFORE canonicalizing so the dedup key matches what the
         # arrangement kernel treats as identical (near-duplicates within the
         # grid tolerance must collapse too, or they mutually turn inner)
-        key = _canonicalize(np.round(r, _SNAP_DECIMALS)).tobytes()
+        # + 0.0 folds -0.0 to +0.0 so the dedup key agrees with _snap,
+        # which also normalizes signed zero — otherwise two coincident
+        # rings straddling 0 dedup differently than the arrangement sees
+        # them and can cancel to an empty union
+        key = _canonicalize(np.round(r, _SNAP_DECIMALS) + 0.0).tobytes()
         if key not in seen:
             seen[key] = None
             unique.append(r)

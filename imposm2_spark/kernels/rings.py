@@ -201,6 +201,21 @@ def build_multipolygon(merge: MergeResult) -> MultiPolygon:
             # hole of the smallest containing shell (area-sorted, so the last
             # containing SHELL is the innermost one)
             shell_containers = [k for k in containers if shell_index[k] is not None]
+            if not shell_containers:
+                # unreachable for disjoint-or-nested rings (the outermost
+                # container of any odd chain is a shell), so reaching here
+                # means CROSSING rings fooled the point-sample containment
+                # test (e.g. a ring poking through a concave shell's notch,
+                # classified as that shell's hole, containing a third ring
+                # that sits in the notch). Salvage the ring as its own shell
+                # — this kernel runs inside applyInPandas, where raising
+                # would kill the whole stage for one malformed relation; the
+                # `union` builder is the documented repair path for these.
+                shells.append([geom.ensure_orientation(ring, ccw=True)])
+                placed.append(ring)
+                placed_bbox.append(rb)
+                shell_index.append(len(shells) - 1)
+                continue
             k = min(shell_containers, key=lambda k: abs(geom.ring_signed_area(placed[k])))
             shells[shell_index[k]].append(geom.ensure_orientation(ring, ccw=False))
             placed.append(ring)

@@ -228,16 +228,26 @@ def _finalize_relation(
     rel_id: int,
     rel_tags: dict,
     merge: kr.MergeResult,
-    ways_meta: list[tuple[int, dict, float | None]],
+    ways_meta: list[tuple[int, dict, float | None, bytes | None]],
     builder: str = "contains",
 ) -> pd.DataFrame:
     """Shared tail of both assembly paths: nest rings, inherit tags (A4),
     decide way suppression (P4), emit the output row.
 
-    ways_meta: (way_id, way_tags, outer_area) — outer_area is the way's own
-    shoelace area if it is a closed >=4-point ring, else None.
+    ways_meta: (way_id, way_tags, outer_area, ring_key) — area/key are the
+    way's own shoelace area and canonical-ring bytes if it is a closed
+    >=4-point ring, else None.
     builder: A3 strategy — 'contains' (nesting, the reference default) or
     'union' (arrangement overlay, tolerant of overlapping/crossing rings).
+
+    A4 candidacy is decided against the BUILT multipolygon: a closed member
+    way is an outer candidate iff its canonical ring is one of the result
+    SHELLS. The earlier "any closed way" rule misfired when the outer
+    boundary was stitched from open fragments: the only closed way was the
+    hole (e.g. a tagged lake), the relation inherited the HOLE's tags, and
+    P4 then suppressed the lake way — the polygon turned into water and the
+    lake vanished as a feature. Shells merged/reshaped by the union builder
+    simply yield no candidate (no inheritance), never a wrong one.
     """
     if builder == "union":
         mp = kr.build_multipolygon_union(merge)
@@ -246,9 +256,14 @@ def _finalize_relation(
     if not mp.polygons:
         return pd.DataFrame(columns=_REL_OUT_COLUMNS)
 
-    outer_candidates = [(a, t) for _, t, a in ways_meta if a is not None]
+    shell_keys = {
+        geom.canonical_ring(poly[0], ccw=True).tobytes() for poly in mp.polygons
+    }
+    outer_candidates = [
+        (a, t) for _, t, a, k in ways_meta if a is not None and k in shell_keys
+    ]
     final_tags = kr.inherit_tags(rel_tags, outer_candidates)
-    inserted = [wid for wid, wtags, _ in ways_meta
+    inserted = [wid for wid, wtags, _, _ in ways_meta
                 if kr.way_tags_subsumed(wtags, final_tags)]
     n_rings = sum(len(p) for p in mp.polygons)
     return pd.DataFrame(
@@ -268,11 +283,19 @@ def _finalize_relation(
     )
 
 
-def _way_meta(way_id, way_tags, coords: np.ndarray) -> tuple[int, dict, float | None]:
+def _way_meta(
+    way_id, way_tags, coords: np.ndarray
+) -> tuple[int, dict, float | None, bytes | None]:
+    """(way_id, tags, own-ring area, canonical-ring key) — area and key are
+    None for open fragments. The key (canonical_ring bytes — shared form
+    with the nesting/overlay kernels) lets _finalize_relation decide outer
+    candidacy from the BUILT shells instead of "any closed way"."""
     outer_area = None
+    ring_key = None
     if len(coords) >= 4 and np.array_equal(coords[0], coords[-1]):
         outer_area = abs(geom.ring_signed_area(coords))
-    return (int(way_id), dict(way_tags or {}), outer_area)
+        ring_key = geom.canonical_ring(coords, ccw=True).tobytes()
+    return (int(way_id), dict(way_tags or {}), outer_area, ring_key)
 
 
 def _make_assemble_kernel(builder: str):
@@ -315,7 +338,7 @@ _PARTIAL_SCHEMA = (
     "rel_id long, rel_tags map<string,string>, chunk int, kind string, "
     "rings binary, chains binary, "
     "dropped_invalid int, way_id long, way_tags map<string,string>, "
-    "outer_area double"
+    "outer_area double, ring_key binary"
 )
 
 
@@ -340,16 +363,18 @@ def _partial_merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "chains": pickle.dumps([np.asarray(c) for c in chains], protocol=4),
             "dropped_invalid": dropped_invalid,
             "way_id": None, "way_tags": None, "outer_area": None,
+            "ring_key": None,
         }
     ]
     for wid, wtags, c in zip(pdf["way_id"], pdf["way_tags"], coords_list):
-        mid, mtags, marea = _way_meta(wid, wtags, c)
+        mid, mtags, marea, mkey = _way_meta(wid, wtags, c)
         rows.append(
             {
                 "rel_id": rel_id, "rel_tags": rel_tags, "chunk": chunk,
                 "kind": "meta", "rings": None, "chains": None,
                 "dropped_invalid": None,
                 "way_id": mid, "way_tags": mtags, "outer_area": marea,
+                "ring_key": mkey,
             }
         )
     return pd.DataFrame(rows)
@@ -385,9 +410,15 @@ def _finalize_chunked_group_impl(pdf: pd.DataFrame, builder: str) -> pd.DataFram
 
     meta = pdf[pdf["kind"] == "meta"].sort_values("way_id")
     ways_meta = [
-        (int(wid), dict(wtags or {}), None if pd.isna(area) else float(area))
-        for wid, wtags, area in zip(
-            meta["way_id"], meta["way_tags"], meta["outer_area"]
+        (
+            int(wid),
+            dict(wtags or {}),
+            None if pd.isna(area) else float(area),
+            None if key is None else bytes(key),
+        )
+        for wid, wtags, area, key in zip(
+            meta["way_id"], meta["way_tags"], meta["outer_area"],
+            meta["ring_key"],
         )
     ]
     return _finalize_relation(rel_id, rel_tags, merge, ways_meta, builder)

@@ -355,7 +355,10 @@ def source_mix_rates(
     spark = docs.sparkSession
     wsum = float(sum(weights.values()))
     wdf = spark.createDataFrame(
-        sorted(weights.items()), f"{source_col} string, _w double"
+        # float(w): DoubleType strictly rejects Python ints, and integer mix
+        # weights ({'web': 3, 'code': 1}) are the natural way to write these
+        sorted((s, float(w)) for s, w in weights.items()),
+        f"{source_col} string, _w double",
     )
     totals = docs.groupBy(source_col).agg(
         F.sum(token_count_ws(F.col(text_col))).alias("_toks")

@@ -92,9 +92,9 @@ def band_keys() -> list[F.Column]:
     """Collapse each band of BAND_ROWS signature components into one key."""
     out = []
     for b in range(N_BANDS):
-        key = F.col(f"m{4 * b}")
+        key = F.col(f"m{BAND_ROWS * b}")
         for r in range(1, BAND_ROWS):
-            key = (key * _COMBINE + F.col(f"m{4 * b + r}")) % MINHASH_P
+            key = (key * _COMBINE + F.col(f"m{BAND_ROWS * b + r}")) % MINHASH_P
         out.append(key.alias(f"band{b}"))
     return out
 

@@ -247,3 +247,64 @@ def test_repair_fallback_never_drops_valid_rings(monkeypatch):
     bowtie = [[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]
     assert _polygon_parts(bowtie, repair=False) is None
     assert _polygon_parts(bowtie, repair=True) is None
+
+
+def test_a4_fragmented_outer_does_not_inherit_hole_tags():
+    """A4 candidacy is decided against the BUILT shells: with the outer
+    boundary stitched from open fragments, the only closed member way is the
+    tagged lake (a hole) — the relation must NOT inherit the hole's tags,
+    and P4 must NOT suppress the lake way (pre-fix: the polygon turned into
+    water and the lake vanished)."""
+    import pandas as pd
+
+    from imposm2_spark.operators.assemble import _make_assemble_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "rel_id": [9001] * 3,
+            "rel_tags": [{"type": "multipolygon"}] * 3,
+            "way_id": [901, 902, 903],
+            "way_tags": [
+                {"landuse": "forest"},
+                {"landuse": "forest"},
+                {"natural": "water"},
+            ],
+            "coords": [
+                [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]],          # open fragment
+                [[10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],           # open fragment
+                [[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0], [2.0, 2.0]],
+            ],
+        }
+    )
+    out = _make_assemble_kernel("contains")(pdf)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["tags"].get("natural") != "water", row["tags"]
+    assert 903 not in list(row["inserted_ways"])
+    assert row["n_rings"] == 2  # shell + hole still assembled
+
+
+def test_a4_closed_outer_still_inherits():
+    """Positive control for the shell-aware candidacy: a closed tagged outer
+    ring (a shell of the result) still donates its tags (MP-06 semantics)."""
+    import pandas as pd
+
+    from imposm2_spark.operators.assemble import _make_assemble_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "rel_id": [9002] * 2,
+            "rel_tags": [{"type": "multipolygon"}] * 2,
+            "way_id": [911, 912],
+            "way_tags": [{"landuse": "forest"}, {"natural": "water"}],
+            "coords": [
+                [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+                [[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0], [2.0, 2.0]],
+            ],
+        }
+    )
+    out = _make_assemble_kernel("contains")(pdf)
+    row = out.iloc[0]
+    assert row["tags"]["landuse"] == "forest"
+    assert 911 in list(row["inserted_ways"])      # subsumed by inherited tags
+    assert 912 not in list(row["inserted_ways"])  # distinct water tag survives

@@ -304,3 +304,14 @@ class TestRepetitionProperty:
         }
         for i, text in rows:
             assert got[i] == self._reference(text), (i, text, got[i])
+
+
+def test_mix_sources_accepts_integer_weights(spark):
+    """Pile/LLaMA-style integer mix weights must not crash the strict
+    DoubleType verifier (pre-fix: FIELD_DATA_TYPE_UNACCEPTABLE)."""
+    from imposm2_spark.operators.curation import mix_sources
+    from imposm2_spark.sources import testdata
+
+    docs = testdata.load(spark, "/root/testdata/sf0.001", "documents")
+    out = mix_sources(docs, {"src0": 3, "src1": 1}, token_budget=10_000)
+    assert out.count() > 0

@@ -387,3 +387,20 @@ class TestUnionBuilderSpark:
         assert repaired[2]["area"] == pytest.approx(8.0)
         assert len(repaired[3]["rings"]) == 2
         assert repaired[1]["wkb"] == plain[1]["wkb"]
+
+
+def test_union_dedups_negative_zero_duplicate():
+    """Coincident rings straddling 0 must collapse in the dedup exactly as
+    the arrangement's _snap sees them: np.round alone preserves -0.0 whose
+    byte pattern differs from +0.0, so pre-fix both rings survived, saw each
+    other as containers, turned inner, and the union silently emptied."""
+    import numpy as np
+
+    from imposm2_spark.kernels.overlay import union_rings
+
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    near = sq.copy()
+    near[0, 0] = -1e-12
+    near[4, 0] = -1e-12
+    polys = union_rings([sq, near])
+    assert len(polys) == 1 and len(polys[0]) == 1

@@ -183,3 +183,29 @@ def test_prop_chunked_merge_equals_single_level(data):
     assert canon(final) == canon(single)
     assert final.dropped_unclosed == single.dropped_unclosed
     assert final.dropped_invalid == single.dropped_invalid
+
+
+def test_contains_builder_salvages_inconsistent_containment():
+    """A ring poking through a concave shell's notch fools the point-sample
+    containment into classifying it as a hole; a third ring inside it (in
+    the notch) then has only-hole containers. Pre-fix this raised
+    ValueError(min of empty) and killed the applyInPandas stage; now the
+    orphan ring is salvaged as its own shell."""
+    import numpy as np
+
+    from imposm2_spark.kernels import rings as kr
+
+    def sq(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+        )
+
+    notched = np.array(
+        [[0, 0], [4, 0], [4, 6], [6, 6], [6, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+        dtype=float,
+    )
+    crossing = sq(1, 1, 9, 3)       # first vertex inside; pokes through the notch
+    orphan = sq(4.5, 1.5, 5.5, 2.5)  # inside `crossing` only
+    mp = kr.build_multipolygon(kr.MergeResult(rings=[notched, crossing, orphan]))
+    assert len(mp.polygons) == 2
+    assert sorted(len(p) for p in mp.polygons) == [1, 2]
