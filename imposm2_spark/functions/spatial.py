@@ -63,7 +63,6 @@ def cell_encode_col(lon: Column, lat: Column, level: int) -> Column:
         & lat.isNotNull()
         & ~F.isnan(lon)
         & ~F.isnan(lat)
-        & (lon >= F.lit(float("-inf")))  # filters +-inf via following bounds
         & (F.abs(lon) != F.lit(float("inf")))
         & (F.abs(lat) != F.lit(float("inf")))
     )

@@ -100,6 +100,14 @@ def spine_resumable(
         .drop("html"),
         input_fingerprint=input_fingerprint,
     )
+    # the polygons input must invalidate the join checkpoint too: folding
+    # only the docs fingerprint + enrich digest silently reused tiles built
+    # against a DIFFERENT polygon set. Order-independent content digest via
+    # one tiny job over the (small, broadcast-side by contract) dim table.
+    poly_fp_row = polygons.select(
+        F.sum(F.pmod(F.xxhash64(*polygons.columns), F.lit(1 << 31))).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
     joined = mgr.stage(
         spark,
         "pip_join",
@@ -109,6 +117,7 @@ def spine_resumable(
             cell_level=cell_level,
             keep_point_cols=["url", "lon", "lat", "n_chars"],
         ),
+        input_fingerprint=f"polygons:{poly_fp_row['s']}:{poly_fp_row['n']}",
         parents=("enrich",),
     )
     tiled = assign_point_tiles(joined, list(zooms))

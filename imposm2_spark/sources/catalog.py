@@ -103,7 +103,11 @@ class Deploy:
         cur = self.current()
         for table, vcur in cur.items():
             tdir = os.path.join(self.root, "tables", table)
-            versions = sorted(os.listdir(tdir))
+            # numeric sort: lexicographic puts v1000 before v999 and would
+            # delete the newest backup while retaining stale ones (the
+            # continuous-update loop crosses v999 after ~17h of minutely
+            # publishes)
+            versions = sorted(os.listdir(tdir), key=lambda v: int(v[1:]))
             live = set(versions[-keep:]) | {vcur}
             for v in versions:
                 if v not in live:

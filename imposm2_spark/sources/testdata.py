@@ -122,13 +122,17 @@ def synth_documents_web(
     uid = F.col("doc_id") + F.col("rep") * F.lit(1_000_000)
     lon = (uid * LON_MUL) % LON_MOD / 10_000.0 - 180.0
     lat = (uid * LAT_MUL) % LAT_MOD / 10_000.0 - 85.0
+    # %.4f, NOT cast("string"): Java Double.toString turns |v| < 1e-3 into
+    # scientific notation ("1.0E-4") which the geotag meta regex rejects, so
+    # those docs silently fell to the url-hash fallback and landed on wrong
+    # tiles. The grid is exactly 4 decimals, so %.4f is lossless.
     meta = F.when(
         uid % 10 != 0,
         F.concat(
             F.lit('<meta name="geo.position" content="'),
-            lat.cast("string"),
+            F.format_string("%.4f", lat),
             F.lit(";"),
-            lon.cast("string"),
+            F.format_string("%.4f", lon),
             F.lit('"/>'),
         ),
     ).otherwise(F.lit(""))

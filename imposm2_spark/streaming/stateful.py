@@ -75,14 +75,27 @@ def make_dedup_fn(state_ttl_ms: int):
             state.remove()
             return iter(())
         first_url, n_seen = state.get if state.exists else (None, 0)
-        out = []
+        # keeper = min url across ALL chunks: a group bigger than the Arrow
+        # batch arrives as multiple pandas chunks, and a first-chunk-only
+        # pick would make the emitted keeper depend on nondeterministic
+        # chunking (same fix as stream_dedup_first_seen)
+        new_hash = n_seen == 0
+        keeper = None  # (url, text)
         for pdf in pdfs:
-            pdf = pdf.sort_values("url", kind="stable")
-            for row in pdf.itertuples(index=False):
-                if n_seen == 0:
-                    out.append((text_hash, row.url, row.text, 0))
-                    first_url = row.url
-                n_seen += 1
+            if new_hash and len(pdf):
+                nn = pdf["url"].dropna()
+                if len(nn):
+                    i = nn.idxmin()
+                    cand = (pdf.at[i, "url"], pdf.at[i, "text"])
+                    if keeper is None or cand[0] < keeper[0]:
+                        keeper = cand
+                elif keeper is None:
+                    keeper = (None, pdf["text"].iloc[0])
+            n_seen += len(pdf)
+        out = []
+        if new_hash and keeper is not None:
+            first_url = keeper[0]
+            out.append((text_hash, keeper[0], keeper[1], 0))
         state.update((first_url, n_seen))
         state.setTimeoutDuration(state_ttl_ms)
         if not out:
@@ -132,21 +145,44 @@ def stream_dedup_first_seen(
         new_hash = n_seen == 0
         keeper = None
         keeper_key = None  # None = keeper has a null order_col
+        keeper_sig = None
+
+        def row_sig(frame):
+            # deterministic tie-break for EQUAL order_col values (e.g. a
+            # recrawl of the same url with different warc_ts/html): compare
+            # the stringified remaining columns, so the winner never depends
+            # on chunk arrival order
+            return tuple(
+                "" if pd.isna(v) else str(v) for v in frame.iloc[0][cols]
+            )
+
         for pdf in pdfs:
             if new_hash and len(pdf):
                 nn = pdf[order_col].dropna()
                 if len(nn):
                     k = nn.min()
-                    cand = pdf.loc[[nn[nn == k].index[0]]][cols]
+                    ties = pdf.loc[nn[nn == k].index][cols]
+                    cand = min(
+                        (ties.iloc[[j]] for j in range(len(ties))),
+                        key=row_sig,
+                    )
                 else:
                     k = None
                     cand = pdf.iloc[[0]][cols]
-                if (
+                better = (
                     keeper is None
                     or (keeper_key is None and k is not None)
-                    or (k is not None and k < keeper_key)
-                ):
-                    keeper, keeper_key = cand, k
+                    or (
+                        k is not None
+                        and keeper_key is not None
+                        and (
+                            k < keeper_key
+                            or (k == keeper_key and row_sig(cand) < keeper_sig)
+                        )
+                    )
+                )
+                if better:
+                    keeper, keeper_key, keeper_sig = cand, k, row_sig(cand)
             n_seen += len(pdf)
         state.update((n_seen,))
         state.setTimeoutDuration(state_ttl_ms)

@@ -151,3 +151,31 @@ def test_spine_resumable_end_to_end(spark, tmp_path):
     mgr = CheckpointManager(root)
     assert mgr.manifest("enrich")["total_rows"] == 500
     assert mgr.manifest("pip_join")["parents"] == ["enrich"]
+
+
+def test_spine_resumable_invalidates_on_polygon_change(spark, tmp_path):
+    """Review r4: the pip_join checkpoint must be invalidated when the
+    POLYGONS input changes, not only when docs/enrich change — pre-fix the
+    second run silently returned tiles built against the old polygon set."""
+    from imposm2_spark.plans.pipeline import spine, spine_resumable
+    from imposm2_spark.sources import fixtures, testdata
+
+    docs = testdata.synth_documents_web(
+        testdata.load(spark, "/root/testdata/sf0.001", "documents")
+    )
+    polys_a = fixtures.world_octants_df(spark, cell_level=4)
+    polys_b = fixtures.polygons_admin_df(spark, cell_level=4)
+    root = str(tmp_path / "spine_ckpt")
+    kw = dict(zooms=(2,), cell_level=4, input_fingerprint="sf0.001")
+
+    got_a = sorted(
+        tuple(r) for r in spine_resumable(spark, docs, polys_a, root, **kw).collect()
+    )
+    got_b = sorted(
+        tuple(r) for r in spine_resumable(spark, docs, polys_b, root, **kw).collect()
+    )
+    want_b = sorted(
+        tuple(r) for r in spine(docs, polys_b, zooms=(2,), cell_level=4).collect()
+    )
+    assert got_b == want_b
+    assert got_a != got_b  # the two polygon sets genuinely differ

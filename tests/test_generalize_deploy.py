@@ -135,3 +135,25 @@ def test_write_spatial_orders_by_cell(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 500
     assert {r.id for r in back.collect()} == set(range(500))
+
+
+def test_remove_backups_numeric_version_order(spark, tmp_path):
+    """Review r4: version dirs must sort numerically — lexicographic order
+    puts v1000 before v999 and deletes the newest backup while keeping
+    stale ones."""
+    import os
+
+    from imposm2_spark.sources.catalog import Deploy
+
+    dep = Deploy(str(tmp_path / "dep"))
+    tdir = os.path.join(dep.root, "tables", "t")
+    for v in ("v0998", "v0999", "v1000", "v1001"):
+        os.makedirs(os.path.join(tdir, v))
+    # stage() zero-pads to 3 digits only; simulate the >=v1000 regime the
+    # continuous-update loop reaches, plus a legacy 3-digit dir
+    os.rename(os.path.join(tdir, "v0998"), os.path.join(tdir, "v998"))
+    os.rename(os.path.join(tdir, "v0999"), os.path.join(tdir, "v999"))
+    dep.publish({"t": "v1001"})
+    removed = dep.remove_backups(keep=2)
+    assert sorted(os.listdir(tdir)) == sorted(["v1000", "v1001"])
+    assert set(removed) == {"t/v998", "t/v999"}

@@ -380,3 +380,62 @@ def test_first_seen_keeper_null_order_col(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.text: r.url for r in out}
     assert got == {"mixed text": "a-url", "all null text": None}
+
+
+def test_exact_dedup_keeper_across_arrow_chunks(spark, tmp_path):
+    """Review r4 (same bug as first_seen, in stream_dedup_exact): the
+    emitted (url, text) keeper must be the min url across ALL Arrow chunks
+    of the group, not the first chunk's min."""
+    from imposm2_spark.streaming.stateful import stream_dedup_exact
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = [(f"u{99 - i:02d}", "the only text") for i in range(30)]
+    spark.createDataFrame(rows, ["url", "text"]).coalesce(1).write.parquet(
+        landing + "/b0"
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    orig = spark.conf.get(key)
+    out = []
+    try:
+        spark.conf.set(key, "4")
+        src = spark.readStream.schema("url string, text string").parquet(
+            landing + "/*"
+        )
+        q = (
+            stream_dedup_exact(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(lambda df, e: out.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(key, orig)
+    assert len(out) == 1
+    assert out[0].url == "u70"
+
+
+def test_synth_geo_meta_never_scientific_notation(spark):
+    """Review r4: coordinates with |value| < 1e-3 stringified via
+    cast('string') come out as '1.0E-4', which the geotag meta regex
+    rejects — the planted-coordinate contract silently degraded to the
+    url-hash fallback for those docs. %.4f formatting must round-trip."""
+    from imposm2_spark.plans.pipeline import geotag_stage
+    from imposm2_spark.sources.testdata import synth_documents_web
+
+    # doc_id solving (uid*7919) % 1_700_000 == 850_001 -> lat == 0.0001
+    # (exactly-zero lat only exists at uid % 10 == 0, where the meta tag is
+    # omitted by design); uid % 10 == 9, so the tag is present
+    uid = (850_001 * pow(7919, -1, 1_700_000)) % 1_700_000
+    assert uid % 10 != 0
+    docs = spark.createDataFrame(
+        [(int(uid), "tiny-lat doc", "en", "src0", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    web = synth_documents_web(docs)
+    html = web.select("html").collect()[0][0].decode()
+    assert "E-" not in html and "E+" not in html, html
+    row = geotag_stage(web).select("lat", "lon").collect()[0]
+    assert abs(row["lat"] - 0.0001) < 1e-9  # planted value, not the fallback
