@@ -331,19 +331,116 @@ def write_ivf_index(
             corpus, n_lists, train_cap, id_col=id_col, vec_col=vec_col
         )
     assign = _make_assign_udf(centroids)
-    (
-        corpus.withColumn("_list", assign(F.col(vec_col)))
-        .write.mode("overwrite")
-        .partitionBy("_list")
-        .parquet(path)
-    )
+    assigned = corpus.withColumn("_list", assign(F.col(vec_col)))
+    assigned.write.mode("overwrite").partitionBy("_list").parquet(path)
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
-        [(int(j), [float(x) for x in centroids[j]]) for j in range(len(centroids))],
-        "list_id int, vec array<double>",
-    )
-    cdf.coalesce(1).write.mode("overwrite").parquet(_centroids_path(path))
+    # per-list running stats seed the append path's drift metric (r5);
+    # reading the just-written index back avoids re-running the assign UDF
+    # over the source and rides the partition layout
+    back = spark.read.parquet(path)
+    stats = _list_stats(back, id_col, vec_col)
+    n_base = sum(n for n, _ in stats.values())
+    _write_centroid_meta(spark, path, centroids, stats, n_base)
     return centroids
+
+
+def _list_stats(df_assigned: DataFrame, id_col: str, vec_col: str):
+    """Per-list (n, elementwise sumvec) for the drift metric: posexplode the
+    vector and hash-agg on (_list, pos) — map-side combinable, and the
+    collect is bounded at n_lists x dim rows (~1k) regardless of corpus
+    size."""
+    ex = df_assigned.select(
+        "_list", F.posexplode(_as_double(F.col(vec_col))).alias("_pos", "_x")
+    )
+    rows = (
+        ex.groupBy("_list", "_pos").agg(F.sum("_x").alias("_s"),
+                                        F.count("*").alias("_n"))
+        .collect()
+    )
+    stats: dict[int, tuple[int, dict[int, float]]] = {}
+    for r in rows:
+        n, sums = stats.setdefault(int(r["_list"]), (0, {}))
+        sums[int(r["_pos"])] = float(r["_s"])
+        stats[int(r["_list"])] = (int(r["_n"]), sums)
+    out = {}
+    for lst, (n, sums) in stats.items():
+        dim = max(sums) + 1
+        out[lst] = (n, np.asarray([sums.get(i, 0.0) for i in range(dim)]))
+    return out
+
+
+def _write_centroid_meta(spark, path: str, centroids: np.ndarray,
+                         stats: dict, n_base: int) -> None:
+    rows = []
+    for j in range(len(centroids)):
+        n, s = stats.get(j, (0, np.zeros(len(centroids[j]))))
+        rows.append((int(j), [float(x) for x in centroids[j]], int(n),
+                     [float(x) for x in s], int(n_base)))
+    spark.createDataFrame(
+        rows, "list_id int, vec array<double>, n bigint, sumvec array<double>,"
+              " n_base bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(_centroids_path(path))
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_cos_floor: float = 0.95,
+    max_appended_frac: float = 0.5,
+) -> dict:
+    """Incremental IVF maintenance (r4 verdict ask #3): assign `new_rows` to
+    the FROZEN centroids and append them to the list partitions — no
+    reassign/rewrite of the existing index, so maintenance cost is linear in
+    the batch, not the corpus. Per-list running stats (n, sumvec) persist in
+    the centroids sidecar; the drift metric compares each frozen centroid to
+    its list's running mean direction and recommends a retrain when any
+    populated list drifts below `drift_cos_floor` or the appended fraction
+    since training exceeds `max_appended_frac` (frozen assignments degrade
+    recall at nprobe < n_lists as the data distribution moves; at
+    nprobe == n_lists results stay exact regardless — that configuration is
+    the driver oracle gate for this path).
+
+    Returns {n_appended, frac_appended, min_drift_cos, retrain_recommended,
+    drift: {list_id: cos}}. The sidecar overwrite is not atomic on
+    rename-less object stores — same caveat as plans/checkpoint.py."""
+    meta = spark.read.parquet(_centroids_path(path)).collect()
+    meta.sort(key=lambda r: r["list_id"])
+    centroids = np.asarray([list(r["vec"]) for r in meta], dtype=np.float64)
+    assign = _make_assign_udf(centroids)
+    assigned = new_rows.withColumn("_list", assign(F.col(vec_col)))
+    assigned.write.mode("append").partitionBy("_list").parquet(path)
+
+    batch = _list_stats(assigned, id_col, vec_col)
+    stats, n_base = {}, 0
+    for r in meta:
+        n_base = int(r["n_base"])
+        s = np.asarray(list(r["sumvec"]), dtype=np.float64)
+        n, bs = batch.get(int(r["list_id"]), (0, 0.0))
+        stats[int(r["list_id"])] = (int(r["n"]) + n, s + bs)
+    _write_centroid_meta(spark, path, centroids, stats, n_base)
+
+    cn = _normed(centroids)
+    drift = {}
+    for j, (n, s) in stats.items():
+        ln = np.linalg.norm(s)
+        if n > 0 and ln > 0:
+            drift[j] = float(np.dot(cn[j], s / ln))
+    n_total = sum(n for n, _ in stats.values())
+    n_appended = sum(n for n, _ in batch.values())
+    frac = (n_total - n_base) / max(n_base, 1)
+    min_drift = min(drift.values()) if drift else 1.0
+    return {
+        "n_appended": n_appended,
+        "frac_appended": frac,
+        "min_drift_cos": min_drift,
+        "retrain_recommended": bool(
+            min_drift < drift_cos_floor or frac > max_appended_frac
+        ),
+        "drift": drift,
+    }
 
 
 def _centroids_path(path: str) -> str:

@@ -292,9 +292,15 @@ def _way_meta(
     candidacy from the BUILT shells instead of "any closed way"."""
     outer_area = None
     ring_key = None
-    if len(coords) >= 4 and np.array_equal(coords[0], coords[-1]):
-        outer_area = abs(geom.ring_signed_area(coords))
-        ring_key = geom.canonical_ring(coords, ccw=True).tobytes()
+    # dedup consecutive vertices FIRST so the key form is byte-identical to
+    # the shell side (merge_rings canonicalizes after dedup_consecutive,
+    # kernels/rings.py): a closed member way carrying a repeated vertex —
+    # common in raw OSM — must still match its own built shell, else tag
+    # inheritance (A4) and way suppression (P4) silently skip it
+    ring = geom.dedup_consecutive(coords)
+    if len(ring) >= 4 and np.array_equal(ring[0], ring[-1]):
+        outer_area = abs(geom.ring_signed_area(ring))
+        ring_key = geom.canonical_ring(ring, ccw=True).tobytes()
     return (int(way_id), dict(way_tags or {}), outer_area, ring_key)
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,7 +108,12 @@ class Deploy:
             # delete the newest backup while retaining stale ones (the
             # continuous-update loop crosses v999 after ~17h of minutely
             # publishes)
-            versions = sorted(os.listdir(tdir), key=lambda v: int(v[1:]))
+            # tolerate junk entries (dotfiles, editor backups, half-written
+            # temp dirs): only version-shaped names participate in GC
+            versions = sorted(
+                (v for v in os.listdir(tdir) if re.fullmatch(r"v\d+", v)),
+                key=lambda v: int(v[1:]),
+            )
             live = set(versions[-keep:]) | {vcur}
             for v in versions:
                 if v not in live:

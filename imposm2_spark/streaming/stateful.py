@@ -87,7 +87,10 @@ def make_dedup_fn(state_ttl_ms: int):
                 if len(nn):
                     i = nn.idxmin()
                     cand = (pdf.at[i, "url"], pdf.at[i, "text"])
-                    if keeper is None or cand[0] < keeper[0]:
+                    # a null-url keeper (from an earlier all-null chunk)
+                    # always loses to a non-null candidate; comparing
+                    # str < None would raise and kill the micro-batch
+                    if keeper is None or keeper[0] is None or cand[0] < keeper[0]:
                         keeper = cand
                 elif keeper is None:
                     keeper = (None, pdf["text"].iloc[0])

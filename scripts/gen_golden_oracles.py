@@ -39,6 +39,64 @@ def ray_cast(px, py, rings):
     return inside
 
 
+def tile_bounds_lonlat(x, y, z):
+    """Fresh mercator tile -> lon/lat axis-aligned rect (lon0, lon1, lat_bot,
+    lat_top); independent of the engine's kernels.cells math."""
+    n = float(1 << z)
+    lon0 = x / n * 360.0 - 180.0
+    lon1 = (x + 1) / n * 360.0 - 180.0
+    lat_top = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * y / n))))
+    lat_bot = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * (y + 1) / n))))
+    return lon0, lon1, lat_bot, lat_top
+
+
+def segment_hits_rect(ax, ay, bx, by, x0, x1, y0, y1):
+    """Liang-Barsky parametric clip: does segment A->B intersect the
+    axis-aligned rect [x0,x1]x[y0,y1]? (Engine uses SAT — a genuinely
+    different algorithm, so golden generation cross-checks it.)"""
+    dx, dy = bx - ax, by - ay
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
+        if p == 0.0:
+            if q < 0.0:
+                return False  # parallel and outside this boundary
+        else:
+            t = q / p
+            if p < 0.0:
+                t0 = max(t0, t)
+            else:
+                t1 = min(t1, t)
+            if t0 > t1:
+                return False
+    return True
+
+
+def covering_tiles_exact_independent(rings, z):
+    """Exact intersection set: center-rule tiles (tile wholly interior or
+    polygon-inside-tile vertex cases) UNION tiles any ring edge crosses."""
+    out = set(covering_tiles_independent(rings, z))
+    pts = [p for r in rings for p in r]
+    lon_min = min(p[0] for p in pts); lon_max = max(p[0] for p in pts)
+    lat_min = min(p[1] for p in pts); lat_max = max(p[1] for p in pts)
+    x0, y0 = tile_xy(lon_min, lat_max, z)
+    x1, y1 = tile_xy(lon_max, lat_min, z)
+    for x in range(x0, x1 + 1):
+        for y in range(y0, y1 + 1):
+            if (x, y) in out:
+                continue
+            rx0, rx1, ry0, ry1 = tile_bounds_lonlat(x, y, z)
+            for ring in rings:
+                if any(
+                    segment_hits_rect(ring[i][0], ring[i][1],
+                                      ring[i + 1][0], ring[i + 1][1],
+                                      rx0, rx1, ry0, ry1)
+                    for i in range(len(ring) - 1)
+                ):
+                    out.add((x, y))
+                    break
+    return out
+
+
 def covering_tiles_independent(rings, z):
     pts = [p for r in rings for p in r]
     lon_min = min(p[0] for p in pts); lon_max = max(p[0] for p in pts)
@@ -61,15 +119,17 @@ def main():
     spark = get_spark()
     qs = registry.queries()
 
-    # --- independent covering-tiles golden ----------------------------------
+    # --- independent covering-tiles golden (both refine modes, r5) ----------
     pdf = fixtures.make_polygons_admin(12)
     expected = set()
     for _, row in pdf.iterrows():
         rings = [np.asarray(r).tolist() for r in row["rings"]]
         for x, y in covering_tiles_independent(rings, 8):
-            expected.add((int(row["polygon_id"]), 8, x, y))
+            expected.add(("center", int(row["polygon_id"]), 8, x, y))
+        for x, y in covering_tiles_exact_independent(rings, 8):
+            expected.add(("exact", int(row["polygon_id"]), 8, x, y))
     engine = {
-        (r.polygon_id, r.z, r.x, r.y)
+        (r.refine, r.polygon_id, r.z, r.x, r.y)
         for r in qs["polygon_covering_tiles_z8"](spark, "/root/testdata/sf0.01").collect()
     }
     only_exp = sorted(expected - engine)
@@ -108,11 +168,16 @@ def main():
         return str(v)
 
     emit("polygon_covering_tiles_z8", sorted(expected),
-         ["polygon_id", "z", "x", "y"], ["long", "integer", "long", "long"])
+         ["refine", "polygon_id", "z", "x", "y"],
+         ["string", "long", "integer", "long", "long"])
 
     for name in ["relation_multipolygon_assembly", "import_pipeline_landusages",
                  "generalized_landusages", "wkb_roundtrip_landusages"]:
         df = qs[name](spark, "/root/testdata/sf0.01")
+        if name == "generalized_landusages":
+            # registry composes _GEN_BOTH_ORACLE from this golden ('gen'
+            # variant) + the analytic chain oracle — keep the 3-col form
+            df = df.where("variant = 'gen'").drop("variant")
         rows = [tuple(r) for r in df.collect()]
         types = [f.dataType.simpleString() for f in df.schema.fields]
         emit(name, sorted(rows), df.columns, types)

@@ -354,3 +354,86 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path):
         # later tests (Scala setCheckpointDir(null) clears it)
         sc._jsc.sc().setCheckpointDir(None)
         assert sc.getCheckpointDir() is None
+
+
+def test_ivf_append_equals_full_rebuild(spark, tmp_path):
+    """r5 incremental maintenance: base-write + append against the frozen
+    centroids must land the SAME rows in the SAME list partitions as one
+    full write with those centroids, and indexed search over the appended
+    index must equal search over the full rebuild (and, at
+    nprobe == n_lists, the exact brute top-k)."""
+    from imposm2_spark.operators.ann import (
+        N_LISTS,
+        append_ivf_index,
+        cosine_topk_brute,
+        cosine_topk_ivf_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = _emb_df(spark)
+    base = emb.where(F.col("vec_id") % 3 != 1)
+    tail = emb.where(F.col("vec_id") % 3 == 1)
+    cents = train_centroids(base)
+
+    p_full = str(tmp_path / "full")
+    p_inc = str(tmp_path / "inc")
+    write_ivf_index(emb, p_full, centroids=cents)
+    write_ivf_index(base, p_inc, centroids=cents)
+    report = append_ivf_index(spark, p_inc, tail)
+    assert report["n_appended"] == tail.count()
+
+    full_rows = {(r.vec_id, r._list) for r in spark.read.parquet(p_full).collect()}
+    inc_rows = {(r.vec_id, r._list) for r in spark.read.parquet(p_inc).collect()}
+    assert inc_rows == full_rows
+
+    queries = emb.where(F.col("vec_id") < 16)
+    got = {tuple(r) for r in
+           cosine_topk_ivf_indexed(spark, p_inc, queries, k=3, nprobe=N_LISTS).collect()}
+    rebuilt = {tuple(r) for r in
+               cosine_topk_ivf_indexed(spark, p_full, queries, k=3, nprobe=N_LISTS).collect()}
+    brute = {tuple(r) for r in cosine_topk_brute(emb, queries, k=3).collect()}
+    assert got == rebuilt == brute
+
+    # sidecar stats reflect the union: a second no-op-sized append sees the
+    # full corpus count
+    r2 = append_ivf_index(spark, p_inc, tail.limit(0))
+    assert r2["n_appended"] == 0
+    meta = spark.read.parquet(p_inc + "_centroids").collect()
+    assert sum(r.n for r in meta) == emb.count()
+
+
+def test_ivf_append_drift_metric(spark, tmp_path):
+    """Drift accounting: appending in-distribution vectors keeps cosine ~1
+    and no retrain flag below the volume cap; appending a large
+    shifted-distribution batch trips the recommendation (either via the
+    drift floor or the appended-fraction cap)."""
+    from imposm2_spark.operators.ann import append_ivf_index, write_ivf_index
+
+    emb = _emb_df(spark, n=200)
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path)
+
+    same = _emb_df(spark, n=200).where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    r1 = append_ivf_index(spark, path, same)
+    assert r1["n_appended"] == 20
+    assert not r1["retrain_recommended"], r1
+    assert r1["frac_appended"] < 0.5
+
+    # 3x the base volume, all pointing along a single fixed direction the
+    # training distribution never favored -> fraction cap trips for sure,
+    # and populated-list means move away from their frozen centroids
+    shifted = _emb_df(spark, n=200).withColumn(
+        "vec_id", F.col("vec_id") + 2000
+    ).withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x * F.lit(0.05) + F.lit(3.0)),
+    )
+    big = shifted.unionByName(
+        shifted.withColumn("vec_id", F.col("vec_id") + 10000)
+    ).unionByName(shifted.withColumn("vec_id", F.col("vec_id") + 20000))
+    r2 = append_ivf_index(spark, path, big)
+    assert r2["retrain_recommended"], r2
+    assert r2["frac_appended"] > 0.5

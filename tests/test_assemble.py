@@ -308,3 +308,32 @@ def test_a4_closed_outer_still_inherits():
     assert row["tags"]["landuse"] == "forest"
     assert 911 in list(row["inserted_ways"])      # subsumed by inherited tags
     assert 912 not in list(row["inserted_ways"])  # distinct water tag survives
+
+
+def test_a4_closed_outer_with_duplicate_vertex_inherits():
+    """ADVICE r4: _way_meta keyed the raw coords, but built shells are
+    canonicalized AFTER geom.dedup_consecutive — a closed member way with a
+    repeated consecutive vertex (common in raw OSM) never matched its own
+    shell, silently skipping A4 tag inheritance and P4 suppression."""
+    import pandas as pd
+
+    from imposm2_spark.operators.assemble import _make_assemble_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "rel_id": [9003],
+            "rel_tags": [{"type": "multipolygon"}],
+            "way_id": [921],
+            "way_tags": [{"landuse": "forest"}],
+            "coords": [
+                # duplicate vertex at positions 1-2
+                [[0.0, 0.0], [10.0, 0.0], [10.0, 0.0], [10.0, 10.0],
+                 [0.0, 10.0], [0.0, 0.0]],
+            ],
+        }
+    )
+    out = _make_assemble_kernel("contains")(pdf)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["tags"].get("landuse") == "forest", row["tags"]
+    assert 921 in list(row["inserted_ways"])

@@ -157,3 +157,24 @@ def test_remove_backups_numeric_version_order(spark, tmp_path):
     removed = dep.remove_backups(keep=2)
     assert sorted(os.listdir(tdir)) == sorted(["v1000", "v1001"])
     assert set(removed) == {"t/v998", "t/v999"}
+
+
+def test_remove_backups_tolerates_junk_entries(spark, tmp_path):
+    """ADVICE r4: a stray dotfile / editor backup / half-written temp dir in
+    tables/<t>/ crashed GC (int('DS_Store'[1:]) etc.); only version-shaped
+    names may participate, junk is skipped untouched."""
+    import os
+
+    from imposm2_spark.sources.catalog import Deploy
+
+    dep = Deploy(str(tmp_path / "dep"))
+    tdir = os.path.join(dep.root, "tables", "t")
+    for v in ("v001", "v002", "v003"):
+        os.makedirs(os.path.join(tdir, v))
+    os.makedirs(os.path.join(tdir, "v003.tmp-8f2"))  # half-written stage
+    with open(os.path.join(tdir, ".DS_Store"), "w") as f:
+        f.write("junk")
+    dep.publish({"t": "v003"})
+    removed = dep.remove_backups(keep=1)
+    assert set(removed) == {"t/v001", "t/v002"}
+    assert sorted(os.listdir(tdir)) == sorted([".DS_Store", "v003", "v003.tmp-8f2"])

@@ -439,3 +439,40 @@ def test_synth_geo_meta_never_scientific_notation(spark):
     assert "E-" not in html and "E+" not in html, html
     row = geotag_stage(web).select("lat", "lon").collect()[0]
     assert abs(row["lat"] - 0.0001) < 1e-9  # planted value, not the fallback
+
+
+def test_exact_dedup_null_url_chunk_then_nonnull():
+    """ADVICE r4 (medium): when an earlier pandas chunk of a new group has
+    only null urls, keeper became (None, text); a non-null url in a later
+    chunk then hit `str < None` and the TypeError killed the micro-batch.
+    A null-url keeper must always lose to a non-null candidate. Unit-level
+    drive of make_dedup_fn so chunk order is deterministic."""
+    import pandas as pd
+
+    from imposm2_spark.streaming.stateful import make_dedup_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.exists = False
+
+    chunks = iter(
+        [
+            pd.DataFrame({"url": [None, None], "text": ["t", "t"]}),
+            pd.DataFrame({"url": ["z-url", "a-url"], "text": ["t", "t"]}),
+        ]
+    )
+    st = FakeState()
+    out = list(make_dedup_fn(3_600_000)(("h",), chunks, st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["url"] == "a-url"  # non-null beats the null keeper
+    assert st.get == ("a-url", 4)
