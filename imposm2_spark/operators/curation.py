@@ -197,6 +197,111 @@ def repetition_metrics(
     """Intra-document repetition metrics + keep flag (Gopher Table A1 shape).
 
     Per doc: (id, n_tokens, dup_token_frac, dup_token_char_frac,
+    top_bigram_char_frac, keep) — semantics documented on
+    `_repetition_metrics_hof`, the pure-HOF differential twin this r5
+    rewrite must match row-for-row (tests/test_curation.py).
+
+    Scale shape: one Arrow-batched mapInPandas over (id, text) — still ZERO
+    shuffles/joins/aggregations (plan-locked). The r4 HOF shape was already
+    exchange-free but its per-doc constant (array_sort over the gram array +
+    interpreted higher-order folds) held the heaviest curation scan to
+    ~125k docs/s at XL; the batched kernel replaces the O(n log n) sorted-run
+    scan with one Counter pass per doc and moves the winner pick
+    (count desc, gram string desc — Python str compare == UTF8 binary ==
+    Spark/DuckDB collation) into C-backed dict machinery. Fractions,
+    6dp rounding, and the keep flag still evaluate in Spark expressions,
+    BIT-IDENTICAL to before (HALF_UP BigDecimal rounding — the kernel only
+    emits exact integer components, so no float crosses the Arrow boundary).
+    """
+    raw = (
+        f"{id_col} long, n_tokens long, _distinct long, _dchars long,"
+        " _top_cnt long, _top_len long, _n_chars long"
+    )
+
+    def _kernel(batches):
+        from collections import Counter
+        from itertools import islice
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            n_tok = np.empty(len(pdf), dtype=np.int64)
+            dist = np.empty(len(pdf), dtype=np.int64)
+            dchars = np.empty(len(pdf), dtype=np.int64)
+            top_cnt = np.zeros(len(pdf), dtype=np.int64)
+            top_len = np.zeros(len(pdf), dtype=np.int64)
+            n_chars = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                text = text or ""
+                toks = text.split(" ")  # == F.split(text, ' '): keeps empties
+                n_chars[i] = len(text)
+                n_tok[i] = len(toks)
+                seen = set(toks)
+                dist[i] = len(seen)
+                dchars[i] = sum(map(len, seen))
+                if len(toks) >= 2:
+                    # Counter(zip(...)) counts pairs in C; gram STRINGS are
+                    # built only for count-ties, because the winner's
+                    # tie-break is lexicographic on the JOINED gram (byte
+                    # order of 'a bc' vs 'ab c' differs from tuple order —
+                    # that string is what the oracle sorts on)
+                    c = Counter(zip(toks, islice(toks, 1, None)))
+                    bc = max(c.values())
+                    bg = max(
+                        a + " " + b for (a, b), v in c.items() if v == bc
+                    )
+                    top_cnt[i] = bc
+                    top_len[i] = len(bg)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": n_tok,
+                    "_distinct": dist,
+                    "_dchars": dchars,
+                    "_top_cnt": top_cnt,
+                    "_top_len": top_len,
+                    "_n_chars": n_chars,
+                }
+            )
+
+    mid = docs.select(id_col, text_col).mapInPandas(_kernel, raw)
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("_distinct") / F.col("n_tokens"), 6
+    )
+    dup_char_frac = F.round(
+        (F.col("_n_chars") - F.col("n_tokens") + 1 - F.col("_dchars"))
+        / F.greatest("_n_chars", F.lit(1)),
+        6,
+    )
+    top_frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("_top_cnt") * F.col("_top_len")
+            / F.greatest("_n_chars", F.lit(1)),
+        ),
+        6,
+    )
+    return mid.select(
+        F.col(id_col),
+        "n_tokens",
+        dup_frac.alias("dup_token_frac"),
+        dup_char_frac.alias("dup_token_char_frac"),
+        top_frac.alias("top_bigram_char_frac"),
+        (
+            (dup_frac <= DUP_TOKEN_FRAC_MAX)
+            & (dup_char_frac <= DUP_TOKEN_CHAR_FRAC_MAX)
+            & (top_frac <= TOP_BIGRAM_CHAR_FRAC_MAX)
+        ).alias("keep"),
+    )
+
+
+def _repetition_metrics_hof(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pure-HOF formulation of repetition_metrics — kept as the DIFFERENTIAL
+    TWIN (tests assert it matches the Arrow kernel row-for-row on the
+    fixture corpus; it is not registered and not on the hot path).
+
+    Per doc: (id, n_tokens, dup_token_frac, dup_token_char_frac,
     top_bigram_char_frac, keep) where
       * dup_token_frac       = 1 - distinct_tokens / n_tokens
       * dup_token_char_frac  = chars of token slots AFTER their first

@@ -315,3 +315,35 @@ def test_mix_sources_accepts_integer_weights(spark):
     docs = testdata.load(spark, "/root/testdata/sf0.001", "documents")
     out = mix_sources(docs, {"src0": 3, "src1": 1}, token_budget=10_000)
     assert out.count() > 0
+
+
+def test_repetition_arrow_kernel_matches_hof_twin(spark):
+    """r5: repetition_metrics moved to an Arrow mapInPandas kernel; the
+    retired pure-HOF formulation stays as the differential twin and must
+    match row-for-row — including the tie-break-by-gram-STRING cases where
+    token-tuple ordering would differ ('ab c' vs 'a bc'), empty text,
+    single-token docs, consecutive-space empties, and non-ASCII tokens."""
+    import random
+
+    from imposm2_spark.operators.curation import (
+        _repetition_metrics_hof,
+        repetition_metrics,
+    )
+
+    rng = random.Random(5)
+    vocab = ["a", "bb", "ab", "c", "bc", "ü", "zz"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(200)
+    ]
+    rows += [
+        (1000, ""),
+        (1001, "solo"),
+        (1002, "a  b"),          # split keeps the empty middle token
+        (1003, "ab c ab c a bc"),  # gram-string tie-break probe
+        (1004, "ü ü ü ü"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {tuple(r) for r in repetition_metrics(df).collect()}
+    want = {tuple(r) for r in _repetition_metrics_hof(df).collect()}
+    assert got == want
