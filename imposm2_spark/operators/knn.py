@@ -118,6 +118,16 @@ def knn_join(
     the ring bound makes each accepted top-k provably globally correct, and
     the bounded loop + brute fallback guarantees completeness.
 
+    EXECUTION CONTRACT (r5, was implicit): unlike every other operator here,
+    this call is EAGER — the ring loop is a driver-side plan loop whose
+    shape depends on runtime frontier counts, so construction itself runs
+    Spark jobs (one join + two counts per ring). The returned DataFrame is
+    PERSISTED and already materialized; consuming it re-reads the cache,
+    never the ring-loop lineage. The caller owns the cache: call
+    `result.unpersist()` when done. All per-round intermediate caches are
+    released before returning — after `result.unpersist()` the operator
+    leaves zero persisted RDDs behind (pinned by tests/test_knn.py).
+
     Skew (O10a twin of pip_join's param): with a shuffled site side
     (broadcast_sites=False), one dense site cell hashes every matching
     candidate row to one task. `salt_factor=k` buckets SITES k ways by
@@ -221,9 +231,7 @@ def knn_join(
             frontier_empty = True
             break
 
-    if frontier_empty and accepted:
-        remaining.unpersist()
-    else:
+    if not (frontier_empty and accepted):
         # stragglers (site deserts / huge kth distance): exact broadcast fallback
         fallback_pts = remaining.select(point_id, F.col("_pmx"), F.col("_pmy"))
         fb_cand = fallback_pts.join(
@@ -232,4 +240,15 @@ def knn_join(
         accepted.append(
             _topk(fb_cand, point_id, site_id, k).select(point_id, site_id, "rank")
         )
-    return reduce(lambda a, b: a.unionByName(b), accepted)
+    # consolidate into ONE owned cache and release every per-round
+    # intermediate (pre-r5 the round caches leaked until session end): the
+    # union is materialized off the still-live round caches, then they drop.
+    # Total transient storage = 2x output (pieces + union), ending at 1x —
+    # the output is k rows/point, the small side of the operator by design.
+    out = reduce(lambda a, b: a.unionByName(b), accepted).persist()
+    out.count()
+    remaining.unpersist()
+    for a in accepted:
+        if a.is_cached:
+            a.unpersist()
+    return out

@@ -207,6 +207,7 @@ def raster_patch_join(
     lon: str = "lon",
     lat: str = "lat",
     point_cols: list[str] | None = None,
+    max_patches: int = 100_000,
 ) -> DataFrame:
     """J6 raster side: assign points to raster patches (tile rectangles).
 
@@ -221,11 +222,29 @@ def raster_patch_join(
     rescan of a 10^12-row side. Cell ids embed their level in the high bits,
     so one LONG key disambiguates levels. Per patch the blocks are disjoint,
     so a point matches each containing patch exactly once. Patch metadata is
-    driver-side (raster catalogs are small; documented assumption).
+    driver-side (raster catalogs are small; documented assumption) — and the
+    pull is CAPPED (r5, mirroring pip_join's max_broadcast_polygons
+    contract): limit(cap+1) in ONE action; if the extra row comes back the
+    catalog is not "small" and the call fails LOUDLY naming `max_patches`
+    instead of silently stalling the driver in the Python Morton-block loop.
+    Unlike pip_join there is no shuffle fallback to degrade to — the block
+    decomposition is inherently per-patch — so over-cap is an error, not a
+    mode switch; split the catalog or raise the cap explicitly.
     """
     from ..functions.spatial import cell_encode_col, cell_parent_col
 
-    rows = patches.select("patch_id", "x0", "x1", "y0", "y1").collect()
+    rows = (
+        patches.select("patch_id", "x0", "x1", "y0", "y1")
+        .limit(max_patches + 1)
+        .collect()
+    )
+    if len(rows) > max_patches:
+        raise ValueError(
+            f"raster_patch_join: patch catalog exceeds max_patches="
+            f"{max_patches}; the Morton-block decomposition runs driver-side "
+            "over the catalog. Split the catalog into bounded chunks and "
+            "union the results, or pass a larger max_patches deliberately."
+        )
     pairs: list[tuple[int, int]] = []
     levels: set[int] = set()
     for r in rows:

@@ -92,3 +92,37 @@ def test_salted_shuffle_equals_brute(spark):
     assert salted == brute
     unsalted = _as_set(knn_join(pts, sites, k=3, level=6, broadcast_sites=False))
     assert unsalted == brute
+
+
+def test_knn_cache_lifecycle(spark):
+    """r5 contract (r4 verdict ask #6): knn_join is eager by design, returns
+    a persisted, already-materialized frame, and releases every per-round
+    intermediate cache before returning — after the caller's
+    result.unpersist() the operator has left ZERO persisted RDDs behind.
+    Covers both exit paths: early frontier-empty and the brute fallback."""
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    # path 1: frontier empties within the rings
+    before = persistent_ids()
+    res = knn_join(_points(spark), _sites(spark), k=4, level=4)
+    assert res.is_cached
+    assert len(res.collect()) > 0  # consume from cache
+    res.unpersist()
+    # subset, not equality: Spark's CacheManager dedups identical plans, so
+    # a sibling test's cache can be shared-then-released here — what must
+    # hold is that knn_join leaves NOTHING NEW behind
+    assert persistent_ids() <= before
+
+    # path 2: desert points force the fallback union branch
+    pts = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(150.0) + F.col("id") * 0.01).alias("lon"),
+        (F.lit(70.0) + F.col("id") * 0.01).alias("lat"),
+    )
+    before = persistent_ids()
+    res = knn_join(pts, _sites(spark, n=10, spread=2.0), k=3, level=8, rings=(1, 2))
+    assert res.is_cached
+    res.unpersist()
+    assert persistent_ids() <= before

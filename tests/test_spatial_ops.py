@@ -328,3 +328,27 @@ def test_covering_tiles_exact_refine_catches_slivers(spark):
         for r in assign_polygon_tiles(polys, [8], refine="exact").collect()
     }
     assert base <= exact_rows
+
+
+def test_raster_patch_join_catalog_cap(spark):
+    """r5 (r4 verdict ask #5): the patch-catalog pull is capped like
+    pip_join's polygon broadcast — one limit(cap+1) action, and over-cap
+    fails LOUDLY naming the parameter instead of silently stalling the
+    driver in the Python Morton-block loop. At/under cap still works."""
+    import pytest as _pytest
+
+    from imposm2_spark.operators.tiles import raster_patch_join
+
+    pts = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, -170.0, -80.0)], "doc_id long, lon double, lat double"
+    )
+    patches = spark.range(5).select(
+        F.col("id").alias("patch_id"),
+        (F.col("id") * 10).alias("x0"), (F.col("id") * 10 + 3).alias("x1"),
+        F.lit(0).alias("y0"), F.lit(3).alias("y1"),
+    )
+    with _pytest.raises(ValueError, match="max_patches"):
+        raster_patch_join(pts, patches, zoom=6, max_patches=4)
+    out = raster_patch_join(pts, patches, zoom=6, max_patches=5)
+    assert {c for c in out.columns} >= {"doc_id", "patch_id"}
+    out.collect()
