@@ -38,6 +38,7 @@ def apply_diff(
     op_col: str = "op",
     delete_op: str = "delete",
     keep_tombstones: bool = False,
+    allowed_ops: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """S6b: apply an OSC-style change set to a base element table.
 
@@ -73,6 +74,27 @@ def apply_diff(
         # a missing op would union in as NULL, fail the delete comparison,
         # and silently drop every diff winner — refuse loudly instead
         raise ValueError(f"diff frame must carry an {op_col!r} column")
+    if allowed_ops is not None:
+        # r5 (update-loop hardening): reject a malformed change set — an op
+        # outside the OSC vocabulary (or NULL) would silently act as a
+        # modify (or a kept null-op row) instead of whatever the producer
+        # meant. One limit(1) probe on the diff side only — diffs are the
+        # small side of the operator by contract.
+        bad = (
+            # isNull spelled out: isin() is NULL (not false) for a NULL op,
+            # and where(NULL) would let the malformed row slip through
+            diff.where(
+                F.col(op_col).isNull() | ~F.col(op_col).isin(*allowed_ops)
+            )
+            .select(op_col)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"apply_diff: malformed diff — op {bad[0][0]!r} is outside "
+                f"allowed_ops {tuple(allowed_ops)}"
+            )
     for frame, name in ((base, "base"), (diff, "diff")):
         if version_col not in frame.columns:
             raise ValueError(

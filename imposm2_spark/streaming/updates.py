@@ -71,6 +71,7 @@ def stream_updates(
     key: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    allowed_ops: tuple[str, ...] = ("create", "modify", TOMBSTONE_OP),
 ) -> StreamingQuery:
     """Drain the diff stream into versioned publishes of `table`.
 
@@ -88,8 +89,14 @@ def stream_updates(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         base = deploy.read(spark, table)
+        # allowed_ops: a malformed change set (op outside the OSC
+        # vocabulary, or NULL) fails the micro-batch loudly BEFORE any
+        # version is staged — the stream stops with the ValueError in
+        # StreamingQueryException.cause and CURRENT still points at the
+        # last good version (r5 hardening; pytest-gated)
         nxt = apply_diff(
-            base, batch_df, key=key, keep_tombstones=True
+            base, batch_df, key=key, keep_tombstones=True,
+            allowed_ops=allowed_ops,
         )
         # stage writes the new version dir; publish flips CURRENT atomically
         staged = deploy.stage(table, nxt, lon=None, lat=None)

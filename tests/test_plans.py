@@ -299,3 +299,51 @@ def test_mix_sources_broadcasts_rates_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "partial_sum" in p  # token totals combine map-side
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "curate_corpus",
+        "dedup_minhash_clusters",
+        "import_pipeline_all_tables",
+        "apply_osm_diff",
+        "pack_sequences_512",
+    ],
+)
+def test_partition_invariance_shuffle_heavy(spark, name):
+    """r5 (r4 verdict ask #8): the five shuffle-heaviest queries must be
+    bit-stable under partition-layout perturbation — shuffle-partition
+    count (8 vs 32) and Arrow batch size (tiny 7 vs default), the two knobs
+    that reorder rows within groups and re-chunk pandas groups (the r4
+    latent-bug class: chunk-order nondeterminism in keepers, first-chunk
+    picks). Core-count identity (local[8] == local[32]) is asserted every
+    round by bench_scaling.py's output-identity gate; this pins the
+    intra-session layout axes at sf0.001."""
+    q = registry.queries()[name]
+
+    def canon(df):
+        def v(x):
+            if isinstance(x, list):
+                return tuple(v(e) for e in x)
+            if isinstance(x, dict):
+                return tuple(sorted((k, v(val)) for k, val in x.items()))
+            return x
+        return sorted(tuple(v(c) for c in row) for row in df.collect())
+
+    sp_key = "spark.sql.shuffle.partitions"
+    ar_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    orig_sp, orig_ar = spark.conf.get(sp_key), spark.conf.get(ar_key)
+    try:
+        spark.conf.set(sp_key, "32")
+        spark.conf.set(ar_key, orig_ar)
+        baseline = canon(q(spark, SF))
+        assert baseline, name
+        for sp, ar in ((8, orig_ar), (32, 7), (8, 7)):
+            spark.conf.set(sp_key, str(sp))
+            spark.conf.set(ar_key, str(ar))
+            got = canon(q(spark, SF))
+            assert got == baseline, (name, sp, ar)
+    finally:
+        spark.conf.set(sp_key, orig_sp)
+        spark.conf.set(ar_key, orig_ar)

@@ -79,3 +79,90 @@ def test_stream_updates_parity_and_resume(spark, tmp_path):
     ids = {r["id"] for r in read_current(spark, deploy, "elements").collect()}
     assert ids == {0, 4, 5, 6, 7, 8, 9}
     assert int(deploy.current()["elements"][1:]) == int(v_before[1:]) + 1
+
+
+def test_concurrent_reader_snapshot_isolation(spark, tmp_path):
+    """r5 (r4 verdict ask #7a): a reader that resolved CURRENT before a
+    publish keeps reading ITS version dir across the swap — Deploy's
+    versioned directories give snapshot isolation as long as retention
+    (remove_backups keep>=1 behind CURRENT) covers the open reader; a
+    fresh read after the publish sees the new version."""
+    root = str(tmp_path / "deploy")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    deploy = Deploy(root)
+    base = spark.createDataFrame(
+        [(i, 1, "base", f"v1-{i}") for i in range(8)], DIFF_SCHEMA
+    )
+    deploy.publish({"elements": deploy.stage("elements", base, lon=None, lat=None)})
+
+    reader = deploy.read(spark, "elements")  # resolves CURRENT -> v001 now
+    assert reader.count() == 8
+
+    _write_diff(spark, os.path.join(landing, "diff1"),
+                [(0, 2, "delete", None), (90, 2, "create", "new")])
+    q = stream_updates(
+        read_diff_stream(spark, landing + "/*", DIFF_SCHEMA),
+        deploy, "elements", key="id", checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    # the open reader still sees the pre-publish snapshot, re-collectable
+    assert {r["id"] for r in reader.collect()} == set(range(8))
+    assert reader.count() == 8
+    # a new resolve sees the post-publish state
+    now = {r["id"] for r in read_current(spark, deploy, "elements").collect()}
+    assert now == {1, 2, 3, 4, 5, 6, 7, 90}
+    # retention keeps the reader's version dir on disk (keep=1 behind CURRENT)
+    deploy.remove_backups(keep=2)
+    assert reader.count() == 8
+
+
+def test_malformed_diff_rejected_before_publish(spark, tmp_path):
+    """r5 (r4 verdict ask #7b): an op outside create/modify/delete (or NULL)
+    fails the micro-batch loudly and NO version is published — CURRENT
+    still points at the last good state; apply_diff's batch surface raises
+    the same ValueError when given allowed_ops."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    root = str(tmp_path / "deploy")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    deploy = Deploy(root)
+    base = spark.createDataFrame(
+        [(i, 1, "base", f"v1-{i}") for i in range(5)], DIFF_SCHEMA
+    )
+    deploy.publish({"elements": deploy.stage("elements", base, lon=None, lat=None)})
+    v_before = deploy.current()["elements"]
+
+    # batch surface: bad literal op, and NULL op (isin would pass NULL thru)
+    bad = spark.createDataFrame([(0, 2, "upsert", "x")], DIFF_SCHEMA)
+    with _pytest.raises(ValueError, match="malformed diff.*upsert"):
+        apply_diff(base, bad, key="id",
+                   allowed_ops=("create", "modify", "delete"))
+    nul = spark.createDataFrame([(0, 2, None, "x")], DIFF_SCHEMA)
+    with _pytest.raises(ValueError, match="malformed diff"):
+        apply_diff(base, nul, key="id",
+                   allowed_ops=("create", "modify", "delete"))
+    # without allowed_ops the lenient legacy semantics stand (no raise)
+    apply_diff(base, bad, key="id").collect()
+
+    # streaming surface: the query dies with the ValueError as cause and
+    # nothing was staged or published
+    _write_diff(spark, os.path.join(landing, "diff1"),
+                [(0, 2, "upsert", "x"), (1, 2, "modify", "ok")])
+    q = stream_updates(
+        read_diff_stream(spark, landing + "/*", DIFF_SCHEMA),
+        deploy, "elements", key="id", checkpoint_dir=str(tmp_path / "ck"),
+    )
+    with _pytest.raises((StreamingQueryException, Py4JJavaError)) as ei:
+        q.awaitTermination(120)
+        raise AssertionError("query drained a malformed diff")
+    assert "malformed diff" in str(ei.value)
+    assert deploy.current()["elements"] == v_before
+    got = {r["val"] for r in read_current(spark, deploy, "elements").collect()}
+    assert got == {f"v1-{i}" for i in range(5)}  # the 'modify ok' row too: all-or-nothing
