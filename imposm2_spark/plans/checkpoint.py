@@ -79,32 +79,111 @@ class StageResult:
 
 @dataclass
 class CheckpointManager:
-    """Orchestrates resumable stages under one checkpoint root."""
+    """Orchestrates resumable stages under one checkpoint root.
+
+    Two durable-commit strategies behind one seam (r5, r4 verdict stretch):
+
+      * commit="rename" (default): write `<stage>.__tmp__`, one atomic
+        DIRECTORY rename publishes it. Correct on POSIX/HDFS; object stores
+        (S3-style) have no atomic dir rename — do not use there.
+      * commit="snapshot": the Iceberg model on plain parquet. Every attempt
+        writes into a fresh IMMUTABLE `<stage>/snap-<fp>-aNNN/` dir that is
+        NEVER renamed; the commit is one tiny pointer write
+        (`<stage>/_current.json` -> snapshot name) — the only atomicity
+        primitive needed is single-object PUT-replace, which S3 gives
+        (last-writer-wins), exactly Iceberg's version-hint/snapshot-commit
+        role. Crashed attempts leave orphan snap dirs that never need
+        cleanup before retry (names are unique per attempt); `vacuum()`
+        GCs everything the pointer doesn't reference. Readers that resolved
+        the pointer earlier keep reading their immutable snapshot across a
+        re-publish — same isolation story as sources.catalog.Deploy.
+    """
 
     root: str
+    commit: str = "rename"
     results: dict[str, StageResult] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.commit not in ("rename", "snapshot"):
+            raise ValueError(f"unknown commit strategy {self.commit!r}")
 
     def _dir(self, stage_id: str) -> str:
         return os.path.join(self.root, stage_id)
 
+    def _pointer_path(self, stage_id: str) -> str:
+        return os.path.join(self._dir(stage_id), "_current.json")
+
+    def _current_snapshot(self, stage_id: str) -> str | None:
+        try:
+            with open(self._pointer_path(stage_id)) as f:
+                return json.load(f).get("snapshot")
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def data_dir(self, stage_id: str) -> str:
+        """The directory holding the stage's COMMITTED parquet (resolves the
+        snapshot pointer under commit="snapshot")."""
+        if self.commit == "snapshot":
+            snap = self._current_snapshot(stage_id)
+            if snap is None:
+                raise KeyError(f"stage {stage_id!r} has no committed snapshot")
+            return os.path.join(self._dir(stage_id), snap)
+        return self._dir(stage_id)
+
     def _manifest_path(self, stage_id: str) -> str:
+        if self.commit == "snapshot":
+            return os.path.join(self.data_dir(stage_id), MANIFEST)
         return os.path.join(self._dir(stage_id), MANIFEST)
 
     def manifest(self, stage_id: str) -> dict | None:
         try:
             with open(self._manifest_path(stage_id)) as f:
                 return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
             return None
 
     def _completed(self, stage_id: str, input_fingerprint: str) -> bool:
         m = self.manifest(stage_id)
+        try:
+            success = os.path.exists(os.path.join(self.data_dir(stage_id), "_SUCCESS"))
+        except KeyError:
+            return False
         return bool(
             m
             and m.get("input_fingerprint") == input_fingerprint
             and m.get("engine_version") == ENGINE_VERSION
-            and os.path.exists(os.path.join(self._dir(stage_id), "_SUCCESS"))
+            and success
         )
+
+    def _next_snapshot_name(self, stage_id: str, fp: str) -> str:
+        """Unique immutable attempt dir: snap-<fp>-aNNN, NNN monotone from a
+        listing — deterministic, no runtime randomness (lineage §2.9)."""
+        sdir = self._dir(stage_id)
+        os.makedirs(sdir, exist_ok=True)
+        import re as _re
+
+        attempts = [
+            int(m.group(1))
+            for name in os.listdir(sdir)
+            if (m := _re.fullmatch(r"snap-[0-9a-f]+-a(\d+)", name))
+        ]
+        return f"snap-{fp}-a{max(attempts, default=0) + 1:03d}"
+
+    def vacuum(self, stage_id: str) -> list[str]:
+        """snapshot mode: delete every snap dir the pointer does not
+        reference (crashed attempts, superseded snapshots). Safe while the
+        CURRENT snapshot has open readers; unsafe only for readers pinned
+        to a superseded snapshot — retention policy is the caller's."""
+        if self.commit != "snapshot":
+            return []
+        sdir = self._dir(stage_id)
+        cur = self._current_snapshot(stage_id)
+        removed = []
+        for name in os.listdir(sdir) if os.path.isdir(sdir) else []:
+            if name.startswith("snap-") and name != cur:
+                shutil.rmtree(os.path.join(sdir, name))
+                removed.append(name)
+        return removed
 
     def stage(
         self,
@@ -125,22 +204,30 @@ class CheckpointManager:
             *[self.results[p].manifest.get("digest", "") for p in parents if p in self.results]
         )
         fp = fingerprint_of(input_fingerprint, parent_digest)
-        final_dir = self._dir(stage_id)
-        tmp_dir = final_dir + TMP_SUFFIX
 
         if self._completed(stage_id, fp):
+            final_dir = self.data_dir(stage_id)
             m = self.manifest(stage_id)
             self.results[stage_id] = StageResult(stage_id, final_dir, True, m)
             return spark.read.parquet(final_dir)
 
-        # crashed/partial prior attempts: discard, never trust
-        for stale in (tmp_dir, final_dir):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
-
         t0 = time.perf_counter()
-        build().write.mode("overwrite").parquet(tmp_dir)
-        os.rename(tmp_dir, final_dir)  # atomic publish (same filesystem)
+        if self.commit == "snapshot":
+            # immutable attempt dir + pointer commit: NO directory rename —
+            # crashed prior attempts are simply never pointed at, so there
+            # is nothing to discard before retrying (vacuum() GCs orphans)
+            snap = self._next_snapshot_name(stage_id, fp)
+            final_dir = os.path.join(self._dir(stage_id), snap)
+            build().write.mode("overwrite").parquet(final_dir)
+        else:
+            final_dir = self._dir(stage_id)
+            tmp_dir = final_dir + TMP_SUFFIX
+            # crashed/partial prior attempts: discard, never trust
+            for stale in (tmp_dir, final_dir):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+            build().write.mode("overwrite").parquet(tmp_dir)
+            os.rename(tmp_dir, final_dir)  # atomic publish (same filesystem)
         wall_s = round(time.perf_counter() - t0, 3)
 
         parts = _partition_stats(final_dir)
@@ -156,8 +243,20 @@ class CheckpointManager:
             "total_bytes": sum(p["bytes"] for p in parts),
             "digest": fingerprint_of(fp, *[f"{p['file']}:{p['rows']}:{p['bytes']}" for p in parts]),
         }
-        with open(self._manifest_path(stage_id), "w") as f:
+        # manifest lands INSIDE the data dir (immutable with its snapshot);
+        # in snapshot mode the pointer write BELOW is the commit point — a
+        # fully-written snapshot stays invisible until the pointer flips
+        with open(os.path.join(final_dir, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        if self.commit == "snapshot":
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(dir=self._dir(stage_id), prefix=".cur_")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"snapshot": os.path.basename(final_dir)}, f)
+            # single small-object replace: os.replace locally; on an object
+            # store this maps to one PUT of _current.json (last-writer-wins)
+            os.replace(tmp, self._pointer_path(stage_id))
         self.results[stage_id] = StageResult(stage_id, final_dir, False, manifest)
         return spark.read.parquet(final_dir)
 
