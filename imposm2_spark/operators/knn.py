@@ -245,10 +245,16 @@ def knn_join(
     # union is materialized off the still-live round caches, then they drop.
     # Total transient storage = 2x output (pieces + union), ending at 1x —
     # the output is k rows/point, the small side of the operator by design.
-    out = reduce(lambda a, b: a.unionByName(b), accepted).persist()
-    out.count()
+    # SINGLE-piece case: reduce() returns the piece ITSELF (already persisted
+    # and materialized) — re-persisting is a no-op and unpersisting it below
+    # would drop the returned frame's cache and silently recompute the whole
+    # ring join at first consumption (measured 2x on the skew fixture).
+    out = reduce(lambda a, b: a.unionByName(b), accepted)
+    if not out.is_cached:
+        out = out.persist()
+        out.count()
     remaining.unpersist()
     for a in accepted:
-        if a.is_cached:
+        if a is not out and a.is_cached:
             a.unpersist()
     return out
