@@ -338,13 +338,13 @@ def write_ivf_index(
     # reading the just-written index back avoids re-running the assign UDF
     # over the source and rides the partition layout
     back = spark.read.parquet(path)
-    stats = _list_stats(back, id_col, vec_col)
+    stats = _list_stats(back, vec_col)
     n_base = sum(n for n, _ in stats.values())
     _write_centroid_meta(spark, path, centroids, stats, n_base)
     return centroids
 
 
-def _list_stats(df_assigned: DataFrame, id_col: str, vec_col: str):
+def _list_stats(df_assigned: DataFrame, vec_col: str):
     """Per-list (n, elementwise sumvec) for the drift metric: posexplode the
     vector and hash-agg on (_list, pos) — map-side combinable, and the
     collect is bounded at n_lists x dim rows (~1k) regardless of corpus
@@ -386,7 +386,6 @@ def append_ivf_index(
     spark,
     path: str,
     new_rows: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     drift_cos_floor: float = 0.95,
     max_appended_frac: float = 0.5,
@@ -411,9 +410,18 @@ def append_ivf_index(
     centroids = np.asarray([list(r["vec"]) for r in meta], dtype=np.float64)
     assign = _make_assign_udf(centroids)
     assigned = new_rows.withColumn("_list", assign(F.col(vec_col)))
-    assigned.write.mode("append").partitionBy("_list").parquet(path)
-
-    batch = _list_stats(assigned, id_col, vec_col)
+    # persist pins ONE evaluation of the assign lineage across the data
+    # write and the sidecar stats: the append mixes into existing list
+    # partitions, so the write-then-read-back trick write_ivf_index uses is
+    # unavailable here, and a nondeterministic `new_rows` lineage (sample,
+    # limit, a re-read of a moving landing dir) re-evaluated twice would
+    # let the sidecar stats describe rows that were never appended
+    assigned = assigned.persist()
+    try:
+        assigned.write.mode("append").partitionBy("_list").parquet(path)
+        batch = _list_stats(assigned, vec_col)
+    finally:
+        assigned.unpersist()
     stats, n_base = {}, 0
     for r in meta:
         n_base = int(r["n_base"])

@@ -74,6 +74,13 @@ def apply_diff(
         # a missing op would union in as NULL, fail the delete comparison,
         # and silently drop every diff winner — refuse loudly instead
         raise ValueError(f"diff frame must carry an {op_col!r} column")
+    for frame, name in ((base, "base"), (diff, "diff")):
+        # driver-side schema checks run BEFORE the allowed_ops probe: a
+        # structurally invalid frame must not cost a cluster job to reject
+        if version_col not in frame.columns:
+            raise ValueError(
+                f"{name} frame must carry a {version_col!r} column"
+            )
     if allowed_ops is not None:
         # r5 (update-loop hardening): reject a malformed change set — an op
         # outside the OSC vocabulary (or NULL) would silently act as a
@@ -94,11 +101,6 @@ def apply_diff(
             raise ValueError(
                 f"apply_diff: malformed diff — op {bad[0][0]!r} is outside "
                 f"allowed_ops {tuple(allowed_ops)}"
-            )
-    for frame, name in ((base, "base"), (diff, "diff")):
-        if version_col not in frame.columns:
-            raise ValueError(
-                f"{name} frame must carry a {version_col!r} column"
             )
     if op_col not in base.columns:
         base = base.withColumn(op_col, F.lit("base"))

@@ -31,6 +31,7 @@ consumers. Fingerprints make re-runs idempotent per (stage, input) pair.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
@@ -171,9 +172,13 @@ class CheckpointManager:
 
     def vacuum(self, stage_id: str) -> list[str]:
         """snapshot mode: delete every snap dir the pointer does not
-        reference (crashed attempts, superseded snapshots). Safe while the
-        CURRENT snapshot has open readers; unsafe only for readers pinned
-        to a superseded snapshot — retention policy is the caller's."""
+        reference (crashed attempts, superseded snapshots), plus `.cur_*`
+        pointer temps orphaned by a process kill inside the commit window
+        (a failed commit unlinks its own temp; a SIGKILL cannot). Safe
+        while the CURRENT snapshot has open readers; unsafe only for
+        readers pinned to a superseded snapshot, or run concurrently with
+        an in-flight commit on the SAME stage (same single-writer contract
+        as commit itself) — retention policy is the caller's."""
         if self.commit != "snapshot":
             return []
         sdir = self._dir(stage_id)
@@ -183,6 +188,10 @@ class CheckpointManager:
             if name.startswith("snap-") and name != cur:
                 shutil.rmtree(os.path.join(sdir, name))
                 removed.append(name)
+            elif name.startswith(".cur_"):
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(sdir, name))
+                    removed.append(name)
         return removed
 
     def stage(
@@ -252,11 +261,19 @@ class CheckpointManager:
             import tempfile
 
             fd, tmp = tempfile.mkstemp(dir=self._dir(stage_id), prefix=".cur_")
-            with os.fdopen(fd, "w") as f:
-                json.dump({"snapshot": os.path.basename(final_dir)}, f)
-            # single small-object replace: os.replace locally; on an object
-            # store this maps to one PUT of _current.json (last-writer-wins)
-            os.replace(tmp, self._pointer_path(stage_id))
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"snapshot": os.path.basename(final_dir)}, f)
+                # single small-object replace: os.replace locally; on an
+                # object store this maps to one PUT of _current.json
+                # (last-writer-wins)
+                os.replace(tmp, self._pointer_path(stage_id))
+            except BaseException:
+                # a failed commit must not litter the stage dir; a process
+                # KILL in this window still can — vacuum() sweeps those
+                with contextlib.suppress(OSError):
+                    os.unlink(tmp)
+                raise
         self.results[stage_id] = StageResult(stage_id, final_dir, False, manifest)
         return spark.read.parquet(final_dir)
 

@@ -437,3 +437,74 @@ def test_ivf_append_drift_metric(spark, tmp_path):
     r2 = append_ivf_index(spark, path, big)
     assert r2["retrain_recommended"], r2
     assert r2["frac_appended"] > 0.5
+
+
+def test_ivf_append_query_unique_dir_and_predecessor_gc(spark):
+    """Review r5: q_ann_ivf_append builds its index in a UNIQUE per-invocation
+    temp dir (a fixed shared path races concurrent runs: one run's overwrite
+    deletes the index under another's lazy scan) and GCs the predecessor's
+    dir on the next invocation — tmp litter stays bounded at one live index."""
+    import os
+
+    from imposm2_spark.plans import registry
+
+    q = registry.queries()["ann_ivf_append"]
+    n1 = q(spark, "/root/testdata/sf0.001").count()
+    (d1,) = registry._IVF_APPEND_DIRS
+    assert os.path.isdir(d1)
+    n2 = q(spark, "/root/testdata/sf0.001").count()
+    (d2,) = registry._IVF_APPEND_DIRS
+    assert d2 != d1
+    assert os.path.isdir(d2) and not os.path.exists(d1)
+    assert n1 == n2 > 0
+
+
+def test_ivf_append_pins_one_evaluation_and_leaves_no_cache(spark, tmp_path):
+    """Review r5: append_ivf_index persists the assigned batch across the
+    data write and the sidecar stats — a nondeterministic new_rows lineage,
+    evaluated once for the write and again for the stats (the pre-fix
+    shape), would let the sidecar describe vectors that were never appended.
+    Gate: with a jittering (nondeterministic) batch, the sidecar's per-list
+    sumvec must equal the sums over the rows ACTUALLY in the index files;
+    and the operator unpersists its pin before returning."""
+    from pyspark.sql.functions import pandas_udf
+
+    from imposm2_spark.operators.ann import append_ivf_index, write_ivf_index
+
+    @pandas_udf("array<float>")
+    def jitter(v: pd.Series) -> pd.Series:
+        # deliberately UNSEEDED: two evaluations of this lineage produce
+        # different vectors, which is exactly what the persist must mask
+        return v.apply(
+            lambda a: [float(x) + float(np.random.uniform(0, 0.01)) for x in a]
+        )
+
+    def persistent_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    emb = _emb_df(spark, n=60)
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    before = persistent_ids()
+    tail = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding", jitter("embedding")
+    )
+    report = append_ivf_index(spark, path, tail)
+    assert persistent_ids() <= before  # no cache left behind
+    written = spark.read.parquet(path).toPandas()
+    assert report["n_appended"] == len(written) - emb.where(
+        F.col("vec_id") % 2 == 0
+    ).count()
+    meta = spark.read.parquet(path + "_centroids").collect()
+    assert sum(r.n for r in meta) == len(written)
+    for r in meta:
+        rows = written[written["_list"] == r.list_id]["embedding"]
+        got = np.sum(np.stack(rows.to_numpy()), axis=0) if len(rows) else 0.0
+        # atol tolerates float32 summation-order noise; a double evaluation
+        # of the jitter lineage diverges by ~5e-3 per element per row
+        assert np.allclose(np.asarray(list(r.sumvec)), got, atol=1e-4), (
+            f"sidecar sumvec diverged from written rows for list {r.list_id}:"
+            " the assign lineage was evaluated more than once"
+        )

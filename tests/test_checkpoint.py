@@ -279,3 +279,48 @@ def test_snapshot_crashed_attempt_is_invisible_and_vacuumable(spark, root):
     assert df2.count() == 4
     removed = mgr2.vacuum("stage1")
     assert removed == [orphan]
+
+
+def test_vacuum_sweeps_orphaned_pointer_temps(spark, root):
+    """Review r5: a SIGKILL inside the pointer-commit window leaves a
+    `.cur_*` temp in the stage dir (a FAILED commit unlinks its own; a kill
+    cannot) — vacuum must GC those alongside unpointed snapshots, or a
+    long-lived crashing deployment accumulates unbounded litter."""
+    calls = []
+    mgr, _ = _run_snapshot_pipeline(spark, root, calls)
+    sdir = os.path.join(root, "stage1")
+    orphan = os.path.join(sdir, ".cur_orphan123")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    removed = mgr.vacuum("stage1")
+    assert ".cur_orphan123" in removed
+    assert not os.path.exists(orphan)
+    # the pointer and its committed snapshot are untouched
+    assert os.path.exists(os.path.join(sdir, "_current.json"))
+    assert [n for n in os.listdir(sdir) if n.startswith("snap-")]
+
+
+def test_failed_pointer_commit_unlinks_its_temp(spark, root, monkeypatch):
+    """Review r5: when the pointer PUT itself fails (object-store error),
+    the commit raises AND removes its `.cur_*` staging temp — the stage dir
+    must not accumulate one temp per failed commit attempt."""
+    import pytest
+
+    mgr = CheckpointManager(root, commit="snapshot")
+    real_replace = os.replace
+
+    def poisoned(src, dst):
+        if os.path.basename(dst) == "_current.json":
+            raise OSError("simulated pointer PUT failure")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", poisoned)
+    with pytest.raises(OSError, match="simulated pointer PUT failure"):
+        mgr.stage(
+            spark,
+            "stage1",
+            lambda: spark.range(5).select(F.col("id")),
+            input_fingerprint="v1",
+        )
+    sdir = os.path.join(root, "stage1")
+    assert not [n for n in os.listdir(sdir) if n.startswith(".cur_")]

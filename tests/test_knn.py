@@ -126,3 +126,27 @@ def test_knn_cache_lifecycle(spark):
     assert res.is_cached
     res.unpersist()
     assert persistent_ids() <= before
+
+
+def test_registry_knn_query_releases_predecessor_cache(spark):
+    """Review r5: knn_join returns a persisted frame the caller owns, and
+    the registry query is that caller — repeated bench/oracle invocations
+    must release the predecessor's cache (bounded at ONE live knn result),
+    not pin one materialized result per rep."""
+    from imposm2_spark.plans import registry
+
+    def persistent_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    q = registry.queries()["knn_join_3"]
+    before = persistent_ids()
+    n1 = q(spark, "/root/testdata/sf0.001").count()
+    grew1 = persistent_ids() - before
+    n2 = q(spark, "/root/testdata/sf0.001").count()
+    grew2 = persistent_ids() - before
+    assert n1 == n2 > 0
+    # the second invocation released the first's cache: the net-new set
+    # never exceeds one knn result (pre-fix it grew by one per invocation)
+    assert len(grew2) <= max(len(grew1), 1)

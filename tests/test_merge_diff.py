@@ -120,3 +120,20 @@ def test_apply_diff_requires_op_column(spark):
 
     with pytest.raises(ValueError, match="op"):
         apply_diff(base, bad, key="id")
+
+
+def test_apply_diff_schema_check_precedes_op_probe(spark):
+    """Review r5: a diff missing the version column must fail on the cheap
+    driver-side schema check even when allowed_ops is set and the diff ALSO
+    carries a malformed op — pre-fix the allowed_ops probe ran a cluster job
+    (and raised ITS error) before the structural validation."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 1, "x")], ["id", "version", "val"])
+    diff = spark.createDataFrame(
+        [(1, "nuke", "y")], "id long, op string, val string"
+    )
+    with pytest.raises(ValueError, match="version"):
+        apply_diff(
+            base, diff, key="id", allowed_ops=("create", "modify", "delete")
+        )
