@@ -166,15 +166,28 @@ def k_ring_shell(cell: int, r: int) -> np.ndarray:
 
 
 def covering_cells_bbox(
-    lon_min: float, lat_min: float, lon_max: float, lat_max: float, level: int
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float, level: int,
+    max_cells: int | None = None,
 ) -> np.ndarray:
     """All level-`level` cells intersecting the bbox (polygon-cover prefilter, J4/J6).
 
     Conservative (bbox, not exact polygon cover) — false positives are removed by
-    the exact ray-cast refine stage.
+    the exact ray-cast refine stage. `max_cells` (review r5) bounds the dense
+    meshgrid BEFORE it materializes: a continent-scale bbox at a deep level
+    (e.g. 360-degree-wide at z14 -> ~1.3e8 cells) would otherwise OOM the
+    executor inside a single UDF row; the count check is O(1) from the tile
+    ranges, and the failure is loud instead of a silent stall.
     """
     x0, y1 = lonlat_to_xy(np.asarray([lon_min]), np.asarray([lat_min]), level)
     x1, y0 = lonlat_to_xy(np.asarray([lon_max]), np.asarray([lat_max]), level)
+    nx = int(x1[0]) - int(x0[0]) + 1
+    ny = int(y1[0]) - int(y0[0]) + 1
+    if max_cells is not None and nx * ny > max_cells:
+        raise ValueError(
+            f"covering_cells_bbox: bbox covers {nx * ny} level-{level} cells,"
+            f" above max_cells={max_cells}; split the geometry or lower the"
+            " level/zoom"
+        )
     xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.int64)
     ys = np.arange(int(y0[0]), int(y1[0]) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)

@@ -36,7 +36,6 @@ from ..kernels import geom, rings as kr
 from ..kernels.wkb import (
     linestring_wkb,
     multipolygon_wkb,
-    nested_to_rings,
     point_wkb,
     polygon_wkb,
 )
@@ -214,9 +213,6 @@ _REL_OUT_SCHEMA = (
     "n_rings int, dropped_unclosed int, dropped_invalid int, "
     "inserted_ways array<long>"
 )
-
-_UNINTERESTING = kr._UNINTERESTING
-
 
 _REL_OUT_COLUMNS = [
     "rel_id", "tags", "polygons", "area", "wkb", "n_rings",

@@ -20,8 +20,10 @@ no Python boundary, and bit-identical DuckDB oracle twins in plans.registry.
 Scale notes (10^12 docs):
   * the LSH self-join shuffles on (band_idx, band_key); hot buckets (boiler-
     plate pages) are bounded by `max_bucket` — buckets larger than that are
-    dropped and counted (they are boilerplate clusters, better handled by the
-    exact-dup pass; silent truncation avoided by the `dropped_buckets` metric).
+    dropped (they are boilerplate clusters, better handled by the exact-dup
+    pass). Truncation is not silent: `minhash_dropped_buckets` returns the
+    dropped (band_idx, band_key, n_docs) rows for the same inputs, the
+    no-silent-caps accounting signal.
   * signatures are 16 longs + bands 4 longs per doc — tiny vs the text.
   * verify joins texts back by id only for surviving candidate pairs.
 """
@@ -125,11 +127,23 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Verified near-dup pairs: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """Verified near-dup pairs: (doc_a, doc_b, jaccard), every row has
+    jaccard >= threshold.
 
     Candidates = pairs sharing any LSH band bucket; exact Jaccard verifies.
-    `max_bucket` drops degenerate boilerplate buckets (see module docstring).
-    """
+    `max_bucket` drops degenerate boilerplate buckets (see module docstring;
+    `minhash_dropped_buckets` reports what was dropped).
+
+    RECALL CONTRACT (review r5): the output is a SUBSET of all qualifying
+    pairs — LSH candidate generation is probabilistic. With the frozen
+    banding (4 bands x 4 rows), P(candidate | jaccard=j) = 1-(1-j^4)^4:
+    ~31% at j=0.5, ~67% at j=0.7, ~98% at j=0.9. The banding is sized for
+    the near-identical crawl-mirror regime (j >= ~0.8, where recall is
+    >90%); pairs in [threshold, ~0.7) are under-sampled by design — the
+    scale tradeoff every banded-LSH dedup makes (more bands with fewer rows
+    raise recall at low j but explode the candidate count). For exhaustive
+    pairs above a low threshold use ngram_jaccard_pairs on an explicit
+    candidate set instead."""
     sig = minhash_signatures(docs, id_col, text_col)
     # band rows are (id, band_idx, band_key) ONLY — 3 longs/row. Carrying the
     # shingle arrays through the explode / self-join / dropDuplicates would
@@ -162,6 +176,33 @@ def minhash_lsh_pairs(
         .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sb")), "doc_b")
         .select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dropped_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """No-silent-caps accounting for minhash_lsh_pairs' `max_bucket` drop
+    (review r5 — the module contract promised this signal): the
+    (band_idx, band_key, n_docs) rows whose buckets exceed `max_bucket` and
+    are therefore excluded from candidate generation. Same banding lineage
+    as the pairs path, one extra hash-agg over the slim band rows — run it
+    alongside a capped dedup to quantify (and alert on) what was skipped;
+    an empty result proves the cap never fired."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    return (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
     )
 
 
@@ -294,8 +335,12 @@ def dedup_connected_components(
 
     # the symmetric union reads `pairs` twice — persist it so an expensive
     # upstream (the LSH verify chain) executes once, released after edges
-    # materialize
-    pairs = pairs.persist()
+    # materialize. If the CALLER already cached pairs, leave their cache
+    # alone (review r5: persist() on a cached frame is a no-op but
+    # unpersist() is not — the old unconditional pair clobbered it)
+    caller_cached = pairs.is_cached
+    if not caller_cached:
+        pairs = pairs.persist()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -309,7 +354,8 @@ def dedup_connected_components(
         .persist()
     )
     labels.count()
-    pairs.unpersist()
+    if not caller_cached:
+        pairs.unpersist()
     converged = False
     for it in range(max_iterations):
         nbr_min = (

@@ -137,7 +137,12 @@ def pip_join(
         polygons, salt_factor, with_rings=not broadcast_polygons
     )
     if broadcast_polygons:
-        # rings once per executor (broadcast variable), candidate rows slim
+        # rings once per executor (broadcast variable), candidate rows slim.
+        # Lifecycle: the broadcast lives as long as the returned frame can
+        # be evaluated (the UDF closure holds it), then Python GC +
+        # Spark's ContextCleaner reclaim it when the caller drops the frame
+        # — standard Spark broadcast semantics; an explicit destroy() here
+        # would poison a still-lazy result
         rings_bc = points.sparkSession.sparkContext.broadcast(rings_by_pid)
         contains = _contains_udf_broadcast(rings_bc)
         refine_cols = lambda: contains(F.col("polygon_id"), lon_c, lat_c)

@@ -33,6 +33,10 @@ def assign_point_tiles(
     lat: str | Column = "lat",
 ) -> DataFrame:
     """One output row per (input row, zoom): columns + (z, x, y). Pure codegen."""
+    if not zooms:
+        # explode over an empty literal array silently drops every row —
+        # refuse loudly, matching assign_polygon_tiles (review r5)
+        raise ValueError("assign_point_tiles: zooms must be non-empty")
     lon_c = F.col(lon) if isinstance(lon, str) else lon
     lat_c = F.col(lat) if isinstance(lat, str) else lat
     per_zoom = F.array(
@@ -122,7 +126,10 @@ def _edge_hits(xs: np.ndarray, ys: np.ndarray, ring_arrays, z: int) -> np.ndarra
     return hit
 
 
-def _covering_tiles_kernel(rings_nested, z: int, refine: str = "center") -> list[dict]:
+def _covering_tiles_kernel(
+    rings_nested, z: int, refine: str = "center",
+    max_cells: int | None = None,
+) -> list[dict]:
     """refine="center" (frozen default, FIXTURES golden): keep tiles whose
     center is inside OR that contain a ring vertex — a sliver crossing a
     tile mid-edge (no center, no vertex) is missed. refine="exact" (r4
@@ -132,7 +139,9 @@ def _covering_tiles_kernel(rings_nested, z: int, refine: str = "center") -> list
     for closed rings (boundary-touching tiles included)."""
     ring_arrays = nested_to_rings(rings_nested)
     lon_min, lat_min, lon_max, lat_max = geom.rings_bbox(ring_arrays)
-    cover = kcells.covering_cells_bbox(lon_min, lat_min, lon_max, lat_max, z)
+    cover = kcells.covering_cells_bbox(
+        lon_min, lat_min, lon_max, lat_max, z, max_cells=max_cells
+    )
     _, xs, ys = kcells.cell_decode(cover)
     if len(xs) == 0:
         return []
@@ -156,28 +165,45 @@ def _covering_tiles_kernel(rings_nested, z: int, refine: str = "center") -> list
     ]
 
 
-def covering_tiles_udf(z: int, refine: str = "center"):
+def covering_tiles_udf(
+    z: int, refine: str = "center", max_cells: int | None = None
+):
     @F.pandas_udf(_TILE_ARRAY)
     def _udf(rings: pd.Series) -> pd.Series:
-        return rings.map(lambda r: _covering_tiles_kernel(r, z, refine))
+        return rings.map(
+            lambda r: _covering_tiles_kernel(r, z, refine, max_cells=max_cells)
+        )
 
     return _udf
 
 
+MAX_COVER_CELLS = 1 << 20  # per-polygon covering-grid bound (review r5)
+
+
 def assign_polygon_tiles(
-    polygons: DataFrame, zooms: list[int], refine: str = "center"
+    polygons: DataFrame, zooms: list[int], refine: str = "center",
+    max_cells_per_polygon: int | None = MAX_COVER_CELLS,
 ) -> DataFrame:
     """(polygon_id, rings) -> one row per (polygon_id, z, x, y) covering tile.
 
     refine="exact" additionally assigns tiles that a ring edge crosses
     mid-tile (sliver polygons); default preserves the frozen goldens — see
-    _covering_tiles_kernel."""
+    _covering_tiles_kernel. `max_cells_per_polygon` mirrors pip_join's
+    max_broadcast_polygons contract: one continent-scale polygon at a deep
+    zoom would densify millions of cells inside a single UDF row, so the
+    kernel fails loudly at the bound instead of stalling an executor."""
+    if not zooms:
+        raise ValueError("assign_polygon_tiles: zooms must be non-empty")
     outs = []
     for z in zooms:
         tiles = polygons.select(
             "polygon_id",
             F.lit(z).alias("z"),
-            F.explode(covering_tiles_udf(z, refine)(F.col("rings"))).alias("_t"),
+            F.explode(
+                covering_tiles_udf(z, refine, max_cells=max_cells_per_polygon)(
+                    F.col("rings")
+                )
+            ).alias("_t"),
         ).select("polygon_id", "z", F.col("_t.x").alias("x"), F.col("_t.y").alias("y"))
         outs.append(tiles)
     result = outs[0]
@@ -186,14 +212,23 @@ def assign_polygon_tiles(
     return result
 
 
-def covering_cells(polygons: DataFrame, cell_level: int) -> DataFrame:
-    """Attach a `cells ARRAY<LONG>` covering-cells column (bbox cover) for J4."""
+def covering_cells(
+    polygons: DataFrame, cell_level: int,
+    max_cells_per_polygon: int | None = MAX_COVER_CELLS,
+) -> DataFrame:
+    """Attach a `cells ARRAY<LONG>` covering-cells column (bbox cover) for J4.
+
+    `max_cells_per_polygon` bounds the per-row densified grid (review r5) —
+    same loud-failure contract as assign_polygon_tiles."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _cover(rings: pd.Series) -> pd.Series:
         def one(nested):
             arrays = nested_to_rings(nested)
-            return kcells.covering_cells_bbox(*geom.rings_bbox(arrays), cell_level).tolist()
+            return kcells.covering_cells_bbox(
+                *geom.rings_bbox(arrays), cell_level,
+                max_cells=max_cells_per_polygon,
+            ).tolist()
 
         return rings.map(one)
 

@@ -45,14 +45,22 @@ DOCUMENTS_WEB_SCHEMA = T.StructType(
 )
 
 
-def read_document_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+def read_document_stream(
+    spark: SparkSession, landing_dir: str,
+    max_files_per_trigger: int | None = 8,
+) -> DataFrame:
     """File-source stream over the landing directory (schema fixed, §1.2:
-    never infer schemas in engine paths)."""
-    return (
-        spark.readStream.schema(DOCUMENTS_WEB_SCHEMA)
-        .option("maxFilesPerTrigger", 8)  # bound microbatch size at scale
-        .parquet(landing_dir)
-    )
+    never infer schemas in engine paths).
+
+    `max_files_per_trigger` bounds each micro-batch; the default suits a
+    tailing ingest. A large availableNow BACKFILL (10^5 landing files) wants
+    a much wider batch — or None to let availableNow size batches itself —
+    rather than paying checkpoint-commit + planning overhead per 8 files
+    (review r5: this was hard-coded)."""
+    reader = spark.readStream.schema(DOCUMENTS_WEB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(landing_dir)
 
 
 def enrich(docs: DataFrame, cell_level: int = 12) -> DataFrame:
@@ -99,10 +107,16 @@ def stream_spine(
     zoom: int = 8,
     window: str = "1 hour",
     watermark: str = "2 hours",
-    cell_level: int = 4,
+    cell_level: int = 12,
 ) -> StreamingQuery:
     """The full M1 spine as one Structured Streaming job: extract -> geotag ->
     stream-STATIC broadcast PIP join -> watermarked windowed tile stats.
+
+    `cell_level` defaults to the batch spine's 12 (review r5: this twin
+    defaulted to 4, whose 22.5-degree prefilter cells degrade the PIP
+    equi-join prefilter toward all-pairs on realistic polygon sets — the
+    result stays correct, the refine cost does not). Match it to the
+    polygon fixture's cover level, as the batch spine does.
 
     The polygon side is static (rings pulled once, re-shipped per executor by
     pip_join's broadcast path); the streaming side goes through only
@@ -134,7 +148,7 @@ def stream_curated_spine(
     zoom: int = 8,
     window: str = "1 hour",
     watermark: str = "2 hours",
-    cell_level: int = 4,
+    cell_level: int = 12,
 ) -> StreamingQuery:
     """The full streaming CURATION story: stream_spine with cross-micro-batch
     first-seen dedup chained in front — duplicate documents (same text,

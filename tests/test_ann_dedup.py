@@ -508,3 +508,39 @@ def test_ivf_append_pins_one_evaluation_and_leaves_no_cache(spark, tmp_path):
             f"sidecar sumvec diverged from written rows for list {r.list_id}:"
             " the assign lineage was evaluated more than once"
         )
+
+
+def test_minhash_dropped_buckets_accounting(spark):
+    """Review r5: the module contract promises the max_bucket drop is not
+    silent — minhash_dropped_buckets must report exactly the buckets the
+    pairs path excluded, and be empty when the cap never fires."""
+    from imposm2_spark.operators.dedup import minhash_dropped_buckets
+
+    same = spark.createDataFrame(
+        [(i, "all the same boilerplate text body here") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    dropped = minhash_dropped_buckets(same, max_bucket=10).collect()
+    # identical texts share all 4 band keys -> all 4 buckets over the cap
+    assert len(dropped) == 4
+    assert all(r.n_docs == 50 for r in dropped)
+    assert minhash_dropped_buckets(same, max_bucket=100).count() == 0
+
+
+def test_cc_preserves_caller_cached_pairs(spark):
+    """Review r5: dedup_connected_components must not clobber a cache the
+    CALLER owns on `pairs` — persist() on an already-cached frame is a
+    no-op, so the old unconditional unpersist() removed the caller's entry
+    and forced a recompute of the whole upstream chain."""
+    from imposm2_spark.operators.dedup import dedup_connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    ).persist()
+    try:
+        pairs.count()
+        labels = dedup_connected_components(pairs)
+        assert labels.count() == 5
+        assert pairs.is_cached, "caller's cache was clobbered"
+    finally:
+        pairs.unpersist()

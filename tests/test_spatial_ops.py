@@ -352,3 +352,32 @@ def test_raster_patch_join_catalog_cap(spark):
     out = raster_patch_join(pts, patches, zoom=6, max_patches=5)
     assert {c for c in out.columns} >= {"doc_id", "patch_id"}
     out.collect()
+
+
+def test_covering_grid_cap_and_empty_zooms(spark):
+    """Review r5: the polygon covering-grid kernel is bounded like its
+    capped siblings (pip max_broadcast_polygons, raster max_patches) — one
+    continent-scale polygon at a deep zoom fails LOUDLY at max_cells
+    instead of densifying millions of cells inside a single UDF row; and
+    an empty zooms list raises on BOTH tile assigners instead of the
+    point side silently dropping every row."""
+    import pytest
+
+    from imposm2_spark.operators.tiles import _covering_tiles_kernel
+
+    world = [[[-179.0, -80.0], [179.0, -80.0], [179.0, 80.0],
+              [-179.0, 80.0], [-179.0, -80.0]]]
+    with pytest.raises(ValueError, match="max_cells"):
+        _covering_tiles_kernel(world, z=12, max_cells=1 << 20)
+    # under the cap the kernel still works
+    assert _covering_tiles_kernel(world, z=4, max_cells=1 << 20)
+
+    polys = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]])],
+        "polygon_id long, rings array<array<array<double>>>",
+    )
+    with pytest.raises(ValueError, match="zooms"):
+        assign_polygon_tiles(polys, [])
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], ["id", "lon", "lat"])
+    with pytest.raises(ValueError, match="zooms"):
+        assign_point_tiles(pts, [])
