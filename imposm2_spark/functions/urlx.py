@@ -47,18 +47,27 @@ def url_scheme(url: F.Column) -> F.Column:
     return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
 
 
+def _host_from_auth(scheme: F.Column, raw_auth: F.Column) -> F.Column:
+    """Canonical host from a pre-extracted raw authority: lowercase, strip
+    the scheme's default port and leading www. (shared by url_host and
+    canonicalize_url so the hot canonicalization path runs the
+    fragment/scheme/authority regexes ONCE — review r5)."""
+    auth = F.lower(raw_auth)
+    auth = F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(auth)
+    )
+    return F.regexp_replace(auth, r"^(www\.)+", "")
+
+
 def url_host(url: F.Column) -> F.Column:
     """Canonical host: lowercased authority with default port and leading
     www. stripped. '' for scheme-less input."""
     base = F.regexp_replace(url, r"#.*", "")
     scheme = url_scheme(base)
     rest = F.regexp_replace(base, _SCHEME_RE, "")
-    auth = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
-    auth = F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(
-        F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(auth)
-    )
+    raw_auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
     return F.when(scheme == "", F.lit("")).otherwise(
-        F.regexp_replace(auth, r"^(www\.)+", "")
+        _host_from_auth(scheme, raw_auth)
     )
 
 
@@ -70,7 +79,11 @@ def canonicalize_url(url: F.Column) -> F.Column:
     scheme = url_scheme(base)
     rest = F.regexp_replace(base, _SCHEME_RE, "")
     raw_auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    host = url_host(base)
+    # host derived from the raw_auth already in hand — calling url_host(base)
+    # here would re-run the fragment/scheme/authority regexes per row in the
+    # module's hottest projection (review r5); the scheme=='' case never
+    # consumes `host` (the outer when returns `base`)
+    host = _host_from_auth(scheme, raw_auth)
     pathq = rest.substr(F.length(raw_auth) + 1, F.lit(1 << 30))
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -106,6 +106,14 @@ def point_on_ring_boundary(px: float, py: float, ring: Ring, eps: float = 1e-12)
     seg_len2 = np.einsum("ij,ij->i", d, d)
     t = np.where(seg_len2 > 0, np.einsum("ij,ij->i", ap, d) / np.where(seg_len2 == 0, 1, seg_len2), 0.0)
     on_line = np.abs(cross) <= eps * np.maximum(1.0, np.sqrt(seg_len2))
+    # zero-length segments (consecutive duplicate vertices in un-deduped
+    # input) pass cross==0 and t==0 vacuously, claiming EVERY point is on
+    # the boundary (review r5) — for those the segment is a point, so the
+    # test is point-to-vertex distance instead
+    degen = seg_len2 <= 0.0
+    if degen.any():
+        dist2 = np.einsum("ij,ij->i", ap, ap)
+        on_line = np.where(degen, dist2 <= eps * eps, on_line)
     return bool(np.any(on_line & (t >= -eps) & (t <= 1 + eps)))
 
 
@@ -149,6 +157,22 @@ def rings_bbox(rings: list[Ring]) -> tuple[float, float, float, float]:
 def pseudo_area(ring: Ring) -> float:
     """PseudoArea field (imposm/mapping.py::PseudoArea): |shoelace| in coord units."""
     return abs(ring_signed_area(ring))
+
+
+def polygon_area(rings: list[Ring]) -> float:
+    """Area of one polygon [shell, hole, ...]: |shell| - sum(|holes|).
+
+    The single shared definition (review r5: three hand-rolled copies in
+    assemble/rings/generalize could drift independently — e.g. a future
+    overlapping-hole clamp applied in one site only)."""
+    return abs(ring_signed_area(rings[0])) - sum(
+        abs(ring_signed_area(h)) for h in rings[1:]
+    )
+
+
+def polygons_area(polygons: list[list[Ring]]) -> float:
+    """Total area of a multipolygon: sum of polygon_area per [shell, holes]."""
+    return sum(polygon_area(p) for p in polygons)
 
 
 EARTH_RADIUS_M = 6_371_008.8

@@ -149,12 +149,7 @@ class MultiPolygon:
 
     @property
     def area(self) -> float:
-        tot = 0.0
-        for rings in self.polygons:
-            tot += abs(geom.ring_signed_area(rings[0]))
-            for h in rings[1:]:
-                tot -= abs(geom.ring_signed_area(h))
-        return tot
+        return geom.polygons_area(self.polygons)
 
 
 def build_multipolygon(merge: MergeResult) -> MultiPolygon:

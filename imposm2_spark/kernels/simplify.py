@@ -58,9 +58,12 @@ def simplify_ring(ring: np.ndarray, tolerance: float, min_points: int = 4) -> np
     below `min_points` (incl. closure) — caller drops it and counts the metric,
     matching the generalized-table WHERE-clause intent (tiny features vanish)."""
     r = np.asarray(ring, dtype=np.float64)
-    if len(r) < 4:
+    closed = len(r) > 1 and np.array_equal(r[0], r[-1])
+    # minimum-size check on the CLOSED form (review r5): an OPEN 3-point
+    # triangle is the same valid ring as its 4-point closed twin and must
+    # not be dropped while the closed spelling survives
+    if len(r) + (0 if closed else 1) < 4:
         return None
-    closed = np.array_equal(r[0], r[-1])
     body = r if closed else np.vstack([r, r[:1]])
     out = body[dp_mask(body, tolerance)]
     if len(out) < min_points:

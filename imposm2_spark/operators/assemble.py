@@ -171,11 +171,7 @@ def _polygon_parts(coords, repair: bool):
         return [ring], abs(geom.ring_signed_area(ring)), polygon_wkb([ring])
     if repair and polys:
         rings_out = [r for p in polys for r in p]
-        area = sum(
-            abs(geom.ring_signed_area(p[0]))
-            - sum(abs(geom.ring_signed_area(h)) for h in p[1:])
-            for p in polys
-        )
+        area = geom.polygons_area(polys)
         wkb = multipolygon_wkb(polys) if len(polys) > 1 else polygon_wkb(polys[0])
         return rings_out, area, wkb
     return None

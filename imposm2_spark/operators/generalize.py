@@ -33,6 +33,8 @@ def simplify_polygons_udf(tolerance: float):
     @F.pandas_udf(_POLY_T)
     def _udf(polygons: pd.Series) -> pd.Series:
         def one(polys):
+            if polys is None:  # NULL geometry row: pass through, don't crash
+                return None
             out = []
             for rings_nested in polys:
                 rings = nested_to_rings(rings_nested)
@@ -59,27 +61,39 @@ def generalized_table(
     polygons_col: str = "polygons",
 ) -> DataFrame:
     """The GeneralizedTable CTAS: filter -> simplify -> recompute area/wkb,
-    dropping features whose geometry collapsed at this tolerance."""
-    df = origin.where(where) if where is not None else origin
+    dropping features whose geometry collapsed at this tolerance.
+
+    NULL geometry rows (union_view NULL-padding, nullable parquet read-back)
+    are dropped BEFORE the UDF (review r5): besides being the semantics a
+    generalized table wants, an Arrow batch whose deep-nested geometry
+    column is ALL NULL crashes the pyarrow deserializer outright (the r3
+    codec gotcha), so the guard must be a codegen filter ahead of the
+    Python boundary, not (only) a None-check inside it."""
+    df = origin.where(F.col(polygons_col).isNotNull())
+    if where is not None:
+        df = df.where(where)
     df = df.withColumn(polygons_col, simplify_polygons_udf(tolerance)(F.col(polygons_col)))
     df = df.where(F.col(polygons_col).isNotNull())
 
     @F.pandas_udf(T.DoubleType())
     def _area(polygons: pd.Series) -> pd.Series:
         def one(polys):
-            tot = 0.0
-            for rings_nested in polys:
-                rings = nested_to_rings(rings_nested)
-                tot += abs(geom.ring_signed_area(rings[0]))
-                for h in rings[1:]:
-                    tot -= abs(geom.ring_signed_area(h))
-            return tot
+            # NULL-safe: Catalyst may evaluate projection UDFs before the
+            # isNotNull filter they syntactically follow (collapsed stages)
+            if polys is None:
+                return None
+            return geom.polygons_area(
+                [nested_to_rings(rings_nested) for rings_nested in polys]
+            )
 
         return polygons.map(one)
 
     @F.pandas_udf(T.BinaryType())
     def _wkb(polygons: pd.Series) -> pd.Series:
-        return polygons.map(lambda polys: multipolygon_wkb([nested_to_rings(p) for p in polys]))
+        return polygons.map(
+            lambda polys: None if polys is None
+            else multipolygon_wkb([nested_to_rings(p) for p in polys])
+        )
 
     cols = [c for c in df.columns if c not in ("area", "wkb")]
     return df.select(
@@ -95,6 +109,8 @@ def simplify_lines_udf(tolerance: float):
         import numpy as np
 
         def one(pts):
+            if pts is None:  # NULL geometry row: pass through, don't crash
+                return None
             arr = np.asarray([list(p) for p in pts], dtype=np.float64)
             return simplify.simplify_line(arr, tolerance).tolist()
 
@@ -107,7 +123,10 @@ def generalized_lines(
     origin: DataFrame, tolerance: float, where: Column | None = None,
     coords_col: str = "coords",
 ) -> DataFrame:
-    df = origin.where(where) if where is not None else origin
+    # NULL geometry dropped before the Python boundary — see generalized_table
+    df = origin.where(F.col(coords_col).isNotNull())
+    if where is not None:
+        df = df.where(where)
     return df.withColumn(coords_col, simplify_lines_udf(tolerance)(F.col(coords_col)))
 
 
@@ -145,5 +164,9 @@ def materialize_generalized(
 def union_view(tables: dict[str, DataFrame], names: list[str] | None = None) -> DataFrame:
     """U1: NULL-padded union with a src_table discriminator column."""
     names = names or sorted(tables)
+    if not names:
+        # reduce() over an empty list raises an opaque TypeError far from
+        # the cause (review r5) — name the real problem instead
+        raise ValueError("union_view requires at least one table")
     parts = [tables[n].withColumn("src_table", F.lit(n)) for n in names]
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)

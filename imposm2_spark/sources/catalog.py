@@ -85,13 +85,41 @@ class Deploy:
     def publish(self, staged: dict[str, str]) -> None:
         """Atomically flip the pointer to the staged versions (all tables at
         once — the prefix-swap analog). Readers resolving through CURRENT never
-        see partial state: os.replace is atomic on POSIX."""
-        new = dict(self.current())
-        new.update(staged)
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".current_")
-        with os.fdopen(fd, "w") as f:
-            json.dump(new, f, sort_keys=True)
-        os.replace(tmp, self._pointer_path())
+        see partial state: os.replace is atomic on POSIX.
+
+        Durability + concurrency (review r5): the temp file is fsync'd
+        before the replace and the root directory after it, so a crash or
+        power loss cannot leave a truncated CURRENT (ext4 delayed
+        allocation would otherwise journal the rename before the data
+        blocks land). The read-modify-write of the shared map is serialized
+        through an flock'd sidecar, so two publishers (one stream_updates
+        loop per table against one deploy root) cannot lose each other's
+        update. On rename-less object stores, use the checkpoint manager's
+        snapshot-pointer model instead (plans/checkpoint.py)."""
+        import contextlib
+        import fcntl
+
+        lock_path = os.path.join(self.root, ".publish.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            new = dict(self.current())
+            new.update(staged)
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".current_")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(new, f, sort_keys=True)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._pointer_path())
+            except BaseException:
+                with contextlib.suppress(OSError):
+                    os.unlink(tmp)
+                raise
+            dfd = os.open(self.root, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.table_path(table))

@@ -178,3 +178,54 @@ def test_remove_backups_tolerates_junk_entries(spark, tmp_path):
     removed = dep.remove_backups(keep=1)
     assert set(removed) == {"t/v001", "t/v002"}
     assert sorted(os.listdir(tdir)) == sorted([".DS_Store", "v003", "v003.tmp-8f2"])
+
+
+def test_generalized_table_null_geometry_row(spark, landusages):
+    """Review r5: a NULL polygons cell (e.g. union_view NULL-padding or a
+    nullable geometry read back from parquet) must be dropped BEFORE the
+    Python boundary — pre-fix it killed the task, either as 'NoneType is
+    not iterable' inside the UDF or as the pyarrow all-NULL deep-nested
+    batch crash (r3 gotcha) before the UDF even ran."""
+    nulled = landusages.limit(2).withColumn(
+        "polygons",
+        F.when(F.lit(True), F.lit(None)).cast(landusages.schema["polygons"].dataType),
+    )
+    mixed = landusages.unionByName(nulled)
+    n_plain = generalized_table(landusages, tolerance=0.5).count()
+    assert generalized_table(mixed, tolerance=0.5).count() == n_plain
+
+
+def test_union_view_empty_raises(spark):
+    from imposm2_spark.operators.generalize import union_view
+
+    with pytest.raises(ValueError, match="at least one table"):
+        union_view({})
+
+
+def test_deploy_publish_failure_leaves_pointer_intact(spark, tmp_path, monkeypatch):
+    """Review r5: a failed pointer PUT must leave the previous CURRENT
+    readable and no .current_ temp litter (publish now fsyncs and cleans
+    its temp under the flock'd critical section)."""
+    import os
+
+    dep = Deploy(str(tmp_path))
+    df = spark.createDataFrame([(1, 13.0, 52.0)], "id long, lon double, lat double")
+    v1 = dep.stage("t1", df)
+    dep.publish({"t1": v1})
+    assert dep.current() == {"t1": v1}
+
+    real_replace = os.replace
+
+    def poisoned(src, dst):
+        if os.path.basename(dst) == "CURRENT":
+            raise OSError("simulated PUT failure")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", poisoned)
+    v2 = dep.stage("t1", df)
+    with pytest.raises(OSError, match="simulated PUT failure"):
+        dep.publish({"t1": v2})
+    monkeypatch.undo()
+    assert dep.current() == {"t1": v1}  # old pointer intact
+    litter = [n for n in os.listdir(str(tmp_path)) if n.startswith(".current_")]
+    assert litter == []

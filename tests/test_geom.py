@@ -148,3 +148,49 @@ def test_prop_pip_matches_rectangle_arithmetic(px, py):
     """PIP ray-cast == direct half-open bbox arithmetic on rectangles."""
     inside = geom.points_in_rings(np.r_[px], np.r_[py], [SQ])[0]
     assert inside == (0.0 <= px < 4.0 and 0.0 <= py < 4.0)
+
+
+def test_boundary_test_tolerates_duplicate_vertices():
+    """Review r5: a zero-length segment (consecutive duplicate vertex, common
+    in raw OSM ways) made point_on_ring_boundary claim EVERY point is on the
+    boundary (cross=0, t=0 pass vacuously), which sent ring_contains_ring to
+    its centroid fallback and mis-nested concave shells."""
+    sq_dup = np.array(
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]
+    )
+    assert not geom.point_on_ring_boundary(100.0, 100.0, sq_dup)
+    assert geom.point_on_ring_boundary(5.0, 0.0, sq_dup)
+    assert geom.point_on_ring_boundary(10.0, 0.0, sq_dup)  # the dup vertex itself
+    # L-shaped outer with a duplicate vertex; L-shaped inner hugging the
+    # corner, fully inside, but with its VERTEX CENTROID (~3.33, ~3.33) in
+    # the concave notch OUTSIDE the outer ring — pre-fix, every inner vertex
+    # "touched" the boundary, the centroid fallback fired, and containment
+    # came back False
+    outer = np.array(
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 1.0], [2.0, 1.0], [2.0, 1.0],
+         [2.0, 10.0], [0.0, 10.0], [0.0, 0.0]]
+    )
+    inner = np.array(
+        [[0.25, 0.25], [9.0, 0.25], [9.0, 0.75], [0.75, 0.75],
+         [0.75, 9.0], [0.25, 9.0], [0.25, 0.25]]
+    )
+    assert geom.ring_contains_ring(outer, inner)
+
+
+def test_simplify_ring_open_equals_closed():
+    """Review r5: a 3-point OPEN triangle is the same ring as its 4-point
+    closed spelling and must simplify identically, not be dropped."""
+    open_tri = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+    closed_tri = np.vstack([open_tri, open_tri[:1]])
+    got_open = simplify.simplify_ring(open_tri, 0.1)
+    got_closed = simplify.simplify_ring(closed_tri, 0.1)
+    assert got_open is not None and got_closed is not None
+    assert np.array_equal(got_open, got_closed)
+
+
+def test_polygons_area_shared_kernel():
+    """polygon_area/polygons_area: |shell| - sum(|holes|), orientation-blind."""
+    shell = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+    hole = np.array([[2.0, 2.0], [2.0, 4.0], [4.0, 4.0], [4.0, 2.0], [2.0, 2.0]])
+    assert geom.polygon_area([shell, hole]) == 96.0
+    assert geom.polygons_area([[shell, hole], [shell]]) == 196.0
