@@ -3,7 +3,7 @@
 Output protocol (r4 — BENCH_r03 `parsed: null` fix): the HEADLINE result is a
 SHORT standalone JSON line printed both first and last, so it survives
 whichever end of the stdout buffer the driver's parser scans; the per-query
-map (52 entries — too long for the driver's tail buffer as one line, the r3
+map (53 entries — too long for the driver's tail buffer as one line, the r3
 failure) moves to its own middle line `{"queries": {name: median_sec}}` and to
 the BENCH_QUERIES.json file artifact with full median/min/max stats.
 

@@ -2079,6 +2079,93 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J9 as-of join: each click matched to the nearest view by the same user,
+# both directions in one driver row, 48-hour tolerance (the synthetic events
+# table averages ~6h between events per user, so 48h yields a healthy mix of
+# matched and tolerance-nulled rows). The engine runs the single-shuffle
+# union+window plan (operators/asof.py); the oracle is the brute-force
+# formulation (inequality join + row_number) it replaces.
+# ---------------------------------------------------------------------------
+_ASOF_TOL_US = 48 * 3600 * 1_000_000  # 48 hours
+
+
+@register(
+    "asof_join_clicks_views",
+    oracle=f"""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), bwd AS (
+  SELECT c.click_id, v.view_id,
+         date_diff('microsecond', v.ts, c.ts) AS lag_us,
+         row_number() OVER (PARTITION BY c.click_id
+                            ORDER BY v.ts DESC, v.view_id DESC) AS rn
+  FROM clicks c JOIN views v
+    ON c.user_id = v.user_id AND v.ts <= c.ts
+   AND date_diff('microsecond', v.ts, c.ts) <= {_ASOF_TOL_US}
+), fwd AS (
+  SELECT c.click_id, v.view_id,
+         date_diff('microsecond', c.ts, v.ts) AS lag_us,
+         row_number() OVER (PARTITION BY c.click_id
+                            ORDER BY v.ts ASC, v.view_id DESC) AS rn
+  FROM clicks c JOIN views v
+    ON c.user_id = v.user_id AND v.ts >= c.ts
+   AND date_diff('microsecond', c.ts, v.ts) <= {_ASOF_TOL_US}
+)
+SELECT 'backward' AS variant, c.click_id, c.user_id, b.view_id, b.lag_us
+FROM clicks c LEFT JOIN (SELECT * FROM bwd WHERE rn = 1) b ON c.click_id = b.click_id
+UNION ALL
+SELECT 'forward' AS variant, c.click_id, c.user_id, f.view_id, f.lag_us
+FROM clicks c LEFT JOIN (SELECT * FROM fwd WHERE rn = 1) f ON c.click_id = f.click_id
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 as-of join, both directions under one oracle (`variant` column).
+
+    The right side is pre-aggregated to unique (user_id, ts) so tie handling
+    is oracle-exact regardless of engine; the operator's own tie rule is
+    covered by tests/test_asof.py.
+    """
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+
+    def side(direction: str) -> DataFrame:
+        j = asof_join(
+            clicks,
+            views,
+            on="user_id",
+            direction=direction,
+            tolerance_us=_ASOF_TOL_US,
+            tiebreak="view_id",
+        )
+        lag = (
+            F.timestamp_diff("MICROSECOND", F.col("ts_r"), F.col("ts"))
+            if direction == "backward"
+            else F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("ts_r"))
+        )
+        return j.select(
+            F.lit(direction).alias("variant"),
+            "click_id",
+            "user_id",
+            F.col("view_id_r").alias("view_id"),
+            lag.alias("lag_us"),
+        )
+
+    return side("backward").unionByName(side("forward"))
+
+
+# ---------------------------------------------------------------------------
 # J6 raster side: points -> raster patches via Morton-block equi-joins.
 # Patches = 6 deterministic tile rectangles at z=6; oracle = plain 2-D tile
 # range containment (the decomposition must be a pure physical rewrite).

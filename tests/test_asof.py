@@ -1,0 +1,185 @@
+"""J9 as-of join (operators/asof.py): brute-force parity + plan shape.
+
+SURVEY.md J9. The operator's union+window formulation is pinned against an
+in-test pandas brute force on deterministic synthetic frames: equal-timestamp
+inclusivity, tie → greatest tiebreak, inclusive tolerance boundary, no-match
+nulls, multi-key, both directions. The driver row `asof_join_clicks_views`
+additionally pins it against a DuckDB window-SQL oracle at sf0.01.
+"""
+
+import datetime as dt
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from imposm2_spark.operators.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _brute(left_rows, right_rows, direction, tolerance_us=None):
+    """Brute-force expected matches: list of (lid, matched right row or None).
+
+    right_rows: (key, ts, rid). Ties on (key, ts) resolve to max rid.
+    """
+    out = {}
+    for lkey, lts, lid in left_rows:
+        cands = []
+        for rkey, rts, rid in right_rows:
+            if rkey != lkey:
+                continue
+            lag = (lts - rts if direction == "backward" else rts - lts).total_seconds() * 1e6
+            if lag < 0:
+                continue
+            if tolerance_us is not None and lag > tolerance_us:
+                continue
+            cands.append((lag, -rid, rid, rts))
+        if cands:
+            lag, _, rid, rts = min(cands)
+            out[lid] = (rid, rts)
+        else:
+            out[lid] = None
+    return out
+
+
+LEFT = [
+    # (user, ts, click_id)
+    (1, _ts(10), 100),
+    (1, _ts(30), 101),  # equal-ts with right rid 12/13 (tie)
+    (1, _ts(200), 102),  # far from everything (tolerance case)
+    (2, _ts(5), 103),  # before every right row for user 2
+    (3, _ts(50), 104),  # user with no right rows at all
+]
+RIGHT = [
+    # (user, ts, view_id)
+    (1, _ts(8), 10),
+    (1, _ts(10), 11),  # equal to left 100's ts (inclusive match, backward)
+    (1, _ts(30), 12),
+    (1, _ts(30), 13),  # tie at equal (key, ts): 13 must win
+    (2, _ts(7), 20),
+    (2, _ts(9), 21),
+]
+
+
+def _spark_result(spark, direction, tolerance_us=None, tiebreak="rid"):
+    left = _mk(spark, [(k, t, i) for k, t, i in LEFT], "key long, ts timestamp, lid long")
+    right = _mk(spark, [(k, t, i) for k, t, i in RIGHT], "key long, ts timestamp, rid long")
+    j = asof_join(
+        left, right, on="key", direction=direction, tolerance_us=tolerance_us, tiebreak=tiebreak
+    )
+    return {r["lid"]: (r["rid_r"], r["ts_r"]) if r["rid_r"] is not None else None for r in j.collect()}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_brute_force(spark, direction):
+    got = _spark_result(spark, direction)
+    want = _brute(LEFT, RIGHT, direction)
+    assert got == want
+    # structural expectations that make the fixture meaningful
+    if direction == "backward":
+        assert got[100] == (11, _ts(10))  # equal-ts inclusive
+        assert got[101] == (13, _ts(30))  # tie -> max tiebreak
+        assert got[103] is None  # nothing at-or-before
+    assert got[104] is None  # keyless user
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_tolerance_boundary_inclusive(spark, direction):
+    # left 102 at minute 200; nearest backward right is minute 30 -> lag 170min.
+    tol = int(170 * 60 * 1e6)
+    got = _spark_result(spark, direction, tolerance_us=tol)
+    want = _brute(LEFT, RIGHT, direction, tolerance_us=tol)
+    assert got == want
+    if direction == "backward":
+        assert got[102] == (13, _ts(30))  # exactly at tolerance: kept
+    got2 = _spark_result(spark, direction, tolerance_us=tol - 1)
+    want2 = _brute(LEFT, RIGHT, direction, tolerance_us=tol - 1)
+    assert got2 == want2
+    if direction == "backward":
+        assert got2[102] is None  # one microsecond past: nulled
+
+
+def test_asof_multikey_and_default_tiebreak(spark):
+    left = _mk(
+        spark,
+        [(1, "a", _ts(10), 1), (1, "b", _ts(10), 2)],
+        "k1 long, k2 string, ts timestamp, lid long",
+    )
+    right = _mk(
+        spark,
+        [(1, "a", _ts(5), 10), (1, "b", _ts(6), 20), (1, "b", _ts(6), 21)],
+        "k1 long, k2 string, ts timestamp, rid long",
+    )
+    j = asof_join(left, right, on=["k1", "k2"], direction="backward")
+    got = {r["lid"]: r["rid_r"] for r in j.collect()}
+    assert got[1] == 10  # (1,a) never sees (1,b)'s rows
+    assert got[2] in (20, 21)  # default hash tiebreak: deterministic pick
+    # determinism across partitionings of the same data
+    j2 = asof_join(
+        left.repartition(7), right.repartition(3), on=["k1", "k2"], direction="backward"
+    )
+    got2 = {r["lid"]: r["rid_r"] for r in j2.collect()}
+    assert got == got2
+
+
+def test_asof_left_rows_all_preserved_and_columns(spark):
+    left = _mk(spark, [(k, t, i) for k, t, i in LEFT], "key long, ts timestamp, lid long")
+    right = _mk(spark, [(k, t, i) for k, t, i in RIGHT], "key long, ts timestamp, rid long")
+    j = asof_join(left, right, on="key", tiebreak="rid")
+    assert j.columns == ["key", "ts", "lid", "ts_r", "rid_r"]
+    assert j.count() == len(LEFT)  # LEFT-join semantics: no row loss
+
+
+def test_asof_plan_single_exchange_no_nested_loop(spark):
+    left = _mk(spark, [(k, t, i) for k, t, i in LEFT], "key long, ts timestamp, lid long")
+    right = _mk(spark, [(k, t, i) for k, t, i in RIGHT], "key long, ts timestamp, rid long")
+    j = asof_join(left, right, on="key", tiebreak="rid", tolerance_us=10**9)
+    p = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+    # the 100 TB property: one hash exchange on the key, no join operator at all
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 1
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_asof_rejects_bad_args(spark):
+    left = _mk(spark, [(1, _ts(0), 1)], "key long, ts timestamp, lid long")
+    right = _mk(spark, [(1, _ts(0), 2)], "key long, ts timestamp, rid long")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="key", direction="nearest")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="missing")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="key", tiebreak="nope")
+
+
+def test_asof_payloadless_left(spark):
+    # a left side with only (key, ts) exercises the struct-pad branch
+    left = _mk(spark, [(1, _ts(10))], "key long, ts timestamp")
+    right = _mk(spark, [(1, _ts(5), 7)], "key long, ts timestamp, rid long")
+    j = asof_join(left, right, on="key", tiebreak="rid")
+    rows = j.collect()
+    assert j.columns == ["key", "ts", "ts_r", "rid_r"]
+    assert rows[0]["rid_r"] == 7
+
+
+def test_asof_string_tiebreak_stays_deterministic(spark):
+    # a non-numeric tiebreak must keep its own type (a long cast would null
+    # it out and de-determinize tie resolution)
+    left = _mk(spark, [(1, _ts(10), 1)], "key long, ts timestamp, lid long")
+    right = _mk(
+        spark,
+        [(1, _ts(5), "alpha"), (1, _ts(5), "zeta"), (1, _ts(5), "mid")],
+        "key long, ts timestamp, tag string",
+    )
+    j = asof_join(left, right, on="key", tiebreak="tag")
+    assert [r["tag_r"] for r in j.collect()] == ["zeta"]
