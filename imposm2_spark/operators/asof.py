@@ -20,6 +20,15 @@ groupBy over the combined stream, independent of match fan-out. Right rows at
 equal (key, ts) are resolved deterministically: the greatest `tiebreak` value
 wins in both directions.
 
+Skew: the window partitions by the join key, so one pathologically hot key
+(say, 1% of 10^12 events on a single key) serializes into one task — the same
+bound any per-key-ordered semantics has. The mitigation at that scale is
+time-bucketing: split the hot key's rows into time buckets, run the same
+union+window per (key, bucket), and resolve bucket-boundary left rows whose
+match is null with a second pass over the previous bucket's last right row —
+composable from this operator plus a per-bucket `last()` aggregate; not built
+in because no fixture here exhibits that profile.
+
 Semantics are pinned against a brute-force window-SQL oracle (DuckDB) in the
 driver row `asof_join_clicks_views` and against an in-test pandas brute force
 in tests/test_asof.py (equal-ts inclusivity, tolerance boundary, no-match
@@ -72,10 +81,28 @@ def asof_join(
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} missing from one side")
 
+    reserved = {"__ts", "__side", "__tie", "__r", "__l", "__m"}
+    clash = reserved.intersection(left.columns).union(
+        reserved.intersection(right.columns)
+    )
+    if clash:
+        raise ValueError(f"column names {sorted(clash)} are reserved by asof_join")
+
     rpay_cols = [c for c in right.columns if c not in keys and c != right_ts]
     if tiebreak is not None and tiebreak not in rpay_cols:
         raise ValueError(f"tiebreak {tiebreak!r} is not a non-key right column")
     lpay_cols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    # A suffixed right column colliding with a left output column would emit
+    # duplicate names that fail only on the NEXT select — fail loudly here.
+    out_left = keys + [left_ts] + lpay_cols
+    out_right = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in rpay_cols]
+    dupes = sorted(set(out_left).intersection(out_right))
+    if dupes:
+        raise ValueError(
+            f"suffixed right columns {dupes} collide with left output columns; "
+            f"rename them or pass a different suffix"
+        )
 
     tie_col: Column = (
         F.col(tiebreak)

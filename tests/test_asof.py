@@ -162,6 +162,20 @@ def test_asof_rejects_bad_args(spark):
         asof_join(left, right, on="key", tiebreak="nope")
 
 
+def test_asof_rejects_output_name_collisions(spark):
+    # right "lid" would suffix to "lid_r"; right "ts" suffixes to "ts_r" —
+    # fine. But a right column whose suffixed name equals a left column must
+    # fail loudly instead of emitting duplicate output names.
+    left = _mk(spark, [(1, _ts(0), 1)], "key long, ts timestamp, lid_r long")
+    right = _mk(spark, [(1, _ts(0), 2)], "key long, ts timestamp, lid long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="key")
+    # reserved internal names are rejected up front
+    left2 = _mk(spark, [(1, _ts(0), 1)], "key long, ts timestamp, __tie long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left2, right.drop("lid"), on="key")
+
+
 def test_asof_payloadless_left(spark):
     # a left side with only (key, ts) exercises the struct-pad branch
     left = _mk(spark, [(1, _ts(10))], "key long, ts timestamp")
