@@ -20,14 +20,19 @@ groupBy over the combined stream, independent of match fan-out. Right rows at
 equal (key, ts) are resolved deterministically: the greatest `tiebreak` value
 wins in both directions.
 
-Skew: the window partitions by the join key, so one pathologically hot key
-(say, 1% of 10^12 events on a single key) serializes into one task — the same
-bound any per-key-ordered semantics has. The mitigation at that scale is
-time-bucketing: split the hot key's rows into time buckets, run the same
-union+window per (key, bucket), and resolve bucket-boundary left rows whose
-match is null with a second pass over the previous bucket's last right row —
-composable from this operator plus a per-bucket `last()` aggregate; not built
-in because no fixture here exhibits that profile.
+Skew: with `bucket_us=None` the window partitions by the join key, so one
+pathologically hot key (say, 1% of 10^12 events on a single key) serializes
+into one task — the same bound any per-key-ordered semantics has. Passing
+`bucket_us` (a time-bucket width in microseconds) breaks that bound: both
+sides are additionally keyed by `floor(event_micros / bucket_us)`, the window
+runs per (key, bucket) — so a hot key's rows spread over as many tasks as it
+spans buckets — and left rows whose bucket holds no at-or-before right row
+are resolved by a second, tiny union+window pass over ONE representative
+right row per (key, bucket) (the bucket's nearest-to-boundary right), carried
+across buckets in the match direction. Output is IDENTICAL to the unbucketed
+operator for every bucket width (property-tested in tests/test_asof.py); the
+price is two extra exchanges on (key, bucket) and one on the per-bucket
+representative frame (≤ one row per key×bucket).
 
 Semantics are pinned against a brute-force window-SQL oracle (DuckDB) in the
 driver row `asof_join_clicks_views` and against an in-test pandas brute force
@@ -54,6 +59,7 @@ def asof_join(
     tolerance_us: int | None = None,
     tiebreak: str | None = None,
     suffix: str = "_r",
+    bucket_us: int | None = None,
 ) -> DataFrame:
     """Join each left row to the nearest right row on the same key.
 
@@ -63,6 +69,12 @@ def asof_join(
     tolerance_us: if set, matches farther than this many microseconds from the
     left timestamp are nulled out (the left row is still emitted — this is a
     LEFT join; unmatched rows carry null right columns).
+
+    bucket_us: if set, partitions the ordering window by (key, time bucket of
+    this width in microseconds) instead of key alone — the hot-key skew
+    mitigation (module docstring). Result is identical for any width; pick a
+    width that splits the hottest key into roughly cluster-parallelism many
+    buckets (e.g. a day of events per bucket).
 
     tiebreak: right column deciding ties among right rows sharing (key, ts);
     the greatest value wins. Defaults to a deterministic hash of the right
@@ -81,7 +93,10 @@ def asof_join(
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} missing from one side")
 
-    reserved = {"__ts", "__side", "__tie", "__r", "__l", "__m"}
+    if bucket_us is not None and (not isinstance(bucket_us, int) or bucket_us <= 0):
+        raise ValueError(f"bucket_us must be a positive int, got {bucket_us!r}")
+
+    reserved = {"__ts", "__side", "__tie", "__r", "__l", "__m", "__bkt", "__fside", "__c", "__rn"}
     clash = reserved.intersection(left.columns).union(
         reserved.intersection(right.columns)
     )
@@ -141,18 +156,79 @@ def asof_join(
     )
     both = l_tagged.unionByName(r_tagged)
 
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    backward = direction == "backward"
+    part_cols = [F.col(k) for k in keys]
+    if bucket_us is not None:
+        # Epoch-anchored micros of the event time, typed to whichever
+        # timestamp flavor the union resolved (timestamp_diff accepts both
+        # TIMESTAMP and TIMESTAMP_NTZ; unix_micros rejects NTZ).
+        ts_type = both.schema["__ts"].dataType
+        epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+        micros = F.timestamp_diff("MICROSECOND", epoch, F.col("__ts"))
+        # floor() rounds toward -inf, so pre-epoch timestamps bucket
+        # consistently too.
+        both = both.withColumn("__bkt", F.floor(micros / F.lit(int(bucket_us))))
+        part_cols = part_cols + [F.col("__bkt")]
+
+    ts_order = F.col("__ts").asc() if backward else F.col("__ts").desc()
     # At equal __ts the right row (side 0) sorts before the left row, so the
     # inclusive match sees it; among equal-ts rights, ascending __tie makes
     # last() pick the greatest tiebreak. Nulls-first keeps left rows' null
     # __tie from sorting after right rows.
     w = (
-        W.partitionBy(*[F.col(k) for k in keys])
+        W.partitionBy(*part_cols)
         .orderBy(ts_order, F.col("__side").asc(), F.col("__tie").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = F.last("__r", ignorenulls=True).over(w)
     out = both.withColumn("__m", matched).where(F.col("__side") == 1)
+
+    if bucket_us is not None:
+        # Cross-bucket fix-up: a left row whose bucket holds no at-or-before
+        # (resp. at-or-after) right row takes the nearest-to-boundary right of
+        # the nearest non-empty bucket in the match direction. One
+        # representative per (key, bucket) — the greatest-(ts, tie) right for
+        # backward, the least-ts/greatest-tie right for forward (the same row
+        # the unbucketed window would pick) — then the module's own
+        # union+window trick one level up: probe rows (buckets that need a
+        # carry) sort BEFORE representatives within their own bucket, so
+        # last(ignorenulls) over the bucket ordering sees strictly
+        # earlier/later buckets only. The carried frame is ≤ one row per
+        # key×bucket on each side — tiny next to the data.
+        rep_order = (
+            [F.col("__ts").desc(), F.col("__tie").desc_nulls_last()]
+            if backward
+            else [F.col("__ts").asc(), F.col("__tie").desc_nulls_last()]
+        )
+        w_rep = W.partitionBy(*part_cols).orderBy(*rep_order)
+        reps = (
+            both.where(F.col("__side") == 0)
+            .withColumn("__rn", F.row_number().over(w_rep))
+            .where(F.col("__rn") == 1)
+            .select(*keys, "__bkt", F.lit(1).alias("__fside"), "__r")
+        )
+        probes = (
+            out.where(F.col("__m").isNull())
+            .select(*keys, "__bkt")
+            .distinct()
+            .withColumn("__fside", F.lit(0))
+            .withColumn("__r", F.lit(None).cast(r_type))
+        )
+        bkt_order = F.col("__bkt").asc() if backward else F.col("__bkt").desc()
+        w_carry = (
+            W.partitionBy(*[F.col(k) for k in keys])
+            .orderBy(bkt_order, F.col("__fside").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = (
+            probes.unionByName(reps)
+            .withColumn("__c", F.last("__r", ignorenulls=True).over(w_carry))
+            .where(F.col("__fside") == 0)
+            .select(*keys, "__bkt", "__c")
+        )
+        out = out.join(carried, on=keys + ["__bkt"], how="left").withColumn(
+            "__m", F.coalesce(F.col("__m"), F.col("__c"))
+        )
 
     if tolerance_us is not None:
         # timestamp_diff handles both TIMESTAMP and TIMESTAMP_NTZ inputs

@@ -197,3 +197,71 @@ def test_asof_string_tiebreak_stays_deterministic(spark):
     )
     j = asof_join(left, right, on="key", tiebreak="tag")
     assert [r["tag_r"] for r in j.collect()] == ["zeta"]
+
+
+# --- bucket_us hot-key mitigation: output must be IDENTICAL for any width ---
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("bucket_min", [1, 7, 10**7])
+def test_asof_bucketed_identical_to_unbucketed(spark, direction, bucket_min):
+    # widths straddle the fixture: 1 min (every row its own bucket), 7 min
+    # (boundary-crossing carries), 10^7 min (one bucket -> fix-up no-ops)
+    bucket_us = int(bucket_min * 60 * 1e6)
+    for tol in (None, int(170 * 60 * 1e6), int(170 * 60 * 1e6) - 1):
+        got = _spark_result(spark, direction, tolerance_us=tol)
+        left = _mk(spark, LEFT, "key long, ts timestamp, lid long")
+        right = _mk(spark, RIGHT, "key long, ts timestamp, rid long")
+        jb = asof_join(
+            left, right, on="key", direction=direction,
+            tolerance_us=tol, tiebreak="rid", bucket_us=bucket_us,
+        )
+        got_b = {
+            r["lid"]: (r["rid_r"], r["ts_r"]) if r["rid_r"] is not None else None
+            for r in jb.collect()
+        }
+        assert got_b == got, f"bucketed != unbucketed at {bucket_min=} {tol=}"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_bucketed_hot_key(spark, direction):
+    # one key carrying everything -- the profile bucket_us exists for. LCG
+    # timestamps; right rows sparse so many buckets need a cross-bucket carry.
+    state, lrows, rrows = 12345, [], []
+    for i in range(400):
+        state = (state * 1103515245 + 12345) % (2**31)
+        m = state % 5000
+        if i % 4 == 0:
+            rrows.append((7, _ts(m), 1000 + i))
+        else:
+            lrows.append((7, _ts(m), i))
+    left = _mk(spark, lrows, "key long, ts timestamp, lid long")
+    right = _mk(spark, rrows, "key long, ts timestamp, rid long")
+    base = asof_join(left, right, on="key", direction=direction, tiebreak="rid")
+    want = sorted(map(tuple, base.collect()))
+    for bucket_min in (13, 251):
+        jb = asof_join(
+            left, right, on="key", direction=direction, tiebreak="rid",
+            bucket_us=int(bucket_min * 60 * 1e6),
+        )
+        assert sorted(map(tuple, jb.collect())) == want, f"{bucket_min=}"
+
+
+def test_asof_bucketed_plan_partitions_by_bucket(spark):
+    left = _mk(spark, LEFT, "key long, ts timestamp, lid long")
+    right = _mk(spark, RIGHT, "key long, ts timestamp, rid long")
+    j = asof_join(left, right, on="key", tiebreak="rid", bucket_us=60_000_000)
+    p = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+    # the hot-key window must hash on (key, __bkt), and the fix-up must not
+    # introduce a nested-loop/cartesian anywhere
+    assert re.search(r"hashpartitioning\(key#\d+L, __bkt#\d+L", p), p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_asof_bucketed_rejects_bad_width(spark):
+    left = _mk(spark, [(1, _ts(0), 1)], "key long, ts timestamp, lid long")
+    right = _mk(spark, [(1, _ts(0), 2)], "key long, ts timestamp, rid long")
+    with pytest.raises(ValueError, match="bucket_us"):
+        asof_join(left, right, on="key", bucket_us=0)
+    with pytest.raises(ValueError, match="bucket_us"):
+        asof_join(left, right, on="key", bucket_us=1.5)
