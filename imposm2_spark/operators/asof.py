@@ -30,9 +30,11 @@ spans buckets — and left rows whose bucket holds no at-or-before right row
 are resolved by a second, tiny union+window pass over ONE representative
 right row per (key, bucket) (the bucket's nearest-to-boundary right), carried
 across buckets in the match direction. Output is IDENTICAL to the unbucketed
-operator for every bucket width (property-tested in tests/test_asof.py); the
-price is two extra exchanges on (key, bucket) and one on the per-bucket
-representative frame (≤ one row per key×bucket).
+operator for every bucket width — including null keys and null timestamps —
+(property-tested in tests/test_asof.py); the price is two extra passes over
+the union (the probe distinct and the representative row_number window, both
+exchanging on (key, bucket)), one window over the tiny carried frame (≤ one
+row per key×bucket per side), and a null-safe join-back.
 
 Semantics are pinned against a brute-force window-SQL oracle (DuckDB) in the
 driver row `asof_join_clicks_views` and against an in-test pandas brute force
@@ -207,13 +209,23 @@ def asof_join(
             .where(F.col("__rn") == 1)
             .select(*keys, "__bkt", F.lit(1).alias("__fside"), "__r")
         )
+        # probe EVERY left (key, bucket) — not just the ones whose in-bucket
+        # match was null. That would read `out` (the fully-windowed frame)
+        # twice, re-running the main sort+window over all the data; probing
+        # from the pre-window union is one cheap distinct, and carried values
+        # for buckets that already matched in-bucket are simply ignored by
+        # the coalesce below.
         probes = (
-            out.where(F.col("__m").isNull())
+            both.where(F.col("__side") == 1)
             .select(*keys, "__bkt")
             .distinct()
             .withColumn("__fside", F.lit(0))
             .withColumn("__r", F.lit(None).cast(r_type))
         )
+        # A null __bkt (null event time) sorts exactly where the unbucketed
+        # window puts null timestamps: first under asc (backward — sees no
+        # rep), last under desc (forward — sees every rep, nearest = the
+        # earliest bucket's), so null-ts parity holds without special-casing.
         bkt_order = F.col("__bkt").asc() if backward else F.col("__bkt").desc()
         w_carry = (
             W.partitionBy(*[F.col(k) for k in keys])
@@ -226,16 +238,24 @@ def asof_join(
             .where(F.col("__fside") == 0)
             .select(*keys, "__bkt", "__c")
         )
-        out = out.join(carried, on=keys + ["__bkt"], how="left").withColumn(
-            "__m", F.coalesce(F.col("__m"), F.col("__c"))
-        )
+        # Null-SAFE equality on the join-back: window partitionBy groups null
+        # keys (and the null bucket) together, so plain `=` would silently
+        # drop every carried match for null-keyed or null-ts rows and break
+        # the identical-output contract.
+        o, c = out.alias("__o"), carried.alias("__cf")
+        cond = F.lit(True)
+        for k in [*keys, "__bkt"]:
+            cond = cond & F.col(f"__o.{k}").eqNullSafe(F.col(f"__cf.{k}"))
+        out = o.join(c, on=cond, how="left").select(
+            "__o.*", F.col("__cf.__c").alias("__c")
+        ).withColumn("__m", F.coalesce(F.col("__m"), F.col("__c")))
 
     if tolerance_us is not None:
         # timestamp_diff handles both TIMESTAMP and TIMESTAMP_NTZ inputs
         # (unix_micros rejects NTZ, the common parquet event type).
         lag = (
             F.timestamp_diff("MICROSECOND", F.col("__m.__rts"), F.col("__ts"))
-            if direction == "backward"
+            if backward
             else F.timestamp_diff("MICROSECOND", F.col("__ts"), F.col("__m.__rts"))
         )
         out = out.withColumn(

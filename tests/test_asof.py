@@ -265,3 +265,39 @@ def test_asof_bucketed_rejects_bad_width(spark):
         asof_join(left, right, on="key", bucket_us=0)
     with pytest.raises(ValueError, match="bucket_us"):
         asof_join(left, right, on="key", bucket_us=1.5)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_bucketed_null_ts_and_null_key_parity(spark, direction):
+    # the inputs where the identical-output contract is easiest to break:
+    # null event times (null bucket) and null join keys (window partitionBy
+    # groups nulls; a null-UNSAFE fix-up join would drop their carries)
+    lrows = [
+        (1, None, 300),          # null ts, real key
+        (None, _ts(20), 301),    # null key, real ts
+        (None, None, 302),       # both null
+        (1, _ts(40), 303),       # real row needing a cross-bucket carry
+    ]
+    rrows = [
+        (1, _ts(5), 30),
+        (1, _ts(25), 31),
+        (None, _ts(10), 32),     # right under the null key
+        (1, None, 33),           # null-ts right (most-distant fallback)
+    ]
+    left = _mk(spark, lrows, "key long, ts timestamp, lid long")
+    right = _mk(spark, rrows, "key long, ts timestamp, rid long")
+    nonesort = lambda rows: sorted(  # noqa: E731 — None-tolerant tuple sort
+        map(tuple, rows), key=lambda t: tuple((v is None, v) for v in t)
+    )
+    for tol in (None, int(30 * 60 * 1e6)):
+        base = asof_join(
+            left, right, on="key", direction=direction, tiebreak="rid", tolerance_us=tol
+        )
+        want = nonesort(base.collect())
+        for bucket_min in (1, 7, 10**7):
+            jb = asof_join(
+                left, right, on="key", direction=direction, tiebreak="rid",
+                tolerance_us=tol, bucket_us=int(bucket_min * 60 * 1e6),
+            )
+            got = nonesort(jb.collect())
+            assert got == want, f"{direction=} {tol=} {bucket_min=}"
