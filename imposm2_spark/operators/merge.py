@@ -85,22 +85,30 @@ def apply_diff(
         # r5 (update-loop hardening): reject a malformed change set — an op
         # outside the OSC vocabulary (or NULL) would silently act as a
         # modify (or a kept null-op row) instead of whatever the producer
-        # meant. One limit(1) probe on the diff side only — diffs are the
-        # small side of the operator by contract.
+        # meant; a NULL key would merge every null-id row into one winner;
+        # a NULL version always loses max_by and is silently dropped. One
+        # limit(1) probe on the diff side only — diffs are the small side
+        # of the operator by contract.
         bad = (
             # isNull spelled out: isin() is NULL (not false) for a NULL op,
             # and where(NULL) would let the malformed row slip through
             diff.where(
-                F.col(op_col).isNull() | ~F.col(op_col).isin(*allowed_ops)
+                F.col(op_col).isNull()
+                | ~F.col(op_col).isin(*allowed_ops)
+                | F.col(key).isNull()
+                | F.col(version_col).isNull()
             )
-            .select(op_col)
+            .select(key, version_col, op_col)
             .limit(1)
             .collect()
         )
         if bad:
+            r = bad[0]
             raise ValueError(
-                f"apply_diff: malformed diff — op {bad[0][0]!r} is outside "
-                f"allowed_ops {tuple(allowed_ops)}"
+                f"apply_diff: malformed diff row ({key}={r[0]!r}, "
+                f"{version_col}={r[1]!r}, op={r[2]!r}) — op must be in "
+                f"allowed_ops {tuple(allowed_ops)} and {key}/{version_col} "
+                "must be non-null"
             )
     if op_col not in base.columns:
         base = base.withColumn(op_col, F.lit("base"))

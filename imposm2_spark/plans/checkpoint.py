@@ -42,6 +42,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sources.catalog import atomic_write_json
+
 ENGINE_VERSION = "imposm2_spark/0.1"
 TMP_SUFFIX = ".__tmp__"
 MANIFEST = "_manifest.json"
@@ -85,8 +87,11 @@ class CheckpointManager:
     Two durable-commit strategies behind one seam (r5, r4 verdict stretch):
 
       * commit="rename" (default): write `<stage>.__tmp__`, one atomic
-        DIRECTORY rename publishes it. Correct on POSIX/HDFS; object stores
-        (S3-style) have no atomic dir rename — do not use there.
+        DIRECTORY rename publishes it. Correct on a driver-visible POSIX
+        filesystem (local disk, NFS mount); this layer's I/O is plain
+        `os`/`shutil`, so an `hdfs://`/`s3://` URI root is NOT supported —
+        object stores additionally lack atomic dir rename, which is what
+        commit="snapshot"'s pointer model exists for.
       * commit="snapshot": the Iceberg model on plain parquet. Every attempt
         writes into a fresh IMMUTABLE `<stage>/snap-<fp>-aNNN/` dir that is
         NEVER renamed; the commit is one tiny pointer write
@@ -143,18 +148,23 @@ class CheckpointManager:
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             return None
 
-    def _completed(self, stage_id: str, input_fingerprint: str) -> bool:
+    def _completed(self, stage_id: str, input_fingerprint: str) -> tuple[dict, str] | None:
+        """The validated (manifest, data_dir) pair when the stage is committed
+        for this fingerprint, else None — returned as a pair so the skip path
+        serves exactly what was validated (no re-read, no TOCTOU seam)."""
         m = self.manifest(stage_id)
         try:
-            success = os.path.exists(os.path.join(self.data_dir(stage_id), "_SUCCESS"))
+            data_dir = self.data_dir(stage_id)
         except KeyError:
-            return False
-        return bool(
+            return None
+        if (
             m
             and m.get("input_fingerprint") == input_fingerprint
             and m.get("engine_version") == ENGINE_VERSION
-            and success
-        )
+            and os.path.exists(os.path.join(data_dir, "_SUCCESS"))
+        ):
+            return m, data_dir
+        return None
 
     def _next_snapshot_name(self, stage_id: str, fp: str) -> str:
         """Unique immutable attempt dir: snap-<fp>-aNNN, NNN monotone from a
@@ -182,7 +192,28 @@ class CheckpointManager:
         if self.commit != "snapshot":
             return []
         sdir = self._dir(stage_id)
-        cur = self._current_snapshot(stage_id)
+        # A MISSING pointer means nothing was ever committed — every snap dir
+        # is a crashed attempt and GC-able. A PRESENT-but-unreadable pointer
+        # (e.g. truncated by power loss) is different: the snapshot it named
+        # is still committed data, and treating it as "no pointer" would
+        # rmtree the current snapshot. Refuse loudly instead.
+        ptr = self._pointer_path(stage_id)
+        if os.path.exists(ptr):
+            try:
+                with open(ptr) as f:
+                    cur = json.load(f).get("snapshot")
+            except (OSError, json.JSONDecodeError) as e:
+                raise RuntimeError(
+                    f"vacuum: pointer {ptr} exists but cannot be parsed ({e});"
+                    " refusing to GC — repair or remove the pointer first"
+                ) from e
+            if cur is None:
+                raise RuntimeError(
+                    f"vacuum: pointer {ptr} parses but names no snapshot;"
+                    " refusing to GC — repair or remove the pointer first"
+                )
+        else:
+            cur = None
         removed = []
         for name in os.listdir(sdir) if os.path.isdir(sdir) else []:
             if name.startswith("snap-") and name != cur:
@@ -193,6 +224,23 @@ class CheckpointManager:
                     os.unlink(os.path.join(sdir, name))
                     removed.append(name)
         return removed
+
+    def _parent_digest(self, stage_id: str, parent: str) -> str:
+        """The parent's manifest digest: in-process result first, on-disk
+        manifest as the cross-process fallback. A parent with NEITHER is an
+        ordering bug in the caller — silently folding an empty digest here
+        would freeze the child's fingerprint and later serve the child's
+        STALE checkpoint after the parent changed, so raise instead."""
+        if parent in self.results:
+            return self.results[parent].manifest.get("digest", "")
+        m = self.manifest(parent)
+        if m is not None:
+            return m.get("digest", "")
+        raise KeyError(
+            f"stage {stage_id!r} declares parent {parent!r}, but that stage"
+            " has neither run in this process nor committed a manifest under"
+            f" {self._dir(parent)} — run the parent first"
+        )
 
     def stage(
         self,
@@ -210,13 +258,13 @@ class CheckpointManager:
         invalidates the whole downstream chain automatically.
         """
         parent_digest = fingerprint_of(
-            *[self.results[p].manifest.get("digest", "") for p in parents if p in self.results]
+            *[self._parent_digest(stage_id, p) for p in parents]
         )
         fp = fingerprint_of(input_fingerprint, parent_digest)
 
-        if self._completed(stage_id, fp):
-            final_dir = self.data_dir(stage_id)
-            m = self.manifest(stage_id)
+        done = self._completed(stage_id, fp)
+        if done is not None:
+            m, final_dir = done
             self.results[stage_id] = StageResult(stage_id, final_dir, True, m)
             return spark.read.parquet(final_dir)
 
@@ -231,11 +279,19 @@ class CheckpointManager:
         else:
             final_dir = self._dir(stage_id)
             tmp_dir = final_dir + TMP_SUFFIX
-            # crashed/partial prior attempts: discard, never trust
-            for stale in (tmp_dir, final_dir):
-                if os.path.exists(stale):
-                    shutil.rmtree(stale)
+            # crashed/partial prior TMP attempts: discard, never trust. The
+            # committed final_dir, by contrast, is GOOD data (tasks commit
+            # atomically + we required _SUCCESS) that merely has a stale
+            # fingerprint — keep it readable for the whole rebuild and delete
+            # it only between the successful tmp write and the rename, so a
+            # failed build() never destroys the last committed checkpoint
+            # (review r5: the old delete-up-front left a no-data window the
+            # length of the rebuild).
+            if os.path.exists(tmp_dir):
+                shutil.rmtree(tmp_dir)
             build().write.mode("overwrite").parquet(tmp_dir)
+            if os.path.exists(final_dir):
+                shutil.rmtree(final_dir)
             os.rename(tmp_dir, final_dir)  # atomic publish (same filesystem)
         wall_s = round(time.perf_counter() - t0, 3)
 
@@ -254,26 +310,23 @@ class CheckpointManager:
         }
         # manifest lands INSIDE the data dir (immutable with its snapshot);
         # in snapshot mode the pointer write BELOW is the commit point — a
-        # fully-written snapshot stays invisible until the pointer flips
-        with open(os.path.join(final_dir, MANIFEST), "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+        # fully-written snapshot stays invisible until the pointer flips.
+        # Both writes go through the SHARED fsync'd atomic writer (review
+        # r5: the unsynced copies here could survive a power loss as
+        # zero-length JSON — for the pointer, exactly the corrupt-pointer
+        # state vacuum refuses on). A failed commit unlinks its own temp; a
+        # process KILL in the window can leave one — vacuum() sweeps ".cur_".
+        atomic_write_json(
+            os.path.join(final_dir, MANIFEST), manifest, prefix="._mtmp_", indent=1
+        )
         if self.commit == "snapshot":
-            import tempfile
-
-            fd, tmp = tempfile.mkstemp(dir=self._dir(stage_id), prefix=".cur_")
-            try:
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"snapshot": os.path.basename(final_dir)}, f)
-                # single small-object replace: os.replace locally; on an
-                # object store this maps to one PUT of _current.json
-                # (last-writer-wins)
-                os.replace(tmp, self._pointer_path(stage_id))
-            except BaseException:
-                # a failed commit must not litter the stage dir; a process
-                # KILL in this window still can — vacuum() sweeps those
-                with contextlib.suppress(OSError):
-                    os.unlink(tmp)
-                raise
+            # single small-object replace: os.replace locally; on an object
+            # store this maps to one PUT of _current.json (last-writer-wins)
+            atomic_write_json(
+                self._pointer_path(stage_id),
+                {"snapshot": os.path.basename(final_dir)},
+                prefix=".cur_",
+            )
         self.results[stage_id] = StageResult(stage_id, final_dir, False, manifest)
         return spark.read.parquet(final_dir)
 

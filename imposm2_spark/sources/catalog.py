@@ -31,6 +31,37 @@ from ..functions.spatial import cell_encode_col
 CURRENT = "CURRENT"
 
 
+def atomic_write_json(path: str, obj, *, prefix: str = ".tmp_", indent: int | None = None) -> None:
+    """Durably + atomically replace `path` with `obj` as JSON: temp file in
+    the target directory, fsync the data, os.replace, fsync the directory.
+    Without the fsyncs, ext4 delayed allocation can journal the rename before
+    the data blocks land — power loss then leaves a ZERO-LENGTH pointer file
+    (the hazard Deploy.publish documents). Shared by Deploy.publish and the
+    checkpoint manager's snapshot-pointer/manifest commits (review r5: the
+    checkpoint copy had drifted and omitted both fsyncs). A failed write
+    unlinks its own temp; a SIGKILL inside the window can leave one — give
+    sweepable prefixes to callers that GC (checkpoint vacuum uses ".cur_")."""
+    import contextlib
+
+    d = os.path.dirname(path) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=prefix)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, sort_keys=True, indent=indent)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def write_spatial(
     df: DataFrame,
     path: str,
@@ -96,7 +127,6 @@ class Deploy:
         loop per table against one deploy root) cannot lose each other's
         update. On rename-less object stores, use the checkpoint manager's
         snapshot-pointer model instead (plans/checkpoint.py)."""
-        import contextlib
         import fcntl
 
         lock_path = os.path.join(self.root, ".publish.lock")
@@ -104,22 +134,7 @@ class Deploy:
             fcntl.flock(lock, fcntl.LOCK_EX)
             new = dict(self.current())
             new.update(staged)
-            fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".current_")
-            try:
-                with os.fdopen(fd, "w") as f:
-                    json.dump(new, f, sort_keys=True)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, self._pointer_path())
-            except BaseException:
-                with contextlib.suppress(OSError):
-                    os.unlink(tmp)
-                raise
-            dfd = os.open(self.root, os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
+            atomic_write_json(self._pointer_path(), new, prefix=".current_")
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.table_path(table))

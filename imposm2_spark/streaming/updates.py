@@ -102,10 +102,11 @@ def stream_updates(
         staged = deploy.stage(table, nxt, lon=None, lat=None)
         deploy.publish({table: staged})
 
-    writer = (
-        diffs.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    # no outputMode: Spark ignores it under foreachBatch (delivery semantics
+    # live entirely in _apply), so setting one would only suggest update-mode
+    # state semantics this query does not have
+    writer = diffs.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

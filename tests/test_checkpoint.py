@@ -324,3 +324,85 @@ def test_failed_pointer_commit_unlinks_its_temp(spark, root, monkeypatch):
         )
     sdir = os.path.join(root, "stage1")
     assert not [n for n in os.listdir(sdir) if n.startswith(".cur_")]
+
+
+def test_failed_rebuild_keeps_previous_committed_output(spark, root):
+    """Review r5: a stage whose input fingerprint changed must keep its LAST
+    COMMITTED parquet readable until the replacement is fully written — the
+    old delete-up-front left a no-data window the length of the rebuild, so
+    a failing build() destroyed the only good checkpoint."""
+    mgr = CheckpointManager(root)
+    mgr.stage(
+        spark, "stage1",
+        lambda: spark.range(10).select(F.col("id")), input_fingerprint="v1",
+    )
+    final_dir = mgr.data_dir("stage1")
+    assert spark.read.parquet(final_dir).count() == 10
+
+    def exploding():
+        raise RuntimeError("rebuild blew up")
+
+    with pytest.raises(RuntimeError, match="rebuild blew up"):
+        mgr.stage(spark, "stage1", exploding, input_fingerprint="v2")
+    # the committed v1 output is still there and still readable
+    assert spark.read.parquet(final_dir).count() == 10
+    m = mgr.manifest("stage1")
+    assert m is not None and m["input_fingerprint"] == fingerprint_of(
+        "v1", fingerprint_of()
+    )
+    # and a successful retry still replaces it
+    df = mgr.stage(
+        spark, "stage1",
+        lambda: spark.range(7).select(F.col("id")), input_fingerprint="v2",
+    )
+    assert df.count() == 7
+
+
+def test_vacuum_refuses_on_corrupt_pointer(spark, root):
+    """Review r5: a pointer file that EXISTS but cannot be parsed (truncated
+    by power loss) must stop vacuum — treating it as 'no pointer' would
+    rmtree the committed current snapshot it referenced."""
+    calls = []
+    mgr, _ = _run_snapshot_pipeline(spark, root, calls)
+    sdir = os.path.join(root, "stage1")
+    snaps_before = sorted(n for n in os.listdir(sdir) if n.startswith("snap-"))
+    with open(os.path.join(sdir, "_current.json"), "w") as f:
+        f.write('{"snapsh')  # truncated mid-write
+    with pytest.raises(RuntimeError, match="refusing to GC"):
+        mgr.vacuum("stage1")
+    assert sorted(n for n in os.listdir(sdir) if n.startswith("snap-")) == snaps_before
+    # a parseable pointer that names no snapshot is equally refused
+    with open(os.path.join(sdir, "_current.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="names no snapshot"):
+        mgr.vacuum("stage1")
+    assert sorted(n for n in os.listdir(sdir) if n.startswith("snap-")) == snaps_before
+
+
+def test_parent_digest_cross_process_and_missing(spark, root):
+    """Review r5: a parent absent from the in-process results dict must fall
+    back to its ON-DISK manifest digest (cross-process resume computes the
+    same child fingerprint and skips), and a parent with neither must raise —
+    silently folding an empty digest would freeze the child's fingerprint and
+    later serve a STALE child checkpoint after the parent changed."""
+    calls = []
+    _run_pipeline(spark, root, calls)
+    assert calls == ["s1", "s2"]
+
+    # fresh manager, child called WITHOUT staging the parent in-process:
+    # on-disk fallback must yield the same fingerprint -> skip, not rebuild
+    mgr2 = CheckpointManager(root)
+    ran = []
+
+    def s2():
+        ran.append("s2")
+        return spark.range(1).select(F.col("id"))
+
+    mgr2.stage(spark, "stage2", s2, parents=("stage1",))
+    assert ran == []
+    assert mgr2.results["stage2"].skipped
+
+    # a parent that never ran anywhere: loud, not silent
+    mgr3 = CheckpointManager(str(root) + "_empty")
+    with pytest.raises(KeyError, match="run the parent first"):
+        mgr3.stage(spark, "child", s2, parents=("ghost",))

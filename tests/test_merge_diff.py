@@ -3,6 +3,7 @@ the single-aggregation plan shape."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from imposm2_spark.operators.merge import apply_diff
@@ -137,3 +138,31 @@ def test_apply_diff_schema_check_precedes_op_probe(spark):
         apply_diff(
             base, diff, key="id", allowed_ops=("create", "modify", "delete")
         )
+
+
+def test_apply_diff_rejects_null_key_and_null_version(spark):
+    """Review r5: the malformed-diff probe must catch NULL keys (all null-id
+    rows would merge into ONE winner) and NULL versions (the row always loses
+    max_by and is silently dropped), not just out-of-vocabulary ops."""
+    from imposm2_spark.operators.merge import apply_diff
+
+    base = spark.createDataFrame(
+        [(1, 1, "x")], "id long, version long, payload string"
+    )
+    ops = ("create", "modify", "delete")
+    null_key = spark.createDataFrame(
+        [(None, 5, "create", "y")], "id long, version long, op string, payload string"
+    )
+    with pytest.raises(ValueError, match="malformed diff row"):
+        apply_diff(base, null_key, key="id", allowed_ops=ops)
+    null_version = spark.createDataFrame(
+        [(2, None, "create", "y")], "id long, version long, op string, payload string"
+    )
+    with pytest.raises(ValueError, match="malformed diff row"):
+        apply_diff(base, null_version, key="id", allowed_ops=ops)
+    # and a clean diff still applies (the probe is a gate, not a filter)
+    ok = spark.createDataFrame(
+        [(2, 5, "create", "y")], "id long, version long, op string, payload string"
+    )
+    got = apply_diff(base, ok, key="id", allowed_ops=ops)
+    assert got.count() == 2
