@@ -21,6 +21,16 @@ in the same order) reproduces similarities bit-for-bit; ranks are ints.
 Hyperplanes are NOT runtime-random: they derive from a fixed integer LCG
 (seeded by plane/dim index) so signatures are stable across runs/sessions —
 a resume/lineage requirement (SURVEY.md §2.9).
+
+Zero-norm vectors (empty-text/padding embeddings) have no direction: their
+cosine against anything is NULL (0/0), so they are EXCLUDED from every
+top-k result (the rank helper filters NULL sims — without that filter a
+zero corpus vector would still take a row_number rank) and never satisfy a
+near-dup threshold. Callers wanting zero-vector pairs must handle them
+upstream. The DuckDB oracles compute 0/0 = NaN instead of NULL, which
+DuckDB sorts ABOVE all values — a divergence that never fires because the
+driver fixture contains no zero vectors; documenting it here so a future
+fixture change doesn't rediscover it as a hash mismatch.
 """
 
 from __future__ import annotations
@@ -49,12 +59,30 @@ def _norm2(a: F.Column) -> F.Column:
 
 
 def cosine_sim(a: F.Column, b: F.Column) -> F.Column:
-    """Exact cosine similarity, sequential-sum order (oracle-parallel)."""
-    return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
+    """Exact cosine similarity, sequential-sum order (oracle-parallel).
+
+    try_divide: a zero-norm vector yields NULL (no direction — module
+    docstring) instead of the ANSI-mode DIVIDE_BY_ZERO error; for nonzero
+    norms the value is bit-identical to plain division."""
+    return F.try_divide(_dot(a, b), F.sqrt(_norm2(a) * _norm2(b)))
 
 
 def _as_double(col: F.Column) -> F.Column:
     return col.cast("array<double>")
+
+
+def _rank_topk(cand: DataFrame, k: int, id_col: str, query_id: str) -> DataFrame:
+    """Shared top-k tail for all four search paths: NULL sims (zero-norm
+    vectors, module docstring) are excluded BEFORE ranking — desc ordering
+    puts NULLs last but row_number would still hand them ranks when a query
+    has fewer than k real candidates."""
+    w = W.partitionBy(query_id).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.where(F.col("_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "rank")
+    )
 
 
 def cosine_topk_brute(
@@ -78,14 +106,9 @@ def cosine_topk_brute(
         F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_q")
     ).withColumn("_qn", _norm2(F.col("_q")))
     cand = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id)).withColumn(
-        "_sim", _dot(F.col("_q"), F.col("_v")) / F.sqrt(F.col("_qn") * F.col("_nn"))
+        "_sim", F.try_divide(_dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn")))
     )
-    w = W.partitionBy(query_id).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, id_col, "rank")
-    )
+    return _rank_topk(cand, k, id_col, query_id)
 
 
 # ---------------------------------------------------------------------------
@@ -147,32 +170,42 @@ def cosine_topk_lsh(
     |corpus| / 4k per query instead of |corpus|. Recall vs brute is property-
     tested (tests/test_ann_dedup.py) on planted near-duplicates.
     """
+    # norms precomputed per side (O(n)), not per pair (review r5 — the brute
+    # and IVF paths already did this); dot/sqrt(qn*nn) folds in the same
+    # order as cosine_sim, so values stay bit-identical to the oracle
     c = corpus.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
         lsh_signature(F.col(vec_col)).alias("_sig"),
-    )
+    ).withColumn("_nn", _norm2(F.col("_v")))
     # UDF output must be materialized before lambda use (Catalyst forbids
     # Python UDF references inside higher-order-function lambdas)
-    q = queries.select(
-        F.col(id_col).alias(query_id),
-        _as_double(F.col(vec_col)).alias("_q"),
-        lsh_signature(F.col(vec_col)).alias("_qsig"),
-    ).select(
-        query_id, "_q", F.explode(_probe_signatures(F.col("_qsig"))).alias("_sig")
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id),
+            _as_double(F.col(vec_col)).alias("_q"),
+            lsh_signature(F.col(vec_col)).alias("_qsig"),
+        )
+        .withColumn("_qn", _norm2(F.col("_q")))
+        .select(
+            query_id,
+            "_q",
+            "_qn",
+            F.explode(_probe_signatures(F.col("_qsig"))).alias("_sig"),
+        )
     )
+    # no dropDuplicates needed (review r5): each corpus row carries exactly
+    # one _sig and _probe_signatures emits distinct sigs (array_union; the
+    # hamming-1 flips are pairwise distinct), so a (qid, vec_id) pair joins
+    # at most once — the dedup was a full extra shuffle of the candidate set
     cand = (
         c.join(F.broadcast(q), "_sig")
         .where(F.col(id_col) != F.col(query_id))
-        .dropDuplicates([query_id, id_col])
-        .withColumn("_sim", cosine_sim(F.col("_q"), F.col("_v")))
+        .withColumn(
+            "_sim", F.try_divide(_dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn")))
+        )
     )
-    w = W.partitionBy(query_id).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, id_col, "rank")
-    )
+    return _rank_topk(cand, k, id_col, query_id)
 
 
 # ---------------------------------------------------------------------------
@@ -300,15 +333,10 @@ def cosine_topk_ivf(
         c.join(F.broadcast(q), "_list")
         .where(F.col(id_col) != F.col(query_id))
         .withColumn(
-            "_sim", _dot(F.col("_q"), F.col("_v")) / F.sqrt(F.col("_qn") * F.col("_nn"))
+            "_sim", F.try_divide(_dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn")))
         )
     )
-    w = W.partitionBy(query_id).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, id_col, "rank")
-    )
+    return _rank_topk(cand, k, id_col, query_id)
 
 
 def write_ivf_index(
@@ -403,25 +431,32 @@ def append_ivf_index(
     the driver oracle gate for this path).
 
     Returns {n_appended, frac_appended, min_drift_cos, retrain_recommended,
-    drift: {list_id: cos}}. The sidecar overwrite is not atomic on
-    rename-less object stores — same caveat as plans/checkpoint.py."""
+    drift: {list_id: cos}}.
+
+    Failure contract (review r5): the batch is first STAGED to
+    `<path>__staging__` (one committed write — the read-back is what gets
+    appended AND what the stats describe, so even a nondeterministic
+    `new_rows` lineage (sample/limit/moving landing dir) cannot diverge the
+    two; a persist() would NOT survive executor loss, whose recompute
+    re-evaluates the lineage). A crash BEFORE the append leaves the index
+    untouched (staging is overwritten next attempt); a crash BETWEEN the
+    append and the sidecar write leaves the sidecar stale — detectable with
+    `verify_ivf_index`, repaired by rebuilding via write_ivf_index. Retrying
+    a FAILED append double-appends the batch (plain parquet has no
+    multi-file atomic commit; that is Iceberg's job) — verify first. Single
+    writer per index, as with the checkpoint manager."""
     meta = spark.read.parquet(_centroids_path(path)).collect()
     meta.sort(key=lambda r: r["list_id"])
     centroids = np.asarray([list(r["vec"]) for r in meta], dtype=np.float64)
     assign = _make_assign_udf(centroids)
     assigned = new_rows.withColumn("_list", assign(F.col(vec_col)))
-    # persist pins ONE evaluation of the assign lineage across the data
-    # write and the sidecar stats: the append mixes into existing list
-    # partitions, so the write-then-read-back trick write_ivf_index uses is
-    # unavailable here, and a nondeterministic `new_rows` lineage (sample,
-    # limit, a re-read of a moving landing dir) re-evaluated twice would
-    # let the sidecar stats describe rows that were never appended
-    assigned = assigned.persist()
-    try:
-        assigned.write.mode("append").partitionBy("_list").parquet(path)
-        batch = _list_stats(assigned, vec_col)
-    finally:
-        assigned.unpersist()
+    staging = path.rstrip("/") + "__staging__"
+    assigned.write.mode("overwrite").partitionBy("_list").parquet(staging)
+    # explicit schema: an EMPTY batch writes no part files and inference
+    # would fail; the schema also keeps _list typed int across the round-trip
+    back = spark.read.schema(assigned.schema).parquet(staging)
+    back.write.mode("append").partitionBy("_list").parquet(path)
+    batch = _list_stats(back, vec_col)
     stats, n_base = {}, 0
     for r in meta:
         n_base = int(r["n_base"])
@@ -448,6 +483,36 @@ def append_ivf_index(
             min_drift < drift_cos_floor or frac > max_appended_frac
         ),
         "drift": drift,
+    }
+
+
+def verify_ivf_index(spark, path: str, vec_col: str = "embedding") -> dict:
+    """Detect index/sidecar divergence (review r5): recompute per-list
+    (n, sumvec) from the index data and compare against the sidecar. A crash
+    between append_ivf_index's data append and its sidecar write — or a
+    blind retry of a failed append — leaves the two inconsistent; this is
+    the cheap detector (one map-side-combinable agg over the index, the same
+    _list_stats the writers use). Returns {consistent, mismatched_lists,
+    n_index, n_sidecar}; on inconsistency, rebuild with write_ivf_index
+    (or re-derive the sidecar from the index if centroids are trusted)."""
+    actual = _list_stats(spark.read.parquet(path), vec_col)
+    meta = spark.read.parquet(_centroids_path(path)).collect()
+    mismatched = []
+    n_sidecar = 0
+    for r in meta:
+        n_sidecar += int(r["n"])
+        a_n, a_s = actual.get(int(r["list_id"]), (0, np.zeros(len(r["sumvec"]))))
+        s = np.asarray(list(r["sumvec"]), dtype=np.float64)
+        if a_n != int(r["n"]) or not np.allclose(a_s, s, rtol=1e-9, atol=1e-6):
+            mismatched.append(int(r["list_id"]))
+    extra = sorted(set(actual) - {int(r["list_id"]) for r in meta})
+    mismatched.extend(extra)
+    n_index = sum(n for n, _ in actual.values())
+    return {
+        "consistent": not mismatched,
+        "mismatched_lists": sorted(mismatched),
+        "n_index": n_index,
+        "n_sidecar": n_sidecar,
     }
 
 
@@ -509,15 +574,12 @@ def cosine_topk_ivf_indexed(
         .where(F.col(id_col) != F.col(query_id))
         .withColumn(
             "_sim",
-            _dot(F.col("_q"), F.col("_v")) / F.sqrt(F.col("_qn") * F.col("_nn")),
+            F.try_divide(
+                _dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn"))
+            ),
         )
     )
-    w = W.partitionBy(query_id).orderBy(F.col("_sim").desc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, id_col, "rank")
-    )
+    return _rank_topk(cand, k, id_col, query_id)
 
 
 def embedding_neardup_window(
@@ -534,23 +596,35 @@ def embedding_neardup_window(
     the candidate ids are GENERATED (explode of 1..window) and both sides
     attach by equi-join — two hash joins, |corpus| x window scored pairs,
     and the cosine is computed exactly once per pair."""
+    if window < 1:
+        # F.sequence(1, 0) would COUNT DOWN (default step -1), emitting
+        # distance-0 self-pairs with sim 1.0 that pass any threshold
+        raise ValueError(f"window must be >= 1, got {window}")
     pair_ids = corpus.select(
         F.col(id_col).alias("vec_a"),
         F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_d"),
     ).select("vec_a", (F.col("vec_a") + F.col("_d")).alias("vec_b"))
     a = corpus.select(
         F.col(id_col).alias("vec_a"), _as_double(F.col(vec_col)).alias("_va")
-    )
+    ).withColumn("_na", _norm2(F.col("_va")))
     b = corpus.select(
         F.col(id_col).alias("vec_b"), _as_double(F.col(vec_col)).alias("_vb")
-    )
+    ).withColumn("_nb", _norm2(F.col("_vb")))
+    # per-side norm precompute; dot/sqrt(na*nb) folds identically to
+    # cosine_sim, so the rounded sim matches the oracle bit-for-bit
     return (
         pair_ids.join(a, "vec_a")
         .join(b, "vec_b")  # inner join drops ids past the corpus end
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 9).alias("sim"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("_va"), F.col("_vb")),
+                    F.sqrt(F.col("_na") * F.col("_nb")),
+                ),
+                9,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -561,29 +635,65 @@ def embedding_neardup_lsh(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int = 10_000,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs at scale: signature-bucket self-join + exact verify."""
+    """Near-dup pairs at scale: signature-bucket self-join + exact verify.
+
+    `max_bucket=None` disables the hot-bucket cap (same convention as
+    dedup.minhash_lsh_pairs — review r5: `count <= None` evaluated to NULL
+    and silently dropped the ENTIRE corpus). Capped drops are not silent:
+    `embedding_neardup_dropped_buckets` is the accounting twin."""
     c = corpus.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
         lsh_signature(F.col(vec_col)).alias("_sig"),
-    )
-    counts = c.groupBy("_sig").count()
-    c = c.join(
-        F.broadcast(counts.where(F.col("count") <= max_bucket).drop("count")),
-        "_sig",
-        "left_semi",
-    )
-    a = c.select(F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"), "_sig")
-    b = c.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"), "_sig")
-    pairs = a.join(b, "_sig").where(F.col("vec_b") > F.col("vec_a"))
-    return (
-        pairs.select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 9).alias("sim"),
+    ).withColumn("_n2", _norm2(F.col("_v")))
+    if max_bucket is not None:
+        counts = c.groupBy("_sig").count()
+        c = c.join(
+            F.broadcast(counts.where(F.col("count") <= max_bucket).drop("count")),
+            "_sig",
+            "left_semi",
         )
-        .where(F.col("sim") >= threshold)
-        .dropDuplicates(["vec_a", "vec_b"])
+    a = c.select(
+        F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"),
+        F.col("_n2").alias("_na"), "_sig",
+    )
+    b = c.select(
+        F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"),
+        F.col("_n2").alias("_nb"), "_sig",
+    )
+    pairs = a.join(b, "_sig").where(F.col("vec_b") > F.col("vec_a"))
+    # no dropDuplicates (review r5): each row carries exactly one _sig, so a
+    # (vec_a, vec_b) pair joins at most once; per-side norm precompute folds
+    # identically to cosine_sim (oracle bit-parity preserved)
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            F.try_divide(
+                _dot(F.col("_va"), F.col("_vb")), F.sqrt(F.col("_na") * F.col("_nb"))
+            ),
+            9,
+        ).alias("sim"),
+    ).where(F.col("sim") >= threshold)
+
+
+def embedding_neardup_dropped_buckets(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """No-silent-caps accounting for embedding_neardup_lsh's `max_bucket`
+    (review r5 — mirrors dedup.minhash_dropped_buckets): the (sig, n_vecs)
+    buckets the cap excluded from candidate generation. Hot signature
+    buckets are exactly where boilerplate/exact-dup embeddings concentrate,
+    so run this alongside a capped pass to quantify the recall loss; an
+    empty result proves the cap never fired."""
+    sigs = corpus.select(lsh_signature(F.col(vec_col)).alias("_sig"))
+    return (
+        sigs.groupBy("_sig")
+        .agg(F.count("*").alias("n_vecs"))
+        .where(F.col("n_vecs") > max_bucket)
+        .select(F.col("_sig").alias("sig"), "n_vecs")
     )

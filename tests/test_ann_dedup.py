@@ -460,13 +460,15 @@ def test_ivf_append_query_unique_dir_and_predecessor_gc(spark):
 
 
 def test_ivf_append_pins_one_evaluation_and_leaves_no_cache(spark, tmp_path):
-    """Review r5: append_ivf_index persists the assigned batch across the
-    data write and the sidecar stats — a nondeterministic new_rows lineage,
-    evaluated once for the write and again for the stats (the pre-fix
-    shape), would let the sidecar describe vectors that were never appended.
-    Gate: with a jittering (nondeterministic) batch, the sidecar's per-list
-    sumvec must equal the sums over the rows ACTUALLY in the index files;
-    and the operator unpersists its pin before returning."""
+    """Review r5: append_ivf_index must evaluate the assigned batch ONCE for
+    both the data append and the sidecar stats — a nondeterministic new_rows
+    lineage, evaluated once for the write and again for the stats (the
+    pre-fix shape), would let the sidecar describe vectors that were never
+    appended. The operator pins the evaluation by STAGING the batch to
+    committed parquet and appending/statting the read-back (a persist would
+    not survive executor loss). Gate: with a jittering (nondeterministic)
+    batch, the sidecar's per-list sumvec must equal the sums over the rows
+    ACTUALLY in the index files; and no cache is left behind."""
     from pyspark.sql.functions import pandas_udf
 
     from imposm2_spark.operators.ann import append_ivf_index, write_ivf_index
@@ -544,3 +546,99 @@ def test_cc_preserves_caller_cached_pairs(spark):
         assert pairs.is_cached, "caller's cache was clobbered"
     finally:
         pairs.unpersist()
+
+
+def test_zero_norm_vectors_excluded_from_topk(spark):
+    """Review r5: a zero-norm vector has NULL cosine against everything;
+    desc ordering puts NULLs last but row_number would still hand them
+    ranks — with k > the real candidate count, zero vectors leaked into the
+    top-k output on every search path pre-fix."""
+    from imposm2_spark.operators.ann import cosine_topk_brute, cosine_topk_lsh
+
+    rows = [(0, [1.0] * 64), (1, [0.5] * 64), (2, [0.0] * 64), (3, [0.0] * 64)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    for fn in (cosine_topk_brute, cosine_topk_lsh):
+        got = fn(emb, q, k=4).collect()
+        ids = {r.vec_id for r in got}
+        assert 2 not in ids and 3 not in ids, fn.__name__
+        assert ids == {1}, fn.__name__  # only the one real candidate
+        # and a zero QUERY returns no rows rather than arbitrary ranks
+        qz = emb.where(F.col("vec_id") == 2)
+        assert fn(emb, qz, k=2).count() == 0, fn.__name__
+
+
+def test_neardup_window_rejects_nonpositive_window(spark):
+    """Review r5: F.sequence(1, 0) counts DOWN, emitting distance-0
+    self-pairs with sim 1.0 — window < 1 must fail loudly instead."""
+    from imposm2_spark.operators.ann import embedding_neardup_window
+
+    emb = _emb_df(spark, n=10)
+    for w in (0, -3):
+        with pytest.raises(ValueError, match="window"):
+            embedding_neardup_window(emb, threshold=0.9, window=w)
+
+
+def test_neardup_lsh_none_cap_and_dropped_buckets(spark):
+    """Review r5: max_bucket=None must DISABLE the hot-bucket cap (the
+    sibling minhash_lsh_pairs convention) — pre-fix `count <= None` was
+    NULL and silently dropped the whole corpus; and capped drops get the
+    same accounting twin the minhash path has."""
+    from imposm2_spark.operators.ann import (
+        embedding_neardup_dropped_buckets,
+        embedding_neardup_lsh,
+    )
+
+    emb = _emb_df(spark, n=60)
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_lsh(emb, threshold=0.9).collect()
+    }
+    uncapped = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_lsh(emb, threshold=0.9, max_bucket=None).collect()
+    }
+    assert uncapped and uncapped == capped  # no hot buckets at n=60
+    # force the cap to fire: every planted pair shares its bucket, so a
+    # max_bucket below the largest signature bucket must drop pairs AND
+    # surface them in the accounting twin
+    dropped = embedding_neardup_dropped_buckets(emb, max_bucket=1).collect()
+    assert dropped and all(r.n_vecs > 1 for r in dropped)
+    tiny = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_lsh(emb, threshold=0.9, max_bucket=1).collect()
+    }
+    assert tiny == set()  # bucket size 1 can never emit a pair
+    assert embedding_neardup_dropped_buckets(emb, max_bucket=10_000).count() == 0
+
+
+def test_verify_ivf_index_detects_divergence(spark, tmp_path):
+    """Review r5: a crash between append_ivf_index's data append and its
+    sidecar write (or a blind retry double-appending) leaves index files and
+    sidecar stats inconsistent — verify_ivf_index is the cheap detector."""
+    from imposm2_spark.operators.ann import (
+        append_ivf_index,
+        verify_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _emb_df(spark, n=60)
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    report = append_ivf_index(spark, path, emb.where(F.col("vec_id") % 2 == 1))
+    assert report["n_appended"] == 30
+    v = verify_ivf_index(spark, path)
+    assert v["consistent"] and v["n_index"] == v["n_sidecar"] == 60
+
+    # simulate the crash window: data lands, sidecar never updated
+    extra = emb.where(F.col("vec_id") < 4).withColumn(
+        "_list", F.lit(0).cast("int")
+    )
+    extra.write.mode("append").partitionBy("_list").parquet(path)
+    v2 = verify_ivf_index(spark, path)
+    assert not v2["consistent"]
+    assert 0 in v2["mismatched_lists"]
+    assert v2["n_index"] == 64 and v2["n_sidecar"] == 60
