@@ -404,10 +404,15 @@ def _write_centroid_meta(spark, path: str, centroids: np.ndarray,
         n, s = stats.get(j, (0, np.zeros(len(centroids[j]))))
         rows.append((int(j), [float(x) for x in centroids[j]], int(n),
                      [float(x) for x in s], int(n_base)))
+    # repartition(1), NOT coalesce(1): coalescing a parallelized local
+    # collection gives the single task preferred locations spanning every
+    # parent partition, and the scheduler burns the full spark.locality.wait
+    # (3s default) before launching it — measured 4.9s vs 0.5s for this
+    # 16-row write. The 16-row shuffle repartition adds is negligible.
     spark.createDataFrame(
         rows, "list_id int, vec array<double>, n bigint, sumvec array<double>,"
               " n_base bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(_centroids_path(path))
+    ).repartition(1).write.mode("overwrite").parquet(_centroids_path(path))
 
 
 def append_ivf_index(
