@@ -71,6 +71,130 @@ def _as_double(col: F.Column) -> F.Column:
     return col.cast("array<double>")
 
 
+def _sim_col(score: str) -> F.Column:
+    """The per-candidate similarity expression over the conventional column
+    names (_q, _v, _qn, _nn): interpreted zip_with/aggregate fold in array
+    order — bit-identical to the DuckDB oracle's list_reduce (the driver
+    rows depend on this)."""
+    if score != "hof":
+        raise ValueError(f"score must be 'hof' or 'arrow', got {score!r}")
+    return F.try_divide(
+        _dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn"))
+    )
+
+
+def _topk_arrow(
+    corpus: DataFrame,
+    q_rows: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id: str,
+    probes_by_qid: dict | None = None,
+    list_col: str = "_list",
+) -> DataFrame:
+    """score='arrow' engine shared by brute and indexed search: broadcast the
+    query matrix, mapInPandas over the corpus, ONE matmul per Arrow batch,
+    emit only per-batch top-(k+1) candidates (plus boundary ties), then the
+    usual global _rank_topk.
+
+    Why this shape and not a per-candidate pandas UDF: scoring 50M candidate
+    ROWS through Arrow ships both 64-float vectors per row (~51 GB at the XL
+    rehearsal) and measured 2x SLOWER than the interpreted HOF join. Here
+    each corpus vector crosses the Python boundary exactly once and the
+    emitted rows are bounded by batches x queries x (k+1) — the same
+    ship-once discipline as the PIP broadcast path (operators/pip.py).
+
+    Exactness, including ties: a batch emits every row whose sim >= the
+    batch's (k+1)-th largest for that query (boundary TIES included — with
+    replica-heavy corpora the global id-asc tiebreak may need a tied row
+    that a fixed-size cut would drop), and any member of the true global
+    top-k is necessarily within the top-(k+1) of its own batch (the +1
+    absorbs the one possible self-match). Zero-norm / NULL vectors never
+    emit. Sim values come from one float64 matmul per pair — independent of
+    batching, so results are partitioning-invariant; they can differ from
+    the HOF fold only in the last bit (pairwise vs sequential summation).
+
+    probes_by_qid (indexed search): {qid: set(list_ids)} — a (row, query)
+    pair is scored only when the row's `list_col` is in the query's probe
+    set, reproducing the HOF path's equi-join semantics exactly."""
+    spark = corpus.sparkSession
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn2 = (Q * Q).sum(axis=1)
+    q_mask_by_list: dict | None = None
+    if probes_by_qid is not None:
+        all_lists = sorted({l for s in probes_by_qid.values() for l in s})
+        q_mask_by_list = {
+            l: np.asarray([l in probes_by_qid[int(q)] for q in qids], dtype=bool)
+            for l in all_lists
+        }
+    bc = spark.sparkContext.broadcast((qids, Q, qn2, q_mask_by_list))
+    take = k + 1
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("_sim", T.DoubleType()),
+        ]
+    )
+    cols = [id_col, vec_col] + ([list_col] if probes_by_qid is not None else [])
+
+    def gen(batches):
+        qids_, Q_, qn2_, masks = bc.value
+        m = len(qids_)
+        if m == 0:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            valid = pdf[vec_col].notna().to_numpy()
+            if not valid.any():
+                continue
+            vids = pdf.loc[valid, id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf.loc[valid, vec_col].to_numpy()).astype(np.float64)
+            nn2 = (V * V).sum(axis=1)
+            denom2 = nn2[:, None] * qn2_[None, :]
+            # NOT one dgemm (V @ Q.T): BLAS tiles the reduction by matrix
+            # SHAPE, so identical vectors in different-sized batches got
+            # last-bit-different sims — which broke the deterministic id-asc
+            # tie rank on replica-heavy corpora (regression test
+            # test_ann_arrow_tie_break_survives_batch_cut). A per-row
+            # multiply + sum(axis=1) reduces over the fixed dim with a tree
+            # that depends only on dim, so sims are batch- and
+            # partition-invariant.
+            dots = np.empty((len(vids), len(qids_)), dtype=np.float64)
+            for j in range(len(qids_)):
+                dots[:, j] = (V * Q_[j]).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / np.sqrt(denom2)
+            sims[denom2 == 0.0] = -np.inf  # zero-norm: no direction
+            if masks is not None:
+                lists = pdf.loc[valid, list_col].to_numpy()
+                allow = np.stack([masks[int(l)] for l in lists])
+                sims[~allow] = -np.inf
+            n = sims.shape[0]
+            if n > take:
+                kth = np.partition(sims, n - take, axis=0)[n - take, :]
+            else:
+                kth = np.full(m, -np.inf)
+            emit = (sims >= kth[None, :]) & np.isfinite(sims)
+            rows_i, cols_j = np.nonzero(emit)
+            if len(rows_i) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    query_id: qids_[cols_j],
+                    id_col: vids[rows_i],
+                    "_sim": sims[rows_i, cols_j],
+                }
+            )
+
+    cand = corpus.select(*cols).mapInPandas(gen, out_schema)
+    cand = cand.where(F.col(id_col) != F.col(query_id))
+    return _rank_topk(cand, k, id_col, query_id)
+
+
 def _rank_topk(cand: DataFrame, k: int, id_col: str, query_id: str) -> DataFrame:
     """Shared top-k tail for all four search paths: NULL sims (zero-norm
     vectors, module docstring) are excluded BEFORE ranking — desc ordering
@@ -92,12 +216,24 @@ def cosine_topk_brute(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "qid",
+    score: str = "hof",
 ) -> DataFrame:
     """Exact cosine top-k: (qid, vec_id, rank); self-matches excluded.
 
-    Norms are precomputed per side (O(n)), not inside the pair expression
-    (O(n*q)); the sim formula dot/sqrt(qn*nn) folds in the same sequential
-    order as the DuckDB oracle, so values stay bit-identical."""
+    score='hof' (default): norms are precomputed per side (O(n)), not inside
+    the pair expression (O(n*q)); the sim formula dot/sqrt(qn*nn) folds in
+    the same sequential order as the DuckDB oracle, so values stay
+    bit-identical. score='arrow': the matmul mapInPandas engine (_topk_arrow
+    — the 10^12-scale configuration; ranks property- AND oracle-tested equal
+    to hof on the driver fixture via the ann_cosine_topk variant row)."""
+    if score == "arrow":
+        # NULL query vectors have no direction (module docstring): the HOF
+        # path nulls their sims out; here they simply never enter the matrix
+        q_rows = [
+            r for r in queries.select(id_col, vec_col).collect()
+            if r[1] is not None
+        ]
+        return _topk_arrow(corpus, q_rows, k, id_col, vec_col, query_id)
     c = corpus.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
@@ -106,7 +242,7 @@ def cosine_topk_brute(
         F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_q")
     ).withColumn("_qn", _norm2(F.col("_q")))
     cand = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id)).withColumn(
-        "_sim", F.try_divide(_dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn")))
+        "_sim", _sim_col(score)
     )
     return _rank_topk(cand, k, id_col, query_id)
 
@@ -201,9 +337,7 @@ def cosine_topk_lsh(
     cand = (
         c.join(F.broadcast(q), "_sig")
         .where(F.col(id_col) != F.col(query_id))
-        .withColumn(
-            "_sim", F.try_divide(_dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn")))
-        )
+        .withColumn("_sim", _sim_col("hof"))
     )
     return _rank_topk(cand, k, id_col, query_id)
 
@@ -332,9 +466,7 @@ def cosine_topk_ivf(
     cand = (
         c.join(F.broadcast(q), "_list")
         .where(F.col(id_col) != F.col(query_id))
-        .withColumn(
-            "_sim", F.try_divide(_dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn")))
-        )
+        .withColumn("_sim", _sim_col("hof"))
     )
     return _rank_topk(cand, k, id_col, query_id)
 
@@ -540,6 +672,7 @@ def cosine_topk_ivf_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "qid",
+    score: str = "hof",
 ) -> DataFrame:
     """Search a persisted IVF index with partition pruning: the union of the
     query batch's probe lists becomes a static IN filter on the partition
@@ -563,6 +696,29 @@ def cosine_topk_ivf_indexed(
     # once and the pruning filter is derived from the same rows that join
     rows = q_assigned.collect()
     probe_lists = sorted({r["_list"] for r in rows})
+    if score == "arrow":
+        # same pruned scan + probe semantics, scored by the matmul engine:
+        # each (row, query) pair is eligible only when the row's list is in
+        # the query's probe set — identical to the equi-join's semantics
+        probes_by_qid: dict[int, set] = {}
+        q_vec: dict[int, list] = {}
+        for r in rows:
+            probes_by_qid.setdefault(int(r[query_id]), set()).add(int(r["_list"]))
+            q_vec[int(r[query_id])] = r["_q"]
+        pruned = (
+            spark.read.parquet(path)
+            .where(F.col("_list").isin(probe_lists))
+            .select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"), "_list")
+        )
+        return _topk_arrow(
+            pruned,
+            [(q, q_vec[q]) for q in sorted(q_vec)],
+            k,
+            id_col,
+            "_v",
+            query_id,
+            probes_by_qid=probes_by_qid,
+        )
     q_local = spark.createDataFrame(rows, q_assigned.schema)
     c = (
         spark.read.parquet(path)
@@ -577,12 +733,7 @@ def cosine_topk_ivf_indexed(
     cand = (
         c.join(F.broadcast(q_local), "_list")
         .where(F.col(id_col) != F.col(query_id))
-        .withColumn(
-            "_sim",
-            F.try_divide(
-                _dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn"))
-            ),
-        )
+        .withColumn("_sim", _sim_col(score))
     )
     return _rank_topk(cand, k, id_col, query_id)
 

@@ -1408,20 +1408,36 @@ _COS_SQL = (
     "ann_cosine_topk",
     oracle=f"""
 WITH n AS ({_EMB_NORMED_SQL}),
-q AS (SELECT vec_id AS qid, v, nn FROM n WHERE vec_id < 10)
-SELECT qid, vec_id, rank FROM (
+q AS (SELECT vec_id AS qid, v, nn FROM n WHERE vec_id < 10),
+r AS (SELECT qid, vec_id, rank FROM (
   SELECT q.qid, n.vec_id,
          row_number() OVER (PARTITION BY q.qid
              ORDER BY {_COS_SQL.format(a='q', b='n')} DESC, n.vec_id ASC) AS rank
   FROM q JOIN n ON n.vec_id <> q.qid) t
-WHERE rank <= 5
+WHERE rank <= 5)
+SELECT 'hof' AS score, qid, vec_id, rank FROM r
+UNION ALL
+SELECT 'arrow' AS score, qid, vec_id, rank FROM r
 """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 both scoring kernels in one driver row (r5): the interpreted-HOF
+    path (bit-identical to the oracle's list_reduce fold) and the batched
+    Arrow einsum kernel (the 10^12-scale configuration, operators/ann.py::
+    _topk_arrow) must BOTH reproduce the exact brute ranks — the oracle
+    side is one ranking emitted under both labels, so any arrow/hof rank
+    divergence on the fixture hash-fails the row."""
     from ..operators.ann import cosine_topk_brute
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk_brute(emb, emb.where(F.col("vec_id") < 10), k=5)
+    q = emb.where(F.col("vec_id") < 10)
+    hof = cosine_topk_brute(emb, q, k=5).select(
+        F.lit("hof").alias("score"), "qid", "vec_id", "rank"
+    )
+    arrow = cosine_topk_brute(emb, q, k=5, score="arrow").select(
+        F.lit("arrow").alias("score"), "qid", "vec_id", "rank"
+    )
+    return hof.unionByName(arrow)
 
 
 # The LSH signature is fully deterministic (LCG hyperplanes + sequential-order

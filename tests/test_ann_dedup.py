@@ -642,3 +642,103 @@ def test_verify_ivf_index_detects_divergence(spark, tmp_path):
     assert not v2["consistent"]
     assert 0 in v2["mismatched_lists"]
     assert v2["n_index"] == 64 and v2["n_sidecar"] == 60
+
+
+def test_ann_arrow_score_matches_hof(spark):
+    """score='arrow' (the matmul mapInPandas engine, the 10^12-scale
+    configuration) must produce the same ranks as the oracle-parallel HOF
+    path on the planted fixture — the brute path here; the indexed path in
+    test_ann_arrow_indexed_matches_hof."""
+    from imposm2_spark.operators.ann import cosine_topk_brute
+
+    emb = _emb_df(spark)
+    queries = emb.where(F.col("vec_id") < 16)
+    hof = {(r.qid, r.vec_id, r.rank)
+           for r in cosine_topk_brute(emb, queries, k=3).collect()}
+    arrow = {(r.qid, r.vec_id, r.rank)
+             for r in cosine_topk_brute(emb, queries, k=3, score="arrow").collect()}
+    assert arrow == hof
+
+
+def test_ann_arrow_indexed_matches_hof(spark, tmp_path):
+    """Indexed search: arrow engine reproduces the HOF join's ranks at BOTH
+    nprobe < n_lists (probe-set masking must replicate the equi-join
+    semantics) and nprobe == n_lists (exact)."""
+    from imposm2_spark.operators.ann import (
+        N_LISTS,
+        cosine_topk_ivf_indexed,
+        write_ivf_index,
+    )
+
+    emb = _emb_df(spark)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path)
+    queries = emb.where(F.col("vec_id") < 16)
+    for nprobe in (4, N_LISTS):
+        hof = {(r.qid, r.vec_id, r.rank)
+               for r in cosine_topk_ivf_indexed(
+                   spark, path, queries, k=3, nprobe=nprobe).collect()}
+        arrow = {(r.qid, r.vec_id, r.rank)
+                 for r in cosine_topk_ivf_indexed(
+                     spark, path, queries, k=3, nprobe=nprobe,
+                     score="arrow").collect()}
+        assert arrow == hof, nprobe
+
+
+def test_ann_arrow_tie_break_survives_batch_cut(spark):
+    """Replica-heavy corpus: many vectors tie at sim 1.0, so the global
+    id-asc tiebreak needs boundary-tied rows from EVERY batch — a fixed
+    per-batch cut that dropped ties would lose the lowest-id winners."""
+    from imposm2_spark.operators.ann import cosine_topk_brute
+
+    base = _emb_df(spark, n=8, n_dup_pairs=0)
+    reps = [base.selectExpr(f"vec_id + {1000 * (i + 1)} AS vec_id", "embedding")
+            for i in range(40)]
+    corpus = base
+    for r in reps:
+        corpus = corpus.unionByName(r)
+    corpus = corpus.repartition(16)
+    queries = base.where(F.col("vec_id") < 2)
+    got = cosine_topk_brute(corpus, queries, k=5, score="arrow").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rank, r.vec_id))
+    for qid, rows in by_q.items():
+        ids = [v for _, v in sorted(rows)]
+        # exact replicas of the query vector, lowest ids first
+        assert ids == [qid + 1000 * (i + 1) for i in range(5)], (qid, ids)
+
+
+def test_ann_arrow_score_null_and_zero_vectors(spark):
+    """Arrow kernel NULL semantics must match the HOF path: zero-norm and
+    NULL vectors yield NULL sims (never NaN — Spark sorts NaN above every
+    real value, so a NaN would steal rank 1) and are excluded from top-k."""
+    from imposm2_spark.operators.ann import cosine_topk_brute
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm: no direction
+        (3, None),             # NULL vector
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    queries = emb.where(F.col("vec_id") == 0)
+    for score in ("hof", "arrow"):
+        got = cosine_topk_brute(emb, queries, k=10, score=score).collect()
+        ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+        assert ids == [1, 4], (score, got)
+
+
+def test_ann_score_rejects_unknown_method(spark):
+    from imposm2_spark.operators.ann import cosine_topk_brute
+
+    emb = _emb_df(spark, n=4)
+    with pytest.raises(ValueError, match="score"):
+        cosine_topk_brute(emb, emb, k=1, score="simd").collect()
