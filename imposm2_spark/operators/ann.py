@@ -109,11 +109,23 @@ def _topk_arrow(
     batch's (k+1)-th largest for that query (boundary TIES included — with
     replica-heavy corpora the global id-asc tiebreak may need a tied row
     that a fixed-size cut would drop), and any member of the true global
-    top-k is necessarily within the top-(k+1) of its own batch (the +1
-    absorbs the one possible self-match). Zero-norm / NULL vectors never
-    emit. Sim values come from one float64 matmul per pair — independent of
-    batching, so results are partitioning-invariant; they can differ from
-    the HOF fold only in the last bit (pairwise vs sequential summation).
+    top-k is necessarily within the top-(k+1) of its own batch. Zero-norm /
+    NULL vectors never emit. Sim values come from one float64 matmul per
+    pair — independent of batching, so results are partitioning-invariant;
+    they can differ from the HOF fold only in the last bit (pairwise vs
+    sequential summation).
+
+    Self-matches are excluded INSIDE the kernel (sim -inf when corpus id ==
+    query id), NOT as a `vec_id != qid` Filter above the mapInPandas. The
+    filter form is the trigger shape for a Spark 4.1.2 correctness bug:
+    when a frame whose lineage is Filter-on-window-partition-key over
+    mapInPandas appears more than twice in ONE plan (e.g. the symmetric
+    X.exceptAll(Y).unionAll(Y.exceptAll(X)) diff idiom), cross-branch
+    exchange reuse resolves one copy to an EMPTY side and the diff reports
+    every row as mismatched; filters on non-partition-key columns don't
+    trigger it (minimal no-engine-code repro in
+    tests/test_ann_dedup.py::test_ann_arrow_composes_in_self_diff_plans;
+    verified against separate-action evaluation, which is always correct).
 
     probes_by_qid (indexed search): {qid: set(list_ids)} — a (row, query)
     pair is scored only when the row's `list_col` is in the query's probe
@@ -169,6 +181,9 @@ def _topk_arrow(
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = dots / np.sqrt(denom2)
             sims[denom2 == 0.0] = -np.inf  # zero-norm: no direction
+            # self-match exclusion in-kernel (docstring: the Filter form
+            # triggers the Spark 4.1.2 duplicated-plan reuse bug)
+            sims[vids[:, None] == qids_[None, :]] = -np.inf
             if masks is not None:
                 lists = pdf.loc[valid, list_col].to_numpy()
                 allow = np.stack([masks[int(l)] for l in lists])
@@ -191,7 +206,6 @@ def _topk_arrow(
             )
 
     cand = corpus.select(*cols).mapInPandas(gen, out_schema)
-    cand = cand.where(F.col(id_col) != F.col(query_id))
     return _rank_topk(cand, k, id_col, query_id)
 
 

@@ -110,13 +110,16 @@ def main() -> None:
             spark, path, pq, k=5, nprobe=N_LISTS, score="arrow"
         )
         brute = cosine_topk_brute(corpus, pq, k=5, score="arrow")
-        # symmetric difference on the full (qid, vec_id, rank) triples — a
-        # full-outer join on all three columns coalesces the keys, so a
-        # null-check there can never fire
-        mism = (
-            ivf_exact.exceptAll(brute).unionAll(brute.exceptAll(ivf_exact)).count()
-        )
-        n_parity = ivf_exact.count()
+        # symmetric difference on the full (qid, vec_id, rank) triples,
+        # collected and diffed driver-side (parity_q*k rows per side). NOT
+        # the exceptAll-union idiom: duplicating both subtrees in ONE plan
+        # is the trigger shape for the Spark 4.1.2 cross-branch exchange
+        # reuse bug (operators/ann.py::_topk_arrow docstring) — separate
+        # actions are always evaluated correctly.
+        ivf_rows = {tuple(r) for r in ivf_exact.collect()}
+        brute_rows = {tuple(r) for r in brute.collect()}
+        mism = len(ivf_rows ^ brute_rows)
+        n_parity = len(ivf_rows)
         parity_sec = round(time.time() - t0, 3)
         assert mism == 0, f"{mism} rank mismatches vs brute"
         assert n_parity == parity_q * 5, n_parity

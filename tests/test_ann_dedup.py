@@ -742,3 +742,38 @@ def test_ann_score_rejects_unknown_method(spark):
     emb = _emb_df(spark, n=4)
     with pytest.raises(ValueError, match="score"):
         cosine_topk_brute(emb, emb, k=1, score="simd").collect()
+
+
+def test_ann_arrow_composes_in_self_diff_plans(spark, tmp_path):
+    """Regression for a Spark 4.1.2 correctness bug this engine must not
+    re-trigger: a frame whose lineage is Filter-ON-THE-WINDOW-PARTITION-KEY
+    over mapInPandas, duplicated >2x in ONE plan (the symmetric
+    X.exceptAll(Y).unionAll(Y.exceptAll(X)) diff idiom), makes cross-branch
+    exchange reuse resolve one copy to an EMPTY side — every row then
+    reports as mismatched even though separate-action evaluation of the
+    same frames agrees exactly. _topk_arrow therefore excludes self-matches
+    IN-KERNEL (sim = -inf) instead of with a `vec_id != qid` Filter; this
+    test pins that the arrow frames compose cleanly in duplicated plans.
+    Repro details: operators/ann.py::_topk_arrow docstring."""
+    from imposm2_spark.operators.ann import (
+        N_LISTS,
+        cosine_topk_brute,
+        cosine_topk_ivf_indexed,
+        write_ivf_index,
+    )
+
+    emb = _emb_df(spark, n=128)
+    path = str(tmp_path / "ivf_selfdiff")
+    write_ivf_index(emb, path)
+    corpus = spark.read.parquet(path)
+    queries = corpus.where(F.col("vec_id") < 3)
+    br = cosine_topk_brute(corpus, queries, k=5, score="arrow")
+    ivf = cosine_topk_ivf_indexed(
+        spark, path, queries, k=5, nprobe=N_LISTS, score="arrow"
+    )
+    # each side alone is sane
+    assert br.count() == 15 and ivf.count() == 15
+    # the duplicated-plan shapes that the Spark bug corrupts
+    assert br.exceptAll(br).unionAll(br.exceptAll(br)).count() == 0
+    assert ivf.exceptAll(ivf).unionAll(ivf.exceptAll(ivf)).count() == 0
+    assert ivf.exceptAll(br).unionAll(br.exceptAll(ivf)).count() == 0
