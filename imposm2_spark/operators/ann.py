@@ -71,13 +71,19 @@ def _as_double(col: F.Column) -> F.Column:
     return col.cast("array<double>")
 
 
-def _sim_col(score: str) -> F.Column:
-    """The per-candidate similarity expression over the conventional column
-    names (_q, _v, _qn, _nn): interpreted zip_with/aggregate fold in array
-    order — bit-identical to the DuckDB oracle's list_reduce (the driver
-    rows depend on this)."""
-    if score != "hof":
+def _check_score(score: str) -> None:
+    """Validate up front, in the public entry points — before centroid
+    loads, probe UDFs, or query collects run any cluster work."""
+    if score not in ("hof", "arrow"):
         raise ValueError(f"score must be 'hof' or 'arrow', got {score!r}")
+
+
+def _sim_col() -> F.Column:
+    """The per-candidate HOF similarity expression over the conventional
+    column names (_q, _v, _qn, _nn): interpreted zip_with/aggregate fold in
+    array order — bit-identical to the DuckDB oracle's list_reduce (the
+    driver rows depend on this). The arrow engine scores in-kernel
+    (_topk_arrow) and never reaches this expression."""
     return F.try_divide(
         _dot(F.col("_q"), F.col("_v")), F.sqrt(F.col("_qn") * F.col("_nn"))
     )
@@ -132,7 +138,13 @@ def _topk_arrow(
     set, reproducing the HOF path's equi-join semantics exactly."""
     spark = corpus.sparkSession
     qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    # NULL elements inside a query vector -> NaN (a bare float64 asarray
+    # raises on None): the NaN sweep in gen() turns every sim of that query
+    # into -inf, so it emits nothing — matching the HOF twin's null fold
+    Q = np.asarray(
+        [[np.nan if x is None else x for x in r[1]] for r in q_rows],
+        dtype=np.float64,
+    )
     qn2 = (Q * Q).sum(axis=1)
     q_mask_by_list: dict | None = None
     if probes_by_qid is not None:
@@ -164,7 +176,16 @@ def _topk_arrow(
             if not valid.any():
                 continue
             vids = pdf.loc[valid, id_col].to_numpy(dtype=np.int64)
-            V = np.stack(pdf.loc[valid, vec_col].to_numpy()).astype(np.float64)
+            V = np.stack(pdf.loc[valid, vec_col].to_numpy())
+            if V.dtype == object:
+                # a NULL ELEMENT inside a vector (distinct from a NULL
+                # vector, filtered above) leaves an object array and a bare
+                # astype raises, failing the whole task where the HOF twin
+                # quietly excludes the pair (null fold -> null sim). Map the
+                # missing elements to NaN; the NaN sweep below turns the
+                # row's sims into -inf so it never emits — same outcome.
+                V = np.where(pd.isna(V), np.nan, V)
+            V = V.astype(np.float64)
             nn2 = (V * V).sum(axis=1)
             denom2 = nn2[:, None] * qn2_[None, :]
             # NOT one dgemm (V @ Q.T): BLAS tiles the reduction by matrix
@@ -181,6 +202,10 @@ def _topk_arrow(
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = dots / np.sqrt(denom2)
             sims[denom2 == 0.0] = -np.inf  # zero-norm: no direction
+            # NaN sweep (NaN vector elements on either side): np.partition
+            # sorts NaN as LARGEST, so a NaN left in place would poison the
+            # per-batch kth cut and silently drop VALID candidates below it
+            sims[np.isnan(sims)] = -np.inf
             # self-match exclusion in-kernel (docstring: the Filter form
             # triggers the Spark 4.1.2 duplicated-plan reuse bug)
             sims[vids[:, None] == qids_[None, :]] = -np.inf
@@ -240,6 +265,7 @@ def cosine_topk_brute(
     bit-identical. score='arrow': the matmul mapInPandas engine (_topk_arrow
     — the 10^12-scale configuration; ranks property- AND oracle-tested equal
     to hof on the driver fixture via the ann_cosine_topk variant row)."""
+    _check_score(score)
     if score == "arrow":
         # NULL query vectors have no direction (module docstring): the HOF
         # path nulls their sims out; here they simply never enter the matrix
@@ -256,7 +282,7 @@ def cosine_topk_brute(
         F.col(id_col).alias(query_id), _as_double(F.col(vec_col)).alias("_q")
     ).withColumn("_qn", _norm2(F.col("_q")))
     cand = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id)).withColumn(
-        "_sim", _sim_col(score)
+        "_sim", _sim_col()
     )
     return _rank_topk(cand, k, id_col, query_id)
 
@@ -351,7 +377,7 @@ def cosine_topk_lsh(
     cand = (
         c.join(F.broadcast(q), "_sig")
         .where(F.col(id_col) != F.col(query_id))
-        .withColumn("_sim", _sim_col("hof"))
+        .withColumn("_sim", _sim_col())
     )
     return _rank_topk(cand, k, id_col, query_id)
 
@@ -480,7 +506,7 @@ def cosine_topk_ivf(
     cand = (
         c.join(F.broadcast(q), "_list")
         .where(F.col(id_col) != F.col(query_id))
-        .withColumn("_sim", _sim_col("hof"))
+        .withColumn("_sim", _sim_col())
     )
     return _rank_topk(cand, k, id_col, query_id)
 
@@ -590,7 +616,8 @@ def append_ivf_index(
     `new_rows` lineage (sample/limit/moving landing dir) cannot diverge the
     two; a persist() would NOT survive executor loss, whose recompute
     re-evaluates the lineage). A crash BEFORE the append leaves the index
-    untouched (staging is overwritten next attempt); a crash BETWEEN the
+    untouched (staging is overwritten next attempt, and removed once the
+    sidecar commit succeeds); a crash BETWEEN the
     append and the sidecar write leaves the sidecar stale — detectable with
     `verify_ivf_index`, repaired by rebuilding via write_ivf_index. Retrying
     a FAILED append double-appends the batch (plain parquet has no
@@ -615,6 +642,12 @@ def append_ivf_index(
         n, bs = batch.get(int(r["list_id"]), (0, 0.0))
         stats[int(r["list_id"])] = (int(r["n"]) + n, s + bs)
     _write_centroid_meta(spark, path, centroids, stats, n_base)
+    # staging has served its crash-recovery purpose once the sidecar is
+    # committed; leaving it would keep a full redundant copy of every
+    # appended batch beside the index forever. Deleted through Hadoop's
+    # FileSystem so hdfs:// and s3a:// paths work the same as the writes.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
 
     cn = _normed(centroids)
     drift = {}
@@ -694,6 +727,7 @@ def cosine_topk_ivf_indexed(
     (tests/test_plans.py asserts the PartitionFilters in the plan). The
     probe-list pull is one bounded collect (queries are the small side by
     contract — they are broadcast into the join anyway)."""
+    _check_score(score)
     centroids = _load_centroids(spark, path)
     probe = _make_probe_udf(centroids, nprobe)
     q_assigned = (
@@ -747,7 +781,7 @@ def cosine_topk_ivf_indexed(
     cand = (
         c.join(F.broadcast(q_local), "_list")
         .where(F.col(id_col) != F.col(query_id))
-        .withColumn("_sim", _sim_col(score))
+        .withColumn("_sim", _sim_col())
     )
     return _rank_topk(cand, k, id_col, query_id)
 

@@ -68,6 +68,10 @@ def asof_join(
     direction="backward": nearest right with right_ts <= left_ts (inclusive).
     direction="forward":  nearest right with right_ts >= left_ts (inclusive).
 
+    Null timestamps follow SQL comparison semantics (DuckDB ASOF JOIN
+    behaves the same): a right row with a null timestamp never matches
+    anything; a left row with a null timestamp is emitted unmatched.
+
     tolerance_us: if set, matches farther than this many microseconds from the
     left timestamp are nulled out (the left row is still emitted — this is a
     LEFT join; unmatched rows carry null right columns).
@@ -98,7 +102,10 @@ def asof_join(
     if bucket_us is not None and (not isinstance(bucket_us, int) or bucket_us <= 0):
         raise ValueError(f"bucket_us must be a positive int, got {bucket_us!r}")
 
-    reserved = {"__ts", "__side", "__tie", "__r", "__l", "__m", "__bkt", "__fside", "__c", "__rn"}
+    # "__rts" is the matched-timestamp field INSIDE the __r/__m struct: a
+    # right payload column with that name would duplicate the struct field
+    # and make the `__m.__rts` reads ambiguous deep in execution.
+    reserved = {"__ts", "__side", "__tie", "__r", "__l", "__m", "__bkt", "__fside", "__c", "__rn", "__rts"}
     clash = reserved.intersection(left.columns).union(
         reserved.intersection(right.columns)
     )
@@ -140,7 +147,12 @@ def asof_join(
     # tiebreaks and silently de-determinize tie resolution).
     tie_type = right.select(tie_col.alias("t")).schema["t"].dataType
 
-    r_tagged = right.select(
+    # A null right timestamp satisfies neither right_ts <= left_ts nor
+    # right_ts >= left_ts (SQL comparison semantics), so such rows can never
+    # match — drop them BEFORE the union. Left unfiltered, a null-ts right
+    # sorts NULLS FIRST under the backward ordering and becomes every
+    # otherwise-unmatched left row's phantom match.
+    r_tagged = right.where(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -222,10 +234,10 @@ def asof_join(
             .withColumn("__fside", F.lit(0))
             .withColumn("__r", F.lit(None).cast(r_type))
         )
-        # A null __bkt (null event time) sorts exactly where the unbucketed
-        # window puts null timestamps: first under asc (backward — sees no
-        # rep), last under desc (forward — sees every rep, nearest = the
-        # earliest bucket's), so null-ts parity holds without special-casing.
+        # A null __bkt (null LEFT event time — null-ts rights are dropped
+        # pre-union) may pick up a carry under the forward ordering, but the
+        # null-left-ts guard below nulls the match on both paths, so the
+        # identical-output contract holds without special-casing here.
         bkt_order = F.col("__bkt").asc() if backward else F.col("__bkt").desc()
         w_carry = (
             W.partitionBy(*[F.col(k) for k in keys])
@@ -249,6 +261,16 @@ def asof_join(
         out = o.join(c, on=cond, how="left").select(
             "__o.*", F.col("__cf.__c").alias("__c")
         ).withColumn("__m", F.coalesce(F.col("__m"), F.col("__c")))
+
+    # A null LEFT timestamp likewise matches nothing (the comparison is
+    # unknown for every right row) — but under the forward ordering (desc,
+    # NULLS LAST) a null-ts left row sorts after every right row and would
+    # otherwise adopt the earliest one. The row is still emitted, unmatched
+    # (LEFT-join contract). Applied after the bucketed coalesce so both
+    # paths stay output-identical.
+    out = out.withColumn(
+        "__m", F.when(F.col("__ts").isNotNull(), F.col("__m"))
+    )
 
     if tolerance_us is not None:
         # timestamp_diff handles both TIMESTAMP and TIMESTAMP_NTZ inputs

@@ -1572,7 +1572,14 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at most one live index per process, swept by the OS tmp reaper).
     path = tempfile.mkdtemp(prefix="imposm2_spark_ivf_append_")
     while _IVF_APPEND_DIRS:
-        shutil.rmtree(_IVF_APPEND_DIRS.pop(), ignore_errors=True)
+        prev = _IVF_APPEND_DIRS.pop()
+        # the index's SIBLING dirs too — write_ivf_index puts the centroid
+        # sidecar at <path>_centroids and append_ivf_index stages the batch
+        # at <path>__staging__; GC'ing only the index dir would leak a
+        # staged parquet copy of the batch per bench/oracle invocation
+        shutil.rmtree(prev, ignore_errors=True)
+        shutil.rmtree(prev + "_centroids", ignore_errors=True)
+        shutil.rmtree(prev + "__staging__", ignore_errors=True)
     _IVF_APPEND_DIRS.append(path)
     write_ivf_index(base, path)
     append_ivf_index(spark, path, tail)

@@ -58,12 +58,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
     )
-    if master.startswith("local"):
+    if master.startswith("local") and not master.startswith("local-cluster"):
         # single-JVM: every task slot sees the same storage, so waiting for a
         # "better" locality level only stalls the scheduler (measured: a
         # coalesce(1) over a parallelized collection burned the full 3s
-        # default before launching its one task). On a real cluster leave
-        # the default — rack/node locality is worth waiting for there.
+        # default before launching its one task). On a real cluster — and on
+        # local-cluster[...], which runs real multi-JVM executors — leave
+        # the default: rack/node locality is worth waiting for there.
         b = b.config("spark.locality.wait", "0s")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -382,6 +382,10 @@ def test_ivf_append_equals_full_rebuild(spark, tmp_path):
     write_ivf_index(base, p_inc, centroids=cents)
     report = append_ivf_index(spark, p_inc, tail)
     assert report["n_appended"] == tail.count()
+    # staging is crash-recovery scaffolding: a SUCCESSFUL append removes it
+    # (leaving it would duplicate every appended batch on disk forever)
+    import os
+    assert not os.path.exists(p_inc + "__staging__")
 
     full_rows = {(r.vec_id, r._list) for r in spark.read.parquet(p_full).collect()}
     inc_rows = {(r.vec_id, r._list) for r in spark.read.parquet(p_inc).collect()}
@@ -456,6 +460,10 @@ def test_ivf_append_query_unique_dir_and_predecessor_gc(spark):
     (d2,) = registry._IVF_APPEND_DIRS
     assert d2 != d1
     assert os.path.isdir(d2) and not os.path.exists(d1)
+    # the SIBLING dirs too: the centroid sidecar and (if the append crashed
+    # before its success-path cleanup) the staged batch copy
+    assert not os.path.exists(d1 + "_centroids")
+    assert not os.path.exists(d1 + "__staging__")
     assert n1 == n2 > 0
 
 
@@ -727,6 +735,8 @@ def test_ann_arrow_score_null_and_zero_vectors(spark):
         (2, [0.0, 0.0, 0.0]),  # zero-norm: no direction
         (3, None),             # NULL vector
         (4, [0.0, 1.0, 0.0]),
+        (5, [1.0, None, 0.0]),  # NULL ELEMENT: hof folds to null sim;
+        #                         arrow must exclude it, not crash the task
     ]
     emb = spark.createDataFrame(rows, schema)
     queries = emb.where(F.col("vec_id") == 0)
@@ -734,14 +744,26 @@ def test_ann_arrow_score_null_and_zero_vectors(spark):
         got = cosine_topk_brute(emb, queries, k=10, score=score).collect()
         ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
         assert ids == [1, 4], (score, got)
+    # a null-element QUERY vector emits nothing on either engine
+    nullq = emb.where(F.col("vec_id") == 5)
+    for score in ("hof", "arrow"):
+        assert cosine_topk_brute(emb, nullq, k=3, score=score).count() == 0, score
 
 
-def test_ann_score_rejects_unknown_method(spark):
-    from imposm2_spark.operators.ann import cosine_topk_brute
+def test_ann_score_rejects_unknown_method(spark, tmp_path):
+    from imposm2_spark.operators.ann import (
+        cosine_topk_brute,
+        cosine_topk_ivf_indexed,
+        write_ivf_index,
+    )
 
     emb = _emb_df(spark, n=4)
     with pytest.raises(ValueError, match="score"):
         cosine_topk_brute(emb, emb, k=1, score="simd").collect()
+    # the indexed path validates BEFORE loading centroids or collecting
+    # queries — no index needs to exist for the error to fire
+    with pytest.raises(ValueError, match="score"):
+        cosine_topk_ivf_indexed(spark, str(tmp_path / "nope"), emb, k=1, score="simd")
 
 
 def test_ann_arrow_composes_in_self_diff_plans(spark, tmp_path):

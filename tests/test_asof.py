@@ -301,3 +301,34 @@ def test_asof_bucketed_null_ts_and_null_key_parity(spark, direction):
             )
             got = nonesort(jb.collect())
             assert got == want, f"{direction=} {tol=} {bucket_min=}"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_null_timestamps_never_match(spark, direction):
+    """Contract (SQL comparison semantics, same as DuckDB ASOF JOIN): a
+    null-ts right row matches NOTHING (pre-fix it sorted NULLS FIRST under
+    the backward ordering and became every otherwise-unmatched left's
+    phantom match), and a null-ts left row is emitted UNMATCHED (pre-fix the
+    forward ordering put it after every right row and matched it to the
+    earliest one)."""
+    lrows = [
+        (1, _ts(10), 400),   # only right for key 1 is null-ts: must be unmatched
+        (2, None, 401),      # null-ts left with real rights: must be unmatched
+    ]
+    rrows = [
+        (1, None, 40),
+        (2, _ts(5), 41),
+        (2, _ts(15), 42),
+        (2, None, 43),
+    ]
+    left = _mk(spark, lrows, "key long, ts timestamp, lid long")
+    right = _mk(spark, rrows, "key long, ts timestamp, rid long")
+    for bucket_us in (None, int(60 * 1e6)):
+        got = {
+            r["lid"]: (r["rid_r"], r["ts_r"])
+            for r in asof_join(
+                left, right, on="key", direction=direction,
+                tiebreak="rid", bucket_us=bucket_us,
+            ).collect()
+        }
+        assert got == {400: (None, None), 401: (None, None)}, (direction, bucket_us, got)
