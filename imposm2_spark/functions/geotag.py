@@ -44,15 +44,23 @@ def fallback_lat(url: str) -> float:
     return (h % span) / 10_000.0 - LAT_CLAMP
 
 
-def geotag_pair(url: str, html: bytes | None) -> tuple[float, float]:
-    """(lon, lat) for one document — geo meta wins, else url-hash fallback."""
-    if html is not None:
+def geotag_pair(url: str | None, html: bytes | None) -> tuple[float, float]:
+    """(lon, lat) for one document — geo meta wins, else url-hash fallback.
+
+    A NULL url hashes as the empty string (review r5: url.encode() on None
+    raised AttributeError and killed the whole Arrow batch; one dirty row
+    must not fail the spine stage). Deterministic: every null-url document
+    lands on the same fallback point."""
+    if isinstance(html, (bytes, bytearray)):
         m = _GEO_META_RE.search(html)
         if m:
             lat = float(m.group(1))
             lon = float(m.group(2))
             return lon, lat
-    return fallback_lon(url), fallback_lat(url)
+    # isinstance, not `is not None`: pandas may surface a missing string as
+    # NaN rather than None depending on the Arrow conversion path
+    u = url if isinstance(url, str) else ""
+    return fallback_lon(u), fallback_lat(u)
 
 
 _GEO_SCHEMA = T.StructType(

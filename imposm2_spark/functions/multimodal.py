@@ -179,16 +179,20 @@ def media_features(media: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a NULL meta struct (dirty external media table) must not kill
+            # the stage (review r5): unknown codec -> byte-histogram
+            # fallback with decode_ok=False, null kind/n_bytes — the same
+            # totality contract as corrupt payloads
             metas = list(pdf["meta"])
             decoded = [
-                _features_one(p, m["codec"])
+                _features_one(p, m["codec"] if m is not None else None)
                 for p, m in zip(pdf["payload"], metas)
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "kind": [m["kind"] for m in metas],
-                    "n_bytes": [m["n_bytes"] for m in metas],
+                    "kind": [m["kind"] if m is not None else None for m in metas],
+                    "n_bytes": [m["n_bytes"] if m is not None else None for m in metas],
                     "features": [f for f, _ in decoded],
                     "decode_ok": [ok for _, ok in decoded],
                 }

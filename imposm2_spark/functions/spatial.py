@@ -71,13 +71,18 @@ def cell_encode_col(lon: Column, lat: Column, level: int) -> Column:
 
 
 def cell_parent_col(cell: Column, cell_level: int, parent_level: int) -> Column:
-    """Prefix-shift ancestor (J4 containment prefilter) — pure long math."""
+    """Prefix-shift ancestor (J4 containment prefilter) — pure long math.
+
+    INVALID_CELL (-1, non-finite coords) propagates instead of shifting into
+    a valid-looking phantom parent id — mirroring kernels.cells.cell_parent
+    (review r5: the two paths must agree on the sentinel)."""
     dl = cell_level - parent_level
     if dl < 0:
         raise ValueError("parent_level must be <= cell_level")
     morton_mask = (1 << int(LEVEL_SHIFT)) - 1
     m = F.shiftrightunsigned(cell.bitwiseAND(F.lit(morton_mask)), 2 * dl)
-    return F.lit(parent_level << int(LEVEL_SHIFT)).cast("long").bitwiseOR(m)
+    parent = F.lit(parent_level << int(LEVEL_SHIFT)).cast("long").bitwiseOR(m)
+    return F.when(cell == F.lit(-1).cast("long"), F.lit(-1).cast("long")).otherwise(parent)
 
 
 def haversine_m_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:

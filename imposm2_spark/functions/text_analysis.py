@@ -91,7 +91,17 @@ def lang_id(text: Column) -> Column:
 
 
 def quality_features(text: Column) -> dict[str, Column]:
-    """Deterministic quality signals (each a pure Column, ratios in [0, 1])."""
+    """Deterministic quality signals (each a pure Column, ratios in [0, 1]).
+
+    KNOWN LIMITATION (documented, deliberately unchanged): the character
+    classes are ASCII — a non-ASCII letter (ü, é, ñ) counts into
+    punct_chars and not alpha_chars, so quality_score systematically
+    under-scores clean de/fr/es prose relative to en. The classes are
+    frozen because the DuckDB oracle evaluates the textually identical
+    RE2-safe patterns (unicode classes diverge between engines) and the
+    driver hash pins bit parity; a production deployment targeting
+    multilingual corpora should swap both twins to unicode classes
+    together and re-baseline."""
     n_chars = F.length(text).cast("long")
     toks = ws_tokens(text)
     n_tokens = F.size(toks).cast("long")

@@ -119,14 +119,21 @@ def cell_from_xy(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
 
 
 def cell_parent(cell: np.ndarray, parent_level: int) -> np.ndarray:
-    """Ancestor cell at `parent_level` — pure prefix shift."""
+    """Ancestor cell at `parent_level` — pure prefix shift.
+
+    INVALID_CELL propagates (review r5): cell_encode emits -1 for non-finite
+    coordinates by design, so one such row in a batch must not raise for the
+    whole batch — and the JVM twin (functions/spatial.py::cell_parent_col)
+    guards identically, keeping the two paths bit-for-bit mirrors."""
     cell = np.asarray(cell, dtype=np.int64)
+    invalid = cell == INVALID_CELL
     level = cell_level(cell)
-    dl = level - np.int64(parent_level)
+    dl = np.where(invalid, 0, level - np.int64(parent_level))
     if np.any(dl < 0):
         raise ValueError("parent_level must be <= cell level")
     m = (cell & MORTON_MASK) >> (2 * dl)
-    return (np.int64(parent_level) << LEVEL_SHIFT) | m
+    out = (np.int64(parent_level) << LEVEL_SHIFT) | m
+    return np.where(invalid, INVALID_CELL, out)
 
 
 def cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -153,7 +160,14 @@ def k_ring(cell: int, r: int) -> np.ndarray:
     ys = y + dy.ravel()
     xs = (x + dx.ravel()) % n
     keep = (ys >= 0) & (ys < n)
-    return cell_from_xy(xs[keep], ys[keep], level)
+    cells = cell_from_xy(xs[keep], ys[keep], level)
+    if 2 * r + 1 > n:
+        # the ring is wider than the grid: the modulo x-wrap revisits cells
+        # (review r5: duplicates would double-count kNN candidates). Dedup
+        # keeping FIRST occurrence so the documented row-major order holds.
+        _, idx = np.unique(cells, return_index=True)
+        cells = cells[np.sort(idx)]
+    return cells
 
 
 def k_ring_shell(cell: int, r: int) -> np.ndarray:
@@ -178,6 +192,17 @@ def covering_cells_bbox(
     executor inside a single UDF row; the count check is O(1) from the tile
     ranges, and the failure is loud instead of a silent stall.
     """
+    if lon_min > lon_max or lat_min > lat_max:
+        # an inverted box (e.g. an antimeridian-crossing extent expressed as
+        # lon_min > lon_max) would yield an EMPTY np.arange and a negative
+        # nx*ny that passes the max_cells guard vacuously — the J4 prefilter
+        # would then silently drop every match. Planar semantics here (same
+        # as the kNN mercator grid): fail loudly; callers split the box.
+        raise ValueError(
+            f"covering_cells_bbox: inverted bbox ({lon_min}, {lat_min}, "
+            f"{lon_max}, {lat_max}); antimeridian-crossing extents must be "
+            "split into two boxes"
+        )
     x0, y1 = lonlat_to_xy(np.asarray([lon_min]), np.asarray([lat_min]), level)
     x1, y0 = lonlat_to_xy(np.asarray([lon_max]), np.asarray([lat_max]), level)
     nx = int(x1[0]) - int(x0[0]) + 1

@@ -136,12 +136,30 @@ def canonical_ring(ring: Ring, ccw: bool = True) -> Ring:
     """Rotate a closed ring to start at its lexicographically smallest vertex
     and fix orientation — the shared canonical form (kernels.rings output
     stability + kernels.overlay role derivation both depend on it; one
-    implementation so they can never drift)."""
-    body = np.asarray(ring, dtype=np.float64)[:-1]
+    implementation so they can never drift).
+
+    Orientation is fixed FIRST, then the start rotation chosen on the
+    oriented cycle; when the minimum vertex occurs MORE THAN ONCE (a
+    pinched/weakly-simple ring revisiting a vertex — legal OSM input), the
+    rotation with the lexicographically smallest full sequence wins
+    (review r5: picking the first tied index made the canonical form depend
+    on the INPUT rotation, so two arrivals of the same cyclic ring keyed
+    differently and A4 shell matching missed nondeterministically). For
+    rings with a unique minimum vertex the output is byte-identical to the
+    previous rotate-then-orient form."""
+    closed = np.asarray(ring, dtype=np.float64)
+    body = np.asarray(ensure_orientation(closed, ccw=ccw))[:-1]
     order = np.lexsort((body[:, 1], body[:, 0]))
-    start = int(order[0])
-    rolled = np.vstack([body[start:], body[:start], body[start : start + 1]])
-    return ensure_orientation(rolled, ccw=ccw)
+    minv = body[int(order[0])]
+    starts = np.nonzero((body[:, 0] == minv[0]) & (body[:, 1] == minv[1]))[0]
+    if len(starts) == 1:
+        start = int(starts[0])
+    else:
+        start = min(
+            (int(s) for s in starts),
+            key=lambda s: tuple(map(tuple, np.vstack([body[s:], body[:s]]))),
+        )
+    return np.vstack([body[start:], body[:start], body[start : start + 1]])
 
 
 def rings_bbox(rings: list[Ring]) -> tuple[float, float, float, float]:

@@ -268,7 +268,13 @@ def inherit_tags(
     interesting = {k: v for k, v in rel_tags.items() if k not in _UNINTERESTING}
     if interesting or not outer_ways:
         return dict(rel_tags)
-    area, tags = max(outer_ways, key=lambda t: t[0])
+    # tie-break equal areas by the tag dict's sorted items, NOT input order:
+    # outer_ways arrives in unordered applyInPandas group order, so a plain
+    # max() over a symmetric two-shell relation would flip the inherited
+    # tags run to run (review r5 — violates the order-invariance rule)
+    area, tags = max(
+        outer_ways, key=lambda t: (t[0], sorted(t[1].items(), reverse=True))
+    )
     merged = dict(tags)
     merged.update(rel_tags)  # relation's own keys (type/name) win
     return merged

@@ -174,3 +174,64 @@ def test_prop_morton_blocks_exact_disjoint_cover(level, data):
                 seen.add(t)
     want = {(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
     assert seen == want  # exact cover
+
+
+def test_cell_parent_propagates_invalid_sentinel():
+    """Review r5: cell_encode emits INVALID_CELL (-1) for non-finite coords;
+    one such row in a batch must propagate -1 (pre-fix the whole vectorized
+    batch raised), and the JVM twin must agree instead of fabricating a
+    valid-looking phantom parent."""
+    import numpy as np
+
+    from imposm2_spark.kernels.cells import INVALID_CELL, cell_encode, cell_parent
+
+    cells = cell_encode(
+        np.asarray([10.0, float("nan"), 20.0]),
+        np.asarray([50.0, 1.0, float("inf")]),
+        12,
+    )
+    assert cells[1] == INVALID_CELL and cells[2] == INVALID_CELL
+    parents = cell_parent(cells, 6)
+    assert parents[1] == INVALID_CELL and parents[2] == INVALID_CELL
+    assert parents[0] == cell_parent(cells[:1], 6)[0] != INVALID_CELL
+
+
+def test_cell_parent_col_matches_kernel_on_invalid(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from imposm2_spark.functions.spatial import cell_parent_col
+    from imposm2_spark.kernels.cells import INVALID_CELL, cell_encode
+
+    cells = [int(c) for c in cell_encode(
+        np.asarray([10.0, float("nan")]), np.asarray([50.0, 1.0]), 12)]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    got = [r[0] for r in df.select(cell_parent_col(F.col("cell"), 12, 6)).collect()]
+    assert got[1] == int(INVALID_CELL)
+    assert got[0] != int(INVALID_CELL)
+
+
+def test_k_ring_no_duplicates_when_ring_exceeds_grid():
+    """Review r5: at a coarse level the modulo x-wrap revisits cells —
+    duplicates would double-count kNN candidates through the ring join."""
+    import numpy as np
+
+    from imposm2_spark.kernels.cells import cell_from_xy, k_ring
+
+    cell = int(cell_from_xy(np.asarray([0]), np.asarray([0]), 1)[0])  # 2x2 grid
+    ring = k_ring(cell, 1)
+    assert len(ring) == len(set(ring.tolist())) == 4
+    # normal case unchanged: full (2r+1)^2 block interior to the grid
+    cell6 = int(cell_from_xy(np.asarray([10]), np.asarray([10]), 6)[0])
+    assert len(k_ring(cell6, 2)) == 25
+
+
+def test_covering_cells_bbox_rejects_inverted_bbox():
+    import pytest
+
+    from imposm2_spark.kernels.cells import covering_cells_bbox
+
+    with pytest.raises(ValueError, match="inverted"):
+        covering_cells_bbox(170.0, 0.0, -170.0, 10.0, 4)
+    with pytest.raises(ValueError, match="inverted"):
+        covering_cells_bbox(0.0, 10.0, 10.0, 0.0, 4)

@@ -154,3 +154,24 @@ def test_media_features_corrupt_payload_falls_back(spark):
                          (102, b"")):
         assert feats[mid].decode_ok is False
         assert np.allclose(feats[mid].features, _byte_histogram(payload))
+
+
+def test_media_features_null_meta_falls_back(spark):
+    """Review r5: a NULL meta struct (dirty external media table) must take
+    the byte-histogram fallback with decode_ok=False and null kind/n_bytes
+    — not TypeError the whole stage."""
+    from imposm2_spark.functions.multimodal import media_features
+
+    rows = [
+        (1, b"\x00\x01\x02\x03", ("bmp", "image", 4)),
+        (2, b"\x00\x01", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<codec string, kind string, n_bytes long>",
+    )
+    feats = {r.media_id: r for r in media_features(df).collect()}
+    assert feats[2].decode_ok is False
+    assert feats[2].kind is None and feats[2].n_bytes is None
+    assert len(feats[2].features) == 16

@@ -194,3 +194,42 @@ def test_polygons_area_shared_kernel():
     hole = np.array([[2.0, 2.0], [2.0, 4.0], [4.0, 4.0], [4.0, 2.0], [2.0, 2.0]])
     assert geom.polygon_area([shell, hole]) == 96.0
     assert geom.polygons_area([[shell, hole], [shell]]) == 196.0
+
+
+def test_canonical_ring_rotation_invariant_with_repeated_min_vertex():
+    """Review r5: a pinched ring revisiting its minimum vertex (legal OSM)
+    must canonicalize identically from EVERY input rotation — pre-fix the
+    first tied index won, so the canonical form depended on arrival
+    rotation and A4 shell-key matching missed nondeterministically."""
+    import numpy as np
+
+    from imposm2_spark.kernels.geom import canonical_ring
+
+    cycle = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (0.0, 0.0), (1.0, 2.0), (0.0, 2.0)]
+    forms = set()
+    for s in range(len(cycle)):
+        rot = cycle[s:] + cycle[:s]
+        closed = np.asarray(rot + [rot[0]], dtype=np.float64)
+        forms.add(canonical_ring(closed, ccw=True).tobytes())
+        # reversal (opposite winding) must land on the same canonical form
+        forms.add(canonical_ring(closed[::-1].copy(), ccw=True).tobytes())
+    assert len(forms) == 1, len(forms)
+
+
+def test_canonical_ring_unique_min_vertex_unchanged():
+    """The common case (unique minimum vertex) keeps the exact historical
+    byte form — orientation-then-rotate equals rotate-then-orient there, so
+    checkpoint fingerprints and shell keys do not churn."""
+    import numpy as np
+
+    from imposm2_spark.kernels.geom import canonical_ring
+
+    ring = np.asarray(
+        [(1.0, 1.0), (3.0, 0.5), (4.0, 2.0), (2.0, 3.0), (1.0, 1.0)]
+    )
+    got = canonical_ring(ring, ccw=True)
+    assert tuple(got[0]) == (1.0, 1.0)
+    # CCW winding, starting at the lexicographic minimum
+    x, y = got[:-1, 0], got[:-1, 1]
+    area2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    assert area2 > 0

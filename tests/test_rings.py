@@ -209,3 +209,18 @@ def test_contains_builder_salvages_inconsistent_containment():
     mp = kr.build_multipolygon(kr.MergeResult(rings=[notched, crossing, orphan]))
     assert len(mp.polygons) == 2
     assert sorted(len(p) for p in mp.polygons) == [1, 2]
+
+
+def test_inherit_tags_equal_area_tie_is_order_invariant():
+    """Review r5: outer_ways arrives in unordered applyInPandas group order;
+    equal-|area| outers must resolve to the same inherited tags regardless
+    of list order (pre-fix plain max() returned whichever came first)."""
+    from imposm2_spark.kernels.rings import inherit_tags
+
+    a = (5.0, {"landuse": "forest"})
+    b = (5.0, {"natural": "water"})
+    rel = {"type": "multipolygon"}
+    t1 = inherit_tags(rel, [a, b])
+    t2 = inherit_tags(rel, [b, a])
+    assert t1 == t2
+    assert "type" in t1  # relation's own keys always survive

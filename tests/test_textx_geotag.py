@@ -172,3 +172,22 @@ def test_fast_extractor_takes_fast_path_on_synthetic_pages():
     pdf = fixtures.make_documents_web(100)
     for h in pdf["html"]:
         assert _fast_extract(bytes(h).decode("utf-8", errors="replace")) is not None
+
+
+def test_geotag_null_url_and_html_do_not_kill_the_batch(spark):
+    """Review r5: a NULL url raised AttributeError inside the pandas UDF and
+    failed the whole Arrow batch; it must hash as the empty string instead
+    (deterministic fallback point), and a geo-meta page still wins even
+    with a NULL url."""
+    from imposm2_spark.functions.geotag import fallback_lat, fallback_lon, geotag
+
+    rows = [
+        (1, None, None),
+        (2, None, b'<meta name="geo.position" content="48.2;16.3">'),
+        (3, "https://a.example/x", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html binary")
+    got = {r.doc_id: r.geo for r in df.select("doc_id", geotag("url", "html").alias("geo")).collect()}
+    assert got[1].lon == fallback_lon("") and got[1].lat == fallback_lat("")
+    assert (got[2].lon, got[2].lat) == (16.3, 48.2)
+    assert got[3].lon == fallback_lon("https://a.example/x")
