@@ -151,11 +151,24 @@ class CheckpointManager:
     def _completed(self, stage_id: str, input_fingerprint: str) -> tuple[dict, str] | None:
         """The validated (manifest, data_dir) pair when the stage is committed
         for this fingerprint, else None — returned as a pair so the skip path
-        serves exactly what was validated (no re-read, no TOCTOU seam)."""
-        m = self.manifest(stage_id)
+        serves exactly what was validated (no re-read, no TOCTOU seam).
+
+        The snapshot pointer is resolved exactly ONCE (review r5: going
+        through self.manifest() + self.data_dir() read it twice, so a
+        concurrent re-publish between the two reads could validate snap A's
+        manifest but hand back snap B's data dir — different inputs under a
+        matching fingerprint record)."""
+        if self.commit == "snapshot":
+            snap = self._current_snapshot(stage_id)
+            if snap is None:
+                return None
+            data_dir = os.path.join(self._dir(stage_id), snap)
+        else:
+            data_dir = self._dir(stage_id)
         try:
-            data_dir = self.data_dir(stage_id)
-        except KeyError:
+            with open(os.path.join(data_dir, MANIFEST)) as f:
+                m = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
             return None
         if (
             m

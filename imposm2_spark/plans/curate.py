@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 from ..functions.text_analysis import lang_id, quality_score, token_count_ws
 from ..operators.dedup import dedup_connected_components, minhash_lsh_pairs
 
+# Each curate() invocation unpersists its PREDECESSOR's gated frame (the
+# registry's _KNN_PREV pattern): persisted DataFrames live in the SQL
+# CacheManager until explicit unpersist() or session stop — they are NOT
+# reclaimed when the Python reference goes out of scope — so repeated
+# bench/oracle invocations would otherwise pin one cached copy of the
+# gated corpus per call. The unpersisted predecessor stays recomputable
+# through its lineage.
+_CURATE_PREV: list[DataFrame] = []
+
 
 def curate(
     docs: DataFrame,
@@ -53,8 +62,12 @@ def curate(
     )
     # persisted: the frame feeds both LSH self-join sides and the final
     # anti-join (4 consumers) — without it the regexp-heavy scoring chain
-    # re-executes per consumer. ContextCleaner reclaims when out of scope.
+    # re-executes per consumer. Footprint bounded at ONE live instance via
+    # the predecessor-release holder above (module comment).
     exact = gated.join(keepers, id_col, "left_semi").persist()
+    while _CURATE_PREV:
+        _CURATE_PREV.pop().unpersist()
+    _CURATE_PREV.append(exact)
     # near-dup: exact transitive clustering — keep the smallest id per
     # connected component of the verified pair graph
     pairs = minhash_lsh_pairs(exact, id_col=id_col, text_col=text_col,

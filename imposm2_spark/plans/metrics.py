@@ -52,15 +52,35 @@ class Metrics:
     def snapshot(self) -> dict[str, dict]:
         """Metrics for every point whose query has completed an action;
         never-run points report {} instead of blocking (non-blocking probe
-        via the JVM Observation.getOrEmpty)."""
+        via the JVM Observation.getOrEmpty).
+
+        The probe reaches into the JVM-side Observation (`_jo`), which does
+        not exist on sessions without a local JVM (Spark Connect). That case
+        raises loudly (review r5: a bare `except Exception: {}` made every
+        metric silently read as empty — indistinguishable from 'action never
+        ran' — on exactly those sessions); use get() there, which blocks on
+        the public API instead."""
+        from py4j.protocol import Py4JJavaError
+
         out: dict[str, dict] = {}
         for name, obs in self._obs.items():
+            jo = getattr(obs, "_jo", None)
+            if jo is None:
+                raise NotImplementedError(
+                    "Metrics.snapshot() needs the JVM-side Observation "
+                    "(absent on Spark Connect sessions); use get(name) per "
+                    "completed point instead"
+                )
             try:
-                jmap = obs._jo.getOrEmpty()  # scala Map, empty if not done
-                if jmap.isEmpty():
-                    out[name] = {}
-                else:
-                    out[name] = dict(obs.get)  # completed -> non-blocking
-            except Exception:
+                jmap = jo.getOrEmpty()  # scala Map, empty if not done
+            except Py4JJavaError:
+                # the JVM probe itself rejects a never-run observation on
+                # some Spark versions — that IS the "no metrics yet" signal,
+                # not an environment failure; only this error maps to {}
                 out[name] = {}
+                continue
+            if jmap.isEmpty():
+                out[name] = {}
+            else:
+                out[name] = dict(obs.get)  # completed -> non-blocking
         return out

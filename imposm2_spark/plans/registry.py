@@ -55,10 +55,15 @@ def queries() -> dict[str, QueryFn]:
     headroom or fold into an existing variant family. Rows-only entries may
     overflow the window — their semantics are pytest-gated anyway."""
     ordered = sorted(_QUERIES, key=lambda n: n not in _ORACLES)
-    assert sum(1 for n in _QUERIES if n in _ORACLES) <= 50, (
-        "oracle-backed registry overflowed the driver's 50-row artifact window;"
-        " consolidate into a variant family (see queries() docstring)"
-    )
+    if sum(1 for n in _QUERIES if n in _ORACLES) > 50:
+        # a real raise, not an assert: `python -O` strips asserts, and this
+        # invariant is exactly the silent-coverage-loss guard that must
+        # never be compiled out (review r5)
+        raise RuntimeError(
+            "oracle-backed registry overflowed the driver's 50-row artifact"
+            " window; consolidate into a variant family (see queries()"
+            " docstring)"
+        )
     return {n: _QUERIES[n] for n in ordered}
 
 
@@ -843,11 +848,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(train, test)
 
 
-_SAMPLE_ORACLE = """
+from ..operators.curation import SAMPLE_A as _SA
+from ..operators.curation import SAMPLE_B as _SB
+from ..operators.curation import SAMPLE_P as _SP
+
+# LCG constants interpolated from the SAME Python names the engine uses
+# (review r5: literal copies here would silently go stale if curation.py
+# re-tunes them — the file's own oracles-cannot-drift rule)
+_SAMPLE_ORACLE = f"""
 SELECT doc_id, source FROM documents
-WHERE ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+WHERE ((doc_id % {_SP}) * {_SA} + {_SB}) % {_SP}
       < CAST(floor((CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1)
-                   * CAST(0.2 AS DOUBLE) * 2147483647) AS BIGINT)
+                   * CAST(0.2 AS DOUBLE) * {_SP}) AS BIGINT)
 """
 
 

@@ -157,7 +157,16 @@ class Deploy:
                 (v for v in os.listdir(tdir) if re.fullmatch(r"v\d+", v)),
                 key=lambda v: int(v[1:]),
             )
-            live = set(versions[-keep:]) | {vcur}
+            # retention counts PUBLISHED versions only (<= current): a
+            # staged-but-unpublished successor (stage() ran, publish() not
+            # yet — the stream_updates per-batch window) must neither count
+            # against the backup budget nor be deleted as a "backup"
+            # (review r5: it consumed a keep slot and the newest published
+            # backup was rmtree'd one version early)
+            published = [v for v in versions if int(v[1:]) <= int(vcur[1:])]
+            live = set(published[-keep:]) | {vcur} | (
+                set(versions) - set(published)
+            )
             for v in versions:
                 if v not in live:
                     shutil.rmtree(os.path.join(tdir, v))

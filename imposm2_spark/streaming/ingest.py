@@ -79,13 +79,17 @@ def stream_ingest(
     cell_level: int = 12,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = 8,
 ) -> StreamingQuery:
     """Start the incremental ingest; returns the StreamingQuery handle.
 
     `available_now=True` processes the current backlog then finishes (backfill
     mode); False leaves the query tailing the directory (continuous mode).
+    `max_files_per_trigger` reaches the source reader (review r5: it was
+    unplumbed, pinning every query to 8 files/micro-batch); pass None on a
+    large availableNow backfill to let the trigger size batches itself.
     """
-    src = read_document_stream(spark, landing_dir)
+    src = read_document_stream(spark, landing_dir, max_files_per_trigger)
     enriched = (transform or (lambda df: enrich(df, cell_level)))(src)
     writer = (
         enriched.writeStream.format("parquet")
@@ -108,6 +112,7 @@ def stream_spine(
     window: str = "1 hour",
     watermark: str = "2 hours",
     cell_level: int = 12,
+    max_files_per_trigger: int | None = 8,
 ) -> StreamingQuery:
     """The full M1 spine as one Structured Streaming job: extract -> geotag ->
     stream-STATIC broadcast PIP join -> watermarked windowed tile stats.
@@ -132,7 +137,7 @@ def stream_spine(
     every window's current value even when the watermark hasn't closed it yet
     — append mode would hold back all windows within `watermark` of max event
     time until a future run."""
-    src = read_document_stream(spark, landing_dir)
+    src = read_document_stream(spark, landing_dir, max_files_per_trigger)
     return _spine_query(
         src, checkpoint_dir, polygons, sink, zoom, window, watermark, cell_level
     )
@@ -149,6 +154,7 @@ def stream_curated_spine(
     window: str = "1 hour",
     watermark: str = "2 hours",
     cell_level: int = 12,
+    max_files_per_trigger: int | None = 8,
 ) -> StreamingQuery:
     """The full streaming CURATION story: stream_spine with cross-micro-batch
     first-seen dedup chained in front — duplicate documents (same text,
@@ -173,7 +179,7 @@ def stream_curated_spine(
     from .stateful import enable_drain_termination, stream_dedup_first_seen
 
     enable_drain_termination(spark)
-    src = read_document_stream(spark, landing_dir)
+    src = read_document_stream(spark, landing_dir, max_files_per_trigger)
     deduped = stream_dedup_first_seen(src, state_ttl_ms=dedup_state_ttl_ms)
     return _spine_query(
         deduped, checkpoint_dir, polygons, sink, zoom, window, watermark, cell_level
@@ -235,6 +241,7 @@ def stream_tile_counts(
     zoom: int = 8,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = 8,
 ) -> StreamingQuery:
     """Watermarked event-time tile counts, delivered via foreachBatch.
 
@@ -247,7 +254,7 @@ def stream_tile_counts(
     """
     from ..functions.spatial import tile_x, tile_y
 
-    src = read_document_stream(spark, landing_dir)
+    src = read_document_stream(spark, landing_dir, max_files_per_trigger)
     enriched = geotag_stage(src).withWatermark("warc_ts", watermark)
     counts = (
         enriched.groupBy(

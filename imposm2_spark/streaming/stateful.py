@@ -209,6 +209,14 @@ def stream_dedup_exact(
     Input: a STREAMING DataFrame with (url, text) columns. Output stream:
     (text_hash, url, text, n_prior_copies) — exactly one row per distinct
     text within the state retention window.
+
+    `n_prior_copies` is ALWAYS 0 by construction (review r5): append mode
+    emits a hash exactly once, at first sight, when zero copies precede it
+    by definition — and later copies are suppressed, never re-emitted with
+    an updated count. The column is kept for schema stability; a duplicate
+    CENSUS needs update-mode semantics (a different operator), not this
+    suppressor. The state's n_seen field still counts copies for TTL-window
+    observability via the state store, it just never reaches this output.
     """
     keyed = docs.select(F.md5("text").alias("text_hash"), "url", "text").groupBy(
         "text_hash"

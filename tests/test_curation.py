@@ -347,3 +347,45 @@ def test_repetition_arrow_kernel_matches_hof_twin(spark):
     got = {tuple(r) for r in repetition_metrics(df).collect()}
     want = {tuple(r) for r in _repetition_metrics_hof(df).collect()}
     assert got == want
+
+
+def test_curate_releases_predecessor_cache(spark):
+    """Review r5: persisted DataFrames live in the SQL CacheManager until
+    explicit unpersist — each curate() call must release its predecessor's
+    gated frame, bounding the footprint at one live invocation."""
+    from imposm2_spark.plans import curate as C
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    C.curate(docs).count()
+    prev = C._CURATE_PREV[0]
+    assert prev.storageLevel.useMemory
+    C.curate(docs).count()
+    assert not prev.storageLevel.useMemory
+    assert C._CURATE_PREV and C._CURATE_PREV[0] is not prev
+
+
+def test_registry_window_guard_is_a_real_raise():
+    """Review r5: the 50-row driver-window invariant must survive python -O
+    (asserts compile out) — it guards against silent oracle-coverage loss."""
+    import pytest
+
+    from imposm2_spark.plans import registry as R
+
+    added = []
+    try:
+        while sum(1 for n in R._QUERIES if n in R._ORACLES) <= 50:
+            name = f"__fake_overflow_{len(added)}"
+            R._QUERIES[name] = lambda s, d: None
+            R._ORACLES[name] = "SELECT 1"
+            added.append(name)
+        with pytest.raises(RuntimeError, match="artifact window"):
+            R.queries()
+    finally:
+        for n in added:
+            R._QUERIES.pop(n, None)
+            R._ORACLES.pop(n, None)
+    R.queries()  # restored registry is consistent again

@@ -229,3 +229,23 @@ def test_deploy_publish_failure_leaves_pointer_intact(spark, tmp_path, monkeypat
     assert dep.current() == {"t1": v1}  # old pointer intact
     litter = [n for n in os.listdir(str(tmp_path)) if n.startswith(".current_")]
     assert litter == []
+
+
+def test_remove_backups_ignores_staged_unpublished_versions(spark, tmp_path):
+    """Review r5: a staged-but-unpublished successor (stage() ran, publish()
+    not yet — the stream_updates per-batch window) must neither count
+    against the backup budget nor be deleted: pre-fix it consumed a keep
+    slot and the newest PUBLISHED backup was rmtree'd one version early."""
+    import os
+
+    from imposm2_spark.sources.catalog import Deploy
+
+    dep = Deploy(str(tmp_path / "dep"))
+    tdir = os.path.join(dep.root, "tables", "t")
+    for v in ("v001", "v002", "v003", "v004"):
+        os.makedirs(os.path.join(tdir, v))
+    dep.publish({"t": "v003"})  # v004 is staged, not published
+    removed = dep.remove_backups(keep=2)
+    # keep=2 of the PUBLISHED versions (v002, v003) + the in-flight v004
+    assert sorted(os.listdir(tdir)) == ["v002", "v003", "v004"]
+    assert removed == ["t/v001"]
