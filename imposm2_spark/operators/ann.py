@@ -71,6 +71,26 @@ def _as_double(col: F.Column) -> F.Column:
     return col.cast("array<double>")
 
 
+def _stack_f64(emb: pd.Series, dim: int) -> np.ndarray:
+    """Arrow batch of vectors -> float64 matrix, total on dirty data (review
+    r5, runtime-confirmed crashes): a NULL vector becomes a NaN row and a
+    NULL element becomes a NaN entry instead of np.stack/astype raising and
+    killing the task. Consumers behave deterministically on NaN rows —
+    assign -> argmax over all-False comparisons = list 0, probes -> stable
+    argsort = the first nprobe lists, lsh_signature -> (NaN > 0) = all-zero
+    bits — and every SEARCH path already excludes such rows via NULL/-inf
+    sims, so totality here never changes a result."""
+    vals = emb.to_numpy()
+    # `dim` comes from the consumer (centroid/plane width), NOT the batch: a
+    # batch containing ONLY null vectors has no row to infer a width from,
+    # and a wrong fallback width breaks the downstream matmul shape
+    filled = [v if v is not None else [np.nan] * dim for v in vals]
+    mat = np.stack(filled)
+    if mat.dtype == object:
+        mat = np.where(pd.isna(mat), np.nan, mat)
+    return mat.astype(np.float64)
+
+
 def _check_score(score: str) -> None:
     """Validate up front, in the public entry points — before centroid
     loads, probe UDFs, or query collects run any cluster work."""
@@ -310,7 +330,7 @@ def lsh_signature(emb: pd.Series) -> pd.Series:
     and therefore every sign bit — exactly. 64 vectorized FMA passes per
     batch cost the same as the matmul at these dims."""
     planes = _hyperplanes()
-    mat = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+    mat = _stack_f64(emb, planes.shape[1])  # NaN rows -> all-zero signature
     proj = np.zeros((mat.shape[0], planes.shape[0]), dtype=np.float64)
     for d in range(planes.shape[1]):
         proj += mat[:, [d]] * planes[:, d]
@@ -411,9 +431,23 @@ def train_centroids(
     rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(train_cap).collect()
     )
-    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    # NULL vectors / NULL elements are excluded from the training sample
+    # (review r5: list(None) raised and a None element broke the float64
+    # asarray) — they carry no direction to train on; at assign time such
+    # rows land deterministically in list 0 via _stack_f64's NaN rows
+    X = np.asarray(
+        [
+            list(r[1])
+            for r in rows
+            if r[1] is not None and all(x is not None for x in r[1])
+        ],
+        dtype=np.float64,
+    )
     if len(X) == 0:
-        raise ValueError("cannot train IVF centroids on an empty corpus")
+        raise ValueError(
+            "cannot train IVF centroids on an empty corpus (or one whose "
+            "sampled vectors are all NULL)"
+        )
     n_lists = min(n_lists, len(X))
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     Xn = X / np.where(norms == 0, 1.0, norms)
@@ -441,7 +475,7 @@ def _make_assign_udf(centroids: np.ndarray):
 
     @F.pandas_udf(T.IntegerType())
     def assign(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = _stack_f64(emb, cn.shape[1])  # NaN rows -> list 0 deterministically
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         sims = (mat / np.where(norms == 0, 1.0, norms)) @ cn.T
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
@@ -454,7 +488,7 @@ def _make_probe_udf(centroids: np.ndarray, nprobe: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probes(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = _stack_f64(emb, cn.shape[1])  # NaN rows probe the first nprobe lists
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         sims = (mat / np.where(norms == 0, 1.0, norms)) @ cn.T
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
@@ -560,7 +594,11 @@ def _list_stats(df_assigned: DataFrame, vec_col: str):
     stats: dict[int, tuple[int, dict[int, float]]] = {}
     for r in rows:
         n, sums = stats.setdefault(int(r["_list"]), (0, {}))
-        sums[int(r["_pos"])] = float(r["_s"])
+        # a position whose every value in the list is NULL (dirty vectors
+        # with NULL elements) sums to SQL NULL — count it as 0 in the drift
+        # stats; both the writers and verify_ivf_index share this helper,
+        # so the convention stays self-consistent
+        sums[int(r["_pos"])] = float(r["_s"]) if r["_s"] is not None else 0.0
         stats[int(r["_list"])] = (int(r["_n"]), sums)
     out = {}
     for lst, (n, sums) in stats.items():
@@ -581,10 +619,23 @@ def _write_centroid_meta(spark, path: str, centroids: np.ndarray,
     # parent partition, and the scheduler burns the full spark.locality.wait
     # (3s default) before launching it — measured 4.9s vs 0.5s for this
     # 16-row write. The 16-row shuffle repartition adds is negligible.
+    #
+    # Write-temp-then-swap (review r5): overwriting the sidecar IN PLACE
+    # left a crash window where the index's only copy of centroids+stats
+    # was deleted mid-rewrite and every later search threw path-not-found
+    # instead of verify reporting inconsistency. Now: write <dir>.new, then
+    # delete-old + rename — a crash leaves either the old dir (pre-delete)
+    # or .new (pre-rename), and _read_centroid_meta falls back to .new.
+    cpath = _centroids_path(path)
+    tmp = cpath + ".new"
     spark.createDataFrame(
         rows, "list_id int, vec array<double>, n bigint, sumvec array<double>,"
               " n_base bigint"
-    ).repartition(1).write.mode("overwrite").parquet(_centroids_path(path))
+    ).repartition(1).write.mode("overwrite").parquet(tmp)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(cpath).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath(cpath), True)
+    fs.rename(jpath(tmp), jpath(cpath))
 
 
 def append_ivf_index(
@@ -623,7 +674,7 @@ def append_ivf_index(
     a FAILED append double-appends the batch (plain parquet has no
     multi-file atomic commit; that is Iceberg's job) — verify first. Single
     writer per index, as with the checkpoint manager."""
-    meta = spark.read.parquet(_centroids_path(path)).collect()
+    meta = _read_centroid_meta(spark, path)
     meta.sort(key=lambda r: r["list_id"])
     centroids = np.asarray([list(r["vec"]) for r in meta], dtype=np.float64)
     assign = _make_assign_udf(centroids)
@@ -680,7 +731,7 @@ def verify_ivf_index(spark, path: str, vec_col: str = "embedding") -> dict:
     n_index, n_sidecar}; on inconsistency, rebuild with write_ivf_index
     (or re-derive the sidecar from the index if centroids are trusted)."""
     actual = _list_stats(spark.read.parquet(path), vec_col)
-    meta = spark.read.parquet(_centroids_path(path)).collect()
+    meta = _read_centroid_meta(spark, path)
     mismatched = []
     n_sidecar = 0
     for r in meta:
@@ -704,8 +755,27 @@ def _centroids_path(path: str) -> str:
     return path.rstrip("/") + "_centroids"
 
 
+def _read_centroid_meta(spark, path: str) -> list:
+    """Sidecar rows, crash-window aware: when the main dir is missing but
+    `<dir>.new` exists, a sidecar swap died between delete and rename — the
+    .new dir holds the complete committed rewrite (it is fully written
+    BEFORE the delete), so reading it IS the recovery."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(_centroids_path(path)).collect()
+    except AnalysisException:
+        try:
+            return spark.read.parquet(_centroids_path(path) + ".new").collect()
+        except AnalysisException:
+            raise FileNotFoundError(
+                f"no centroid sidecar at {_centroids_path(path)!r} (nor a "
+                "crash-window .new dir); rebuild with write_ivf_index"
+            ) from None
+
+
 def _load_centroids(spark, path: str) -> np.ndarray:
-    rows = spark.read.parquet(_centroids_path(path)).collect()
+    rows = _read_centroid_meta(spark, path)
     rows.sort(key=lambda r: r["list_id"])
     return np.asarray([list(r["vec"]) for r in rows], dtype=np.float64)
 

@@ -480,7 +480,16 @@ def assemble_relations(
 
     chunked = resolved.where(F.col("_n") > max_members).withColumn(
         "_chunk",
-        F.pmod(F.col("way_id"), F.ceil(F.col("_n") / F.lit(max_members))).cast("int"),
+        # hash the way id before the modulo (review r5): raw pmod collapses
+        # stride/residue-aligned id sequences (bulk imports, way splitters)
+        # into few chunks, defeating the O10b per-group memory bound this
+        # pre-split exists for. Output-identical for any chunking (the
+        # partial merge is associative; pinned by the chunked-path identity
+        # test) — same pattern as knn/pip salting.
+        F.pmod(
+            F.xxhash64(F.col("way_id")),
+            F.ceil(F.col("_n") / F.lit(max_members)),
+        ).cast("int"),
     )
     partial = chunked.groupBy("rel_id", "_chunk").applyInPandas(
         _partial_merge_group, schema=_PARTIAL_SCHEMA

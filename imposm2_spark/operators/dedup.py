@@ -102,10 +102,16 @@ def band_keys() -> list[F.Column]:
 
 
 def jaccard(sa: F.Column, sb: F.Column) -> F.Column:
-    """Exact set-Jaccard over shingle-hash arrays, rounded for hash-compare."""
+    """Exact set-Jaccard over shingle-hash arrays, rounded for hash-compare.
+
+    try_divide, not `/`: two EMPTY shingle sets make the union size 0, and
+    plain division under Spark 4's default ANSI mode raises DIVIDE_BY_ZERO
+    and aborts the job (review r5, runtime-confirmed) — the documented
+    contract is NULL for the empty/empty pair, same rationale as
+    ann.cosine_sim's zero-norm handling."""
     inter = F.size(F.array_intersect(F.array_distinct(sa), F.array_distinct(sb)))
     union = F.size(F.array_union(sa, sb))
-    return F.round(inter.cast("double") / union, 9)
+    return F.round(F.try_divide(inter.cast("double"), union), 9)
 
 
 def minhash_signatures(

@@ -232,11 +232,20 @@ def knn_join(
             break
 
     if not (frontier_empty and accepted):
-        # stragglers (site deserts / huge kth distance): exact broadcast fallback
+        # stragglers (site deserts / huge kth distance): exact brute fallback.
+        # Broadcast the site side ONLY when the caller said it fits
+        # (review r5: force-broadcasting under broadcast_sites=False silently
+        # re-enabled the exact mode the flag disabled — a 10^8-row site table
+        # would OOM the driver); otherwise a plain cross join, which Spark
+        # executes shuffled — stragglers are few by construction, so the
+        # candidate volume is |stragglers| x |sites|, not |points| x |sites|.
         fallback_pts = remaining.select(point_id, F.col("_pmx"), F.col("_pmy"))
-        fb_cand = fallback_pts.join(
-            F.broadcast(s.select(site_id, "_smx", "_smy"))
-        ).withColumn("_d2", _dist2())
+        fb_sites = s.select(site_id, "_smx", "_smy")
+        if broadcast_sites:
+            fb_cand = fallback_pts.join(F.broadcast(fb_sites))
+        else:
+            fb_cand = fallback_pts.crossJoin(fb_sites)
+        fb_cand = fb_cand.withColumn("_d2", _dist2())
         accepted.append(
             _topk(fb_cand, point_id, site_id, k).select(point_id, site_id, "rank")
         )

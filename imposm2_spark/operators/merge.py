@@ -18,11 +18,25 @@ ORD_COL = "file_ord"
 
 def merge_extracts(extracts: list[DataFrame], key: str, ord_col: str = ORD_COL) -> DataFrame:
     """Union extracts (each must carry `ord_col`, its read order) and keep, per
-    `key`, only the row from the highest-ordinal extract (last write wins)."""
+    `key`, only the row from the highest-ordinal extract (last write wins).
+
+    Ties WITHIN one extract (same key, same ordinal — a dirty re-read or
+    shards unioned under one ordinal) resolve by a deterministic payload
+    hash, not shuffle arrival order (review r5): without the secondary sort
+    the winner could differ run to run, breaking resume/lineage determinism
+    (SURVEY §2.9)."""
     if not extracts:
         raise ValueError("need at least one extract")
     unioned = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), extracts)
-    w = W.partitionBy(key).orderBy(F.col(ord_col).desc())
+    # xxhash64 rejects MAP-typed columns (e.g. OSM `tags`): hash over the
+    # hashable columns only — deterministic as long as any non-map column
+    # distinguishes the tied rows (a map-only payload difference keeps the
+    # old arrival-order behavior, documented here rather than hidden)
+    hashable = [c for c, t in unioned.dtypes if not t.startswith("map<")]
+    tiebreak = (
+        F.xxhash64(*[F.col(c) for c in hashable]) if hashable else F.lit(0)
+    )
+    w = W.partitionBy(key).orderBy(F.col(ord_col).desc(), tiebreak.asc())
     return (
         unioned.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

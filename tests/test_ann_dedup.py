@@ -799,3 +799,69 @@ def test_ann_arrow_composes_in_self_diff_plans(spark, tmp_path):
     assert br.exceptAll(br).unionAll(br.exceptAll(br)).count() == 0
     assert ivf.exceptAll(ivf).unionAll(ivf.exceptAll(ivf)).count() == 0
     assert ivf.exceptAll(br).unionAll(br.exceptAll(ivf)).count() == 0
+
+
+def test_jaccard_empty_both_sides_is_null_not_error(spark):
+    """Review r5 (runtime-confirmed): two empty shingle sets made the union
+    size 0 and plain division raised DIVIDE_BY_ZERO under Spark 4's default
+    ANSI mode; the contract is NULL for the empty/empty pair."""
+    from imposm2_spark.operators.dedup import jaccard
+
+    df = spark.createDataFrame(
+        [([], []), ([1, 2], []), ([1, 2], [2, 3])],
+        "sa array<bigint>, sb array<bigint>",
+    )
+    got = df.select(jaccard(F.col("sa"), F.col("sb")).alias("j")).collect()
+    assert got[0].j is None
+    assert got[1].j == 0.0
+    assert abs(got[2].j - 1 / 3) < 1e-9
+
+
+def test_ann_index_paths_total_on_null_vectors(spark, tmp_path):
+    """Review r5 (runtime-confirmed crashes): NULL vectors / NULL elements
+    killed every numpy-UDF path (train_centroids, assign, probes,
+    lsh_signature) while the search paths excluded them. All paths must be
+    total; search results must still exclude the dirty rows."""
+    from imposm2_spark.operators.ann import (
+        N_LISTS,
+        append_ivf_index,
+        cosine_topk_brute,
+        cosine_topk_ivf_indexed,
+        cosine_topk_lsh,
+        write_ivf_index,
+    )
+
+    emb = _emb_df(spark, n=64)
+    dirty = spark.createDataFrame(
+        [(9001, None), (9002, [None] + [0.5] * 63)],
+        emb.schema,
+    )
+    corpus = emb.unionByName(dirty)
+    path = str(tmp_path / "ivf_dirty")
+    write_ivf_index(corpus.where(F.col("vec_id") != 9002), path)
+    append_ivf_index(spark, path, corpus.where(F.col("vec_id") == 9002))
+    queries = emb.where(F.col("vec_id") < 4)
+    for res in (
+        cosine_topk_ivf_indexed(spark, path, queries, k=3, nprobe=N_LISTS),
+        cosine_topk_lsh(corpus, queries, k=3),
+        cosine_topk_brute(corpus, queries, k=3, score="arrow"),
+    ):
+        rows = res.collect()
+        assert rows and all(r.vec_id not in (9001, 9002) for r in rows)
+
+
+def test_ivf_sidecar_survives_crash_window_rename(spark, tmp_path):
+    """Review r5: the sidecar rewrite is write-temp-then-swap; a crash
+    between delete and rename leaves only `<dir>.new`, which readers must
+    fall back to instead of throwing path-not-found."""
+    import os
+
+    from imposm2_spark.operators.ann import N_LISTS, cosine_topk_ivf_indexed, write_ivf_index
+
+    emb = _emb_df(spark, n=64)
+    path = str(tmp_path / "ivf_crash")
+    write_ivf_index(emb, path)
+    os.rename(path + "_centroids", path + "_centroids.new")  # simulate the window
+    queries = emb.where(F.col("vec_id") < 3)
+    got = cosine_topk_ivf_indexed(spark, path, queries, k=3, nprobe=N_LISTS)
+    assert got.count() == 9

@@ -150,3 +150,22 @@ def test_registry_knn_query_releases_predecessor_cache(spark):
     # the second invocation released the first's cache: the net-new set
     # never exceeds one knn result (pre-fix it grew by one per invocation)
     assert len(grew2) <= max(len(grew1), 1)
+
+
+def test_knn_fallback_respects_broadcast_flag(spark):
+    """Review r5: the straggler fallback force-broadcast the site table even
+    under broadcast_sites=False (chosen precisely when the site side is too
+    big to broadcast). Both settings must produce brute-identical results on
+    a site-desert fixture that forces the fallback."""
+    from imposm2_spark.operators.knn import knn_join, knn_join_brute
+
+    points = spark.createDataFrame([(1, 0.0, 0.0), (2, 0.1, 0.1)],
+                                   "doc_id long, lon double, lat double")
+    # sites far outside every ring at level 6 -> fallback path runs
+    sites = spark.createDataFrame([(10, 140.0, -30.0), (11, 150.0, -35.0)],
+                                  "site_id long, slon double, slat double")
+    brute = {tuple(r) for r in knn_join_brute(points, sites, k=1).collect()}
+    for bcast in (True, False):
+        got = {tuple(r) for r in knn_join(
+            points, sites, k=1, rings=(1,), broadcast_sites=bcast).collect()}
+        assert got == brute, bcast

@@ -166,3 +166,21 @@ def test_apply_diff_rejects_null_key_and_null_version(spark):
     )
     got = apply_diff(base, ok, key="id", allowed_ops=ops)
     assert got.count() == 2
+
+
+def test_merge_extracts_tie_within_one_extract_is_deterministic(spark):
+    """Review r5: duplicate keys at the SAME ordinal resolved by shuffle
+    arrival order; they must resolve by the deterministic payload-hash
+    tiebreak — same winner on every evaluation."""
+    from imposm2_spark.operators.merge import merge_extracts
+
+    ext = spark.createDataFrame(
+        [(1, 0, "payload-a"), (1, 0, "payload-b"), (2, 0, "only")],
+        "id long, file_ord int, payload string",
+    ).repartition(8)
+    winners = set()
+    for _ in range(5):
+        got = {r.id: r.payload for r in merge_extracts([ext], key="id").collect()}
+        assert got[2] == "only"
+        winners.add(got[1])
+    assert len(winners) == 1, winners
