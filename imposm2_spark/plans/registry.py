@@ -351,33 +351,30 @@ def q_cache_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Anti/semi joins (J7/P4 shape).
 # ---------------------------------------------------------------------------
 @register(
-    "anti_join_customers_without_orders",
+    "semi_anti_join_customers",
     oracle="""
-SELECT c.c_custkey FROM customer c
+SELECT 'semi' AS variant, c.c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+UNION ALL
+SELECT 'anti' AS variant, c.c_custkey FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 semi + anti join under one oracle (`variant` discriminator) —
+    consolidation of r1's two single-purpose rows (window headroom, r5).
+    Covers both left_semi (customers with a >100k order) and left_anti
+    (customers with no orders at all) against the same base tables."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey"
+    big = orders.where(F.col("o_totalprice") > 100000)
+    semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("variant"), "c_custkey"
     )
-
-
-@register(
-    "semi_join_customers_with_big_order",
-    oracle="""
-SELECT c.c_custkey FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-""",
-)
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
-        "c_custkey"
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("anti").alias("variant"), "c_custkey"
     )
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------------------
@@ -2198,6 +2195,62 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side("backward").unionByName(side("forward"))
+
+
+# ---------------------------------------------------------------------------
+# J10 interval (range) join: clicks inside per-user error windows.
+# Bucketed explode + equi-join (operators/interval.py); the oracle is the
+# literal BETWEEN join the operator must be a pure physical rewrite of.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_join_clicks_errors",
+    oracle="""
+SELECT p.event_id AS click_id,
+       p.user_id AS user_id,
+       i.event_id AS error_id,
+       date_diff('microsecond', i.ts, p.ts) AS offset_us
+FROM events p
+JOIN events i
+  ON p.user_id = i.user_id
+ AND p.ts >= i.ts
+ AND p.ts <= i.ts + INTERVAL 6 HOUR
+WHERE p.event_type = 'click' AND i.event_type = 'error'
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 interval join: each click joined to every same-user error window
+    `[error_ts, error_ts + 6h]` containing it, via the bucketed explode
+    (2-hour buckets -> every window spans 3-4 buckets, exercising the
+    multi-bucket replication at sf scale)."""
+    from ..operators.interval import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+    )
+    j = interval_join(
+        clicks,
+        windows,
+        on="user_id",
+        point_ts="ts",
+        start="w_start",
+        end="w_end",
+        bucket_us=2 * 3_600_000_000,
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        F.col("error_id_i").alias("error_id"),
+        F.timestamp_diff("MICROSECOND", F.col("w_start_i"), F.col("ts")).alias(
+            "offset_us"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
