@@ -134,6 +134,44 @@ def test_validation_errors(spark):
         )
 
 
+def test_stream_static_parity(spark, tmp_path):
+    """interval_join is STATELESS (explode + equi-join + filter), so the same
+    call composes with Structured Streaming as a stream-static enrichment —
+    the 100 TB shape for tagging an event stream with slowly-changing
+    windows. Streamed output over two file micro-batches must equal the
+    batch join over the same files."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    p, i = _frames(spark)
+    pts_schema = "user_id long, ts timestamp, point_id long"
+    # two micro-batches, split across the point set
+    p1 = spark.createDataFrame(POINTS[:5], pts_schema)
+    p2 = spark.createDataFrame(POINTS[5:], pts_schema)
+    p1.write.parquet(landing + "/b1")
+    p2.write.parquet(landing + "/b2")
+
+    src = spark.readStream.schema(pts_schema).parquet(landing + "/*")
+    joined = interval_join(src, i, on="user_id", bucket_us=30 * BUCKET_MIN)
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted((r["point_id"], r["interval_id_i"]) for r in rows)
+    want_rows = interval_join(
+        spark.read.schema(pts_schema).parquet(landing + "/*"),
+        i, on="user_id", bucket_us=30 * BUCKET_MIN,
+    ).collect()
+    want = sorted((r["point_id"], r["interval_id_i"]) for r in want_rows)
+    assert got == want == sorted(_brute())
+
+
 def test_plan_never_nested_loop(spark):
     """The scale contract: the main path is an equi-join on (key, bucket) —
     no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan, which
