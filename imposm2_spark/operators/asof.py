@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 __all__ = ["asof_join"]
 
@@ -174,11 +175,20 @@ def asof_join(
     part_cols = [F.col(k) for k in keys]
     if bucket_us is not None:
         # Epoch-anchored micros of the event time, typed to whichever
-        # timestamp flavor the union resolved (timestamp_diff accepts both
-        # TIMESTAMP and TIMESTAMP_NTZ; unix_micros rejects NTZ).
+        # timestamp flavor the union resolved. The bucket map must be
+        # MONOTONE w.r.t. the window's __ts ordering: for instant-typed
+        # (TIMESTAMP) events that order is instant order, and wall-clock
+        # micros are NOT monotone across a DST fall-back — an earlier right
+        # row could land in a LATER bucket than its left and silently miss
+        # the match — so bucket on unix micros. TIMESTAMP_NTZ orders in
+        # wall-clock space, where wall micros (timestamp_diff from the
+        # epoch; unix_micros rejects NTZ) are the monotone choice.
         ts_type = both.schema["__ts"].dataType
-        epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
-        micros = F.timestamp_diff("MICROSECOND", epoch, F.col("__ts"))
+        if isinstance(ts_type, TimestampType):
+            micros = F.unix_micros(F.col("__ts"))
+        else:
+            epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+            micros = F.timestamp_diff("MICROSECOND", epoch, F.col("__ts"))
         # floor() rounds toward -inf, so pre-epoch timestamps bucket
         # consistently too.
         both = both.withColumn("__bkt", F.floor(micros / F.lit(int(bucket_us))))

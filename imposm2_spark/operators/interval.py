@@ -43,19 +43,29 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 __all__ = ["interval_join"]
 
 
-def _micros(col: Column, ts_type) -> Column:
-    # Epoch-anchored microseconds; timestamp_diff accepts both TIMESTAMP and
-    # TIMESTAMP_NTZ (unix_micros rejects NTZ, the common parquet event type).
-    # The bucket id below is floor(micros / w) via Spark's double-typed `/`:
-    # provably exact for |micros| < 2^53 (year ~2255) — an integer quotient
-    # m/w is at least 1/w from any other integer, and the division's rounding
-    # error is < (m/w)*2^-53, so a floor flip needs m > 2^53. Same bound as
-    # operators/asof.py's bucketing.
-    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+def _micros(col: Column, col_type, instant: bool) -> Column:
+    # Epoch-anchored microseconds, MONOTONE w.r.t. the comparison order the
+    # exact BETWEEN refine uses — the property the one-pass bucket proof
+    # rests on. When any participating column is instant-typed (TIMESTAMP),
+    # the refine compares instants (Spark coerces a mixed NTZ side via the
+    # session zone), so bucket on unix micros: wall-clock micros are NOT
+    # monotone across a DST fall-back, and a point later in instant time can
+    # land in a bucket BELOW its containing interval's, silently dropping the
+    # pair. All-NTZ inputs compare in wall-clock space, where wall micros
+    # (timestamp_diff from the epoch; unix_micros rejects NTZ) are the
+    # monotone choice. The bucket id below is floor(micros / w) via Spark's
+    # double-typed `/`: provably exact for |micros| < 2^53 (year ~2255) — an
+    # integer quotient m/w is at least 1/w from any other integer, and the
+    # division's rounding error is < (m/w)*2^-53, so a floor flip needs
+    # m > 2^53. Same bound as operators/asof.py's bucketing.
+    if instant:
+        return F.unix_micros(col.cast("timestamp"))
+    epoch = F.lit("1970-01-01 00:00:00").cast(col_type)
     return F.timestamp_diff("MICROSECOND", epoch, col)
 
 
@@ -68,7 +78,7 @@ def interval_join(
     end: str = "end",
     bucket_us: int = 3_600_000_000,
     suffix: str = "_i",
-    long_span_buckets: int | None = 256,
+    long_span_buckets: int | None = None,
 ) -> DataFrame:
     """Inner-join each point to every same-key interval containing it.
 
@@ -84,9 +94,13 @@ def interval_join(
     selectivity (more same-bucket non-matches scanned per task).
 
     long_span_buckets: intervals spanning more than this many buckets bypass
-    the explode and broadcast-range-join instead (None disables the split and
-    explodes everything). The long side is assumed small; Spark's broadcast
-    size limit is the deliberate loud failure when it is not.
+    the explode and broadcast-range-join instead. Default None: everything
+    explodes, one pass over the points. Enabling the split adds a SECOND full
+    scan of the point side for the broadcast branch — the 8M-point XL A/B
+    (BENCH_XL_r05.json) measured that a net loss (2.48s vs 2.03s) unless the
+    long tail's explode factor outweighs the extra scan, so opt in only for
+    genuinely open-ended interval tails. The long side is assumed small;
+    Spark's broadcast size limit is the deliberate loud failure if not.
 
     Returns all point columns (keys first), then every non-key interval
     column suffixed with `suffix`.
@@ -116,7 +130,7 @@ def interval_join(
             f"long_span_buckets must be a positive int or None, got {long_span_buckets!r}"
         )
 
-    reserved = {"__bkt", "__b0", "__b1", "__p", "__i"}
+    reserved = {"__bkt", "__b0", "__b1"}
     clash = reserved.intersection(points.columns).union(
         reserved.intersection(intervals.columns)
     )
@@ -136,20 +150,26 @@ def interval_join(
     p_ts_type = points.schema[point_ts].dataType
     i_start_type = intervals.schema[start].dataType
     i_end_type = intervals.schema[end].dataType
+    # One flavor decision for all three columns: the refine's comparison
+    # space is instant iff ANY side is instant-typed (see _micros).
+    instant = any(
+        isinstance(t, TimestampType) for t in (p_ts_type, i_start_type, i_end_type)
+    )
 
     # Points with a null timestamp and intervals with a null/inverted span
     # can never match (inner-join contract) — filter BEFORE the explode so
     # the predicate pushes into the scans.
     pts = points.where(F.col(point_ts).isNotNull()).withColumn(
-        "__bkt", F.floor(_micros(F.col(point_ts), p_ts_type) / F.lit(int(bucket_us)))
+        "__bkt",
+        F.floor(_micros(F.col(point_ts), p_ts_type, instant) / F.lit(int(bucket_us))),
     )
     ivs = intervals.where(
         F.col(start).isNotNull()
         & F.col(end).isNotNull()
         & (F.col(start) <= F.col(end))
     )
-    b0 = F.floor(_micros(F.col(start), i_start_type) / F.lit(int(bucket_us)))
-    b1 = F.floor(_micros(F.col(end), i_end_type) / F.lit(int(bucket_us)))
+    b0 = F.floor(_micros(F.col(start), i_start_type, instant) / F.lit(int(bucket_us)))
+    b1 = F.floor(_micros(F.col(end), i_end_type, instant) / F.lit(int(bucket_us)))
     ivs = ivs.withColumn("__b0", b0).withColumn("__b1", b1)
 
     between = (F.col(point_ts) >= F.col(f"{start}{suffix}")) & (

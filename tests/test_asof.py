@@ -332,3 +332,36 @@ def test_asof_null_timestamps_never_match(spark, direction):
             ).collect()
         }
         assert got == {400: (None, None), 401: (None, None)}, (direction, bucket_us, got)
+
+
+def test_dst_fallback_instant_buckets(spark):
+    """Regression (shared with interval_join): the bucket map must be
+    monotone w.r.t. the window's __ts order. For TIMESTAMP events under a
+    DST session zone, wall-clock micros are non-monotone across the
+    fall-back, so a right row EARLIER in instant time bucketed LATER than
+    its left row and the backward match was silently lost (null instead of
+    the true nearest right)."""
+    utc = dt.timezone.utc
+
+    def instant(h, m):  # 2024-11-03: US fall-back, 02:00 PDT -> 01:00 PST
+        return dt.datetime(2024, 11, 3, h, m, tzinfo=utc)
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # left 09:15 UTC = 01:15 PST (second pass of the repeated hour);
+        # right 08:30 UTC = 01:30 PDT is 45 min EARLIER in instant time but
+        # LATER in wall-clock time.
+        left = _mk(spark, [(1, instant(9, 15), 500)], "key long, ts timestamp, lid long")
+        right = _mk(spark, [(1, instant(8, 30), 50)], "key long, ts timestamp, rid long")
+        for bucket_us in (None, 15 * 60 * 1_000_000, 60 * 60 * 1_000_000):
+            got = {
+                r["lid"]: r["rid_r"]
+                for r in asof_join(
+                    left, right, on="key", direction="backward",
+                    tiebreak="rid", bucket_us=bucket_us,
+                ).collect()
+            }
+            assert got == {500: 50}, (bucket_us, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

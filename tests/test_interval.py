@@ -161,7 +161,9 @@ def test_stream_static_parity(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False on timeout WITHOUT raising — assert so
+    # a slow host fails loudly here, not as a bogus missing-pairs diff below.
+    assert q.awaitTermination(120)
 
     got = sorted((r["point_id"], r["interval_id_i"]) for r in rows)
     want_rows = interval_join(
@@ -170,6 +172,39 @@ def test_stream_static_parity(spark, tmp_path):
     ).collect()
     want = sorted((r["point_id"], r["interval_id_i"]) for r in want_rows)
     assert got == want == sorted(_brute())
+
+
+def test_dst_fallback_instant_buckets(spark):
+    """Regression: bucket ids must live in INSTANT space for TIMESTAMP
+    inputs. Under a DST session zone, wall-clock micros are non-monotone
+    across the fall-back (the 01:00-02:00 wall hour repeats), so a point
+    inside an interval straddling the transition bucketed BELOW the
+    interval's first bucket and the (key, bucket) equi-join silently
+    dropped the pair — while the exact BETWEEN refine (comparing instants)
+    would have kept it."""
+    utc = dt.timezone.utc
+
+    def instant(h, m):  # 2024-11-03: US fall-back, 02:00 PDT -> 01:00 PST
+        return dt.datetime(2024, 11, 3, h, m, tzinfo=utc)
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # point 09:15 UTC = 01:15 PST (second pass of the repeated hour);
+        # interval [08:30 UTC = 01:30 PDT, 10:30 UTC = 02:30 PST] contains it
+        # in instant time but NOT in wall-clock time (01:15 < 01:30).
+        p = spark.createDataFrame(
+            [(1, instant(9, 15), 100)], "user_id long, ts timestamp, point_id long"
+        )
+        i = spark.createDataFrame(
+            [(1, instant(8, 30), instant(10, 30), 200)],
+            "user_id long, start timestamp, end timestamp, interval_id long",
+        )
+        for bucket_us in (15 * BUCKET_MIN, 60 * BUCKET_MIN, 7 * BUCKET_MIN):
+            rows = interval_join(p, i, on="user_id", bucket_us=bucket_us).collect()
+            assert [(r["point_id"], r["interval_id_i"]) for r in rows] == [(100, 200)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
 
 
 def test_plan_never_nested_loop(spark):
