@@ -283,12 +283,22 @@ def asof_join(
     )
 
     if tolerance_us is not None:
-        # timestamp_diff handles both TIMESTAMP and TIMESTAMP_NTZ inputs
+        # The lag must be measured in the SAME space the match order lives
+        # in (the bucketing rationale above): timestamp_diff subtracts
+        # wall-clock datetimes, so across a DST fall-back it reports a
+        # 45-minute instant gap as -15 minutes (measured) — wrongly
+        # accepting/rejecting DST-straddling matches for instant-typed
+        # (TIMESTAMP) events. Diff unix micros for TIMESTAMP; NTZ compares
+        # in wall-clock space, where timestamp_diff is the right measure
         # (unix_micros rejects NTZ, the common parquet event type).
+        if isinstance(both.schema["__ts"].dataType, TimestampType):
+            gap = lambda a, b: F.unix_micros(b) - F.unix_micros(a)  # noqa: E731
+        else:
+            gap = lambda a, b: F.timestamp_diff("MICROSECOND", a, b)  # noqa: E731
         lag = (
-            F.timestamp_diff("MICROSECOND", F.col("__m.__rts"), F.col("__ts"))
+            gap(F.col("__m.__rts"), F.col("__ts"))
             if backward
-            else F.timestamp_diff("MICROSECOND", F.col("__ts"), F.col("__m.__rts"))
+            else gap(F.col("__ts"), F.col("__m.__rts"))
         )
         out = out.withColumn(
             "__m", F.when(lag <= F.lit(int(tolerance_us)), F.col("__m"))

@@ -365,3 +365,48 @@ def test_dst_fallback_instant_buckets(spark):
             assert got == {500: 50}, (bucket_us, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_dst_tolerance_measured_in_instant_space(spark):
+    """Regression: tolerance_us must be measured in instant micros for
+    TIMESTAMP events. timestamp_diff subtracts wall-clock datetimes, so
+    across the US fall-back a 45-minute instant gap reads as -15 minutes
+    (wrongly accepted) and across spring-forward a 30-minute gap reads as
+    90 minutes (wrongly rejected)."""
+    utc = dt.timezone.utc
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # Fall-back (2024-11-03): left 09:15 UTC = 01:15 PST, right 08:30 UTC
+        # = 01:30 PDT — instant gap 45 min, wall-clock gap -15 min. A 30-min
+        # tolerance must REJECT (wall-clock math accepted it).
+        fb_l = dt.datetime(2024, 11, 3, 9, 15, tzinfo=utc)
+        fb_r = dt.datetime(2024, 11, 3, 8, 30, tzinfo=utc)
+        left = _mk(spark, [(1, fb_l, 500)], "key long, ts timestamp, lid long")
+        right = _mk(spark, [(1, fb_r, 50)], "key long, ts timestamp, rid long")
+        got = {
+            r["lid"]: r["rid_r"]
+            for r in asof_join(
+                left, right, on="key", direction="backward",
+                tiebreak="rid", tolerance_us=30 * 60 * 1_000_000,
+            ).collect()
+        }
+        assert got == {500: None}, got
+
+        # Spring-forward (2024-03-10): left 10:15 UTC = 03:15 PDT, right
+        # 09:45 UTC = 01:45 PST — instant gap 30 min, wall-clock gap 90 min.
+        # A 45-min tolerance must ACCEPT (wall-clock math rejected it).
+        sf_l = dt.datetime(2024, 3, 10, 10, 15, tzinfo=utc)
+        sf_r = dt.datetime(2024, 3, 10, 9, 45, tzinfo=utc)
+        left = _mk(spark, [(1, sf_l, 501)], "key long, ts timestamp, lid long")
+        right = _mk(spark, [(1, sf_r, 51)], "key long, ts timestamp, rid long")
+        got = {
+            r["lid"]: r["rid_r"]
+            for r in asof_join(
+                left, right, on="key", direction="backward",
+                tiebreak="rid", tolerance_us=45 * 60 * 1_000_000,
+            ).collect()
+        }
+        assert got == {501: 51}, got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
