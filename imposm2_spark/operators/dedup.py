@@ -520,3 +520,87 @@ def ngram_jaccard_pairs(
         .join(sh.select(F.col(id_col).alias(b_col), F.col("shs").alias("sb")), b_col)
         .select(a_col, b_col, jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# T27: exact substring-level dedup (fixed-stride block form)
+# ---------------------------------------------------------------------------
+DUP_BLOCK_LEN = 20
+DUP_BLOCK_FRAC_MAX = 0.5
+
+
+def substring_block_metrics(
+    docs: DataFrame,
+    block_len: int = DUP_BLOCK_LEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_frac: float = DUP_BLOCK_FRAC_MAX,
+) -> DataFrame:
+    """T27 exact substring dedup metrics (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", fixed-stride block form).
+
+    The suffix-array formulation of exact substring dedup doesn't distribute;
+    the standard cluster-scale approximation is content blocks at a fixed
+    stride: split each doc into non-overlapping `block_len`-char blocks
+    (trailing remainder ignored), call a block DUPLICATED iff its exact
+    content occurs >= 2 times corpus-wide (within- or cross-document), and
+    score each doc by its duplicated-block fraction. Returns one row per
+    input doc: (id, n_blocks, n_dup_blocks, dup_frac, keep) with
+    dup_frac = round(n_dup_blocks / max(n_blocks, 1), 6) and
+    keep = dup_frac <= max_frac evaluated on the ROUNDED value (bit-exact
+    vs the DuckDB oracle twin in plans.registry). Docs shorter than
+    `block_len` have n_blocks = 0, dup_frac = 0.0, keep = true.
+
+    Scale shape (10^12 docs): block enumeration is an in-row
+    sequence+explode (no shuffle); duplicate detection is ONE map-side-
+    combinable hash-agg keyed by block content (hot boilerplate blocks
+    arrive pre-combined per map task, so a 10^9-occurrence block is not a
+    straggler); attribution is a left-semi equi-join of the block stream
+    against the >=2 keys plus one narrow per-doc count agg. Shuffle bytes
+    ~ corpus bytes / 1 — the linear cost any exact-content pass pays; for
+    narrower shuffle rows key the agg+join by xxhash64(block) instead of
+    the string (collision risk ~ n^2/2^64; kept content-keyed here so the
+    semantics are exactly the oracle's). All expressions JVM-side, zero
+    Python crossings."""
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.floor(F.length(text_col) / block_len).cast("long").alias("n_blocks"),
+    )
+    blocks = (
+        base.where(F.col("n_blocks") > 0)
+        .select(
+            id_col,
+            F.col("_t"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_blocks") - 1)
+            ).alias("_p"),
+        )
+        .select(
+            id_col,
+            F.col("_t")
+            .substr((F.col("_p") * block_len + 1).cast("int"), F.lit(block_len))
+            .alias("block"),
+        )
+    )
+    dup_keys = (
+        blocks.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("block")
+    )
+    per_doc = (
+        blocks.join(dup_keys, "block", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_blocks"))
+    )
+    dup_frac = F.round(
+        F.col("n_dup_blocks") / F.greatest("n_blocks", F.lit(1)), 6
+    )
+    return (
+        base.select(id_col, "n_blocks")
+        .join(per_doc, id_col, "left")
+        .withColumn("n_dup_blocks", F.coalesce("n_dup_blocks", F.lit(0)))
+        .withColumn("dup_frac", dup_frac)
+        .withColumn("keep", F.col("dup_frac") <= max_frac)
+    )

@@ -571,50 +571,39 @@ def q_mapping_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered as rows-only checks; exact semantics are golden-tested in
 # tests/test_assemble.py / test_generalize_deploy.py against FIXTURES MP-01..09.
 # ---------------------------------------------------------------------------
-@register("relation_multipolygon_assembly", oracle=golden.RELATION_MULTIPOLYGON_ASSEMBLY)
-def q_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("relation_multipolygon_family", oracle=golden.RELATION_MULTIPOLYGON_FAMILY)
+def q_relation_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 BOTH relation builders in one driver row (r5 fold of
+    `relation_multipolygon_assembly` + `relation_multipolygon_union`; same
+    fixtures, now the full shared _REL_OUT_SCHEMA column set for each):
+
+    - variant='contains' (reference default): MP-01..08 fixture — nesting by
+      ring containment, unclosed-member drop (rel 5), multi-outer split
+      (rel 3: 2 polys from 3 rings).
+    - variant='union' (imposm --relation-builder=union analog,
+      kernels.overlay): UR-1..4 — merged overlapping outers (rel 2, area
+      175), unioned overlapping inners (rel 3, area 83), island-in-hole
+      (rel 4: 2 polys / 3 rings).
+
+    Golden rows hand-derived from fixtures.make_osm_fixture /
+    make_union_fixture; inserted_ways rendered as a CSV string because the
+    driver's canonicalizer cannot hash ARRAY cells (r1 err)."""
     from ..operators.assemble import assemble_relations, assemble_ways
 
-    nodes, ways, relations = fixtures.osm_dfs(spark)
-    aw = assemble_ways(ways, nodes.select("id", "lon", "lat"))
-    rels = assemble_relations(relations, aw)
-    # inserted_ways rendered as a CSV string: the driver's canonicalizer
-    # sorts/hashes pandas values and cannot hash ARRAY cells (r1 err).
-    return rels.select(
-        "rel_id", F.round("area", 9).alias("area"), "n_rings",
-        "dropped_unclosed", "dropped_invalid",
-        F.concat_ws(",", F.sort_array("inserted_ways")).alias("inserted_ways"),
-    )
+    def build(dfs_fn, builder: str) -> DataFrame:
+        nodes, ways, relations = dfs_fn(spark)
+        aw = assemble_ways(ways, nodes.select("id", "lon", "lat"))
+        rels = assemble_relations(relations, aw, relation_builder=builder)
+        return rels.select(
+            F.lit(builder).alias("variant"),
+            "rel_id", F.round("area", 9).alias("area"), "n_rings",
+            F.size("polygons").alias("n_polys"),
+            "dropped_unclosed", "dropped_invalid",
+            F.concat_ws(",", F.sort_array("inserted_ways")).alias("inserted_ways"),
+        )
 
-
-_UNION_BUILDER_ORACLE = """
-SELECT CAST(rel_id AS BIGINT) AS rel_id, CAST(area AS DOUBLE) AS area,
-       CAST(n_polys AS INTEGER) AS n_polys, CAST(n_rings AS INTEGER) AS n_rings
-FROM (VALUES
-  (1, 96.0, 1, 2),
-  (2, 175.0, 1, 1),
-  (3, 83.0, 1, 2),
-  (4, 68.0, 2, 3)
-) AS t(rel_id, area, n_polys, n_rings)
-"""
-
-
-@register("relation_multipolygon_union", oracle=_UNION_BUILDER_ORACLE)
-def q_relation_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 `union` relation-builder (imposm --relation-builder=union analog,
-    kernels.overlay): UR-1..4 fixture covers nested (== contains), merged
-    overlapping outers, unioned overlapping inners, and island-in-hole.
-    Golden rows hand-derived in fixtures.make_union_fixture."""
-    from ..operators.assemble import assemble_relations, assemble_ways
-
-    nodes, ways, relations = fixtures.union_osm_dfs(spark)
-    aw = assemble_ways(ways, nodes.select("id", "lon", "lat"))
-    rels = assemble_relations(relations, aw, relation_builder="union")
-    return rels.select(
-        "rel_id",
-        F.round("area", 9).alias("area"),
-        F.size("polygons").alias("n_polys"),
-        "n_rings",
+    return build(fixtures.osm_dfs, "contains").unionByName(
+        build(fixtures.union_osm_dfs, "union")
     )
 
 
@@ -1333,6 +1322,42 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", F.round("raw", 9).alias("score"), "rank")
     )
+
+
+@register(
+    "dedup_substrings",
+    # T27 exact substring dedup, fixed-stride block form (Lee et al. 2022):
+    # non-overlapping 20-char blocks, duplicated iff the exact content occurs
+    # >= 2 times corpus-wide; keep evaluated on the 6dp-rounded fraction so
+    # both engines agree bit-for-bit. unnest(range(0, n)) because DuckDB's
+    # generate_series table function rejects lateral column parameters.
+    oracle="""
+WITH d AS (SELECT doc_id, text,
+                  CAST(floor(length(text) / 20) AS BIGINT) AS n_blocks
+           FROM documents),
+b AS (SELECT doc_id, substr(text, CAST(p * 20 + 1 AS BIGINT), 20) AS block
+      FROM (SELECT doc_id, text, unnest(range(0, n_blocks)) AS p FROM d)),
+dup AS (SELECT block FROM b GROUP BY block HAVING count(*) >= 2),
+dd AS (SELECT doc_id, count(*) AS n_dup
+       FROM b JOIN dup USING (block) GROUP BY doc_id)
+SELECT d.doc_id, d.n_blocks,
+  coalesce(dd.n_dup, 0) AS n_dup_blocks,
+  round(coalesce(dd.n_dup, 0) / CAST(greatest(d.n_blocks, 1) AS DOUBLE), 6)
+      AS dup_frac,
+  round(coalesce(dd.n_dup, 0) / CAST(greatest(d.n_blocks, 1) AS DOUBLE), 6)
+      <= 0.5 AS keep
+FROM d LEFT JOIN dd USING (doc_id)
+""",
+)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27 substring-level dedup metrics over the documents corpus (see
+    operators/dedup.py::substring_block_metrics for semantics + the 10^12-doc
+    shuffle shape). At sf0.01 the 47 planted exact-dup docs score
+    dup_frac > 0.5 and flip keep=false; 32 more carry partial overlap."""
+    from ..operators.dedup import substring_block_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    return substring_block_metrics(docs)
 
 
 @register("dedup_minhash_clusters", oracle=_MINHASH_CLUSTERS_ORACLE)

@@ -171,7 +171,7 @@ def main():
          ["refine", "polygon_id", "z", "x", "y"],
          ["string", "long", "integer", "long", "long"])
 
-    for name in ["relation_multipolygon_assembly", "import_pipeline_landusages",
+    for name in ["relation_multipolygon_family", "import_pipeline_landusages",
                  "generalized_landusages", "wkb_roundtrip_landusages"]:
         df = qs[name](spark, "/root/testdata/sf0.01")
         if name == "generalized_landusages":

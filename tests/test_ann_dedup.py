@@ -865,3 +865,65 @@ def test_ivf_sidecar_survives_crash_window_rename(spark, tmp_path):
     queries = emb.where(F.col("vec_id") < 3)
     got = cosine_topk_ivf_indexed(spark, path, queries, k=3, nprobe=N_LISTS)
     assert got.count() == 9
+
+
+# ---------------------------------------------------------------------------
+# T27 substring-level dedup (fixed-stride block form)
+# ---------------------------------------------------------------------------
+def test_substring_block_metrics_hand_case(spark):
+    from imposm2_spark.operators.dedup import substring_block_metrics
+
+    # block_len=4: doc 1 = 'aaaabbbbcccc' (blocks aaaa,bbbb,cccc);
+    # doc 2 = 'aaaabbbbXYZW' shares 2 of its 3 blocks with doc 1;
+    # doc 3 = 'qqqqqqqq' duplicates WITHIN itself (qqqq x2);
+    # doc 4 = 'zz' is shorter than one block; doc 5 unique, remainder dropped.
+    rows = [
+        (1, "aaaabbbbcccc"),
+        (2, "aaaabbbbXYZW"),
+        (3, "qqqqqqqq"),
+        (4, "zz"),
+        (5, "mnopqrstuvw"),  # 11 chars -> 2 blocks mnop,qrst + dropped 'uvw'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_block_metrics(df, block_len=4).collect()
+    }
+    assert len(out) == 5  # every input doc appears, even the short one
+    assert (out[1]["n_blocks"], out[1]["n_dup_blocks"]) == (3, 2)
+    assert out[1]["dup_frac"] == pytest.approx(round(2 / 3, 6))
+    assert out[1]["keep"] is False  # 0.666667 > 0.5
+    assert (out[2]["n_blocks"], out[2]["n_dup_blocks"]) == (3, 2)
+    # within-doc repetition counts: qqqq occurs twice -> both duplicated
+    assert (out[3]["n_blocks"], out[3]["n_dup_blocks"]) == (2, 2)
+    assert out[3]["keep"] is False
+    # shorter than one block: zero blocks, clean keep
+    assert (out[4]["n_blocks"], out[4]["n_dup_blocks"]) == (0, 0)
+    assert out[4]["dup_frac"] == 0.0 and out[4]["keep"] is True
+    # trailing remainder ignored; unique doc keeps
+    assert (out[5]["n_blocks"], out[5]["n_dup_blocks"]) == (2, 0)
+    assert out[5]["keep"] is True
+
+
+def test_substring_block_metrics_boundary_threshold(spark):
+    from imposm2_spark.operators.dedup import substring_block_metrics
+
+    # exactly at the threshold: dup_frac == 0.5 must KEEP (<=, not <)
+    rows = [(1, "aaaabbbb"), (2, "aaaacccc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_block_metrics(df, block_len=4).collect()}
+    assert out[1]["dup_frac"] == 0.5 and out[1]["keep"] is True
+    assert out[2]["dup_frac"] == 0.5 and out[2]["keep"] is True
+
+
+def test_substring_block_metrics_null_and_empty_text(spark):
+    from imposm2_spark.operators.dedup import substring_block_metrics
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "aaaabbbb")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in substring_block_metrics(df, block_len=4).collect()}
+    assert len(out) == 3
+    for i in (1, 2):
+        assert (out[i]["n_blocks"] or 0, out[i]["n_dup_blocks"]) == (0, 0)
+        assert out[i]["keep"] is True

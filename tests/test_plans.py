@@ -347,3 +347,14 @@ def test_partition_invariance_shuffle_heavy(spark, name):
     finally:
         spark.conf.set(sp_key, orig_sp)
         spark.conf.set(ar_key, orig_ar)
+
+
+def test_dedup_substrings_jvm_only_combined_aggs(spark):
+    """T27 substring dedup: the duplicate-block detection and the per-doc
+    attribution are both map-side-combinable hash-aggs, and the whole plan
+    stays JVM-side (no Python crossing, no cartesian) — the shape that makes
+    the exact-content pass linear at 10^12 docs."""
+    p = plan_of(registry.queries()["dedup_substrings"](spark, SF))
+    assert p.count("partial_count") == 2  # block agg + per-doc agg combine
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
