@@ -295,23 +295,9 @@ def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# JSON scalar functions (§2.8): props extraction + agg.
+# JSON scalar functions (§2.8): props extraction + agg — folded into the
+# events_time_json_family row below (r5 window consolidation).
 # ---------------------------------------------------------------------------
-@register(
-    "events_json_agg",
-    oracle="""
-SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       count(*) AS n
-FROM events GROUP BY event_type
-""",
-)
-def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
-        F.count("*").alias("n"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1812,25 +1798,60 @@ def q_cell_geo_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Event-time windowing (date functions over events.ts).
+# Event-time windowing (date functions over events.ts) + JSON scalar
+# functions (§2.8, props extraction + agg) in ONE variant-family row — the
+# r5 window consolidation that freed the slot corpus_sketch_profile (T28)
+# occupies. Same columns as the two r1 single-purpose rows, union'd under a
+# `variant` discriminator; each variant's inapplicable columns are typed
+# NULLs so the driver's column-sorted value hash stays well-defined.
 # ---------------------------------------------------------------------------
 @register(
-    "events_hourly_windows",
+    "events_time_json_family",
     oracle="""
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
-FROM events GROUP BY 1, 2
+SELECT 'hourly' AS variant, date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+       CAST(NULL AS BIGINT) AS sum_k
+FROM events GROUP BY window_start, event_type
+UNION ALL
+SELECT 'json' AS variant, CAST(NULL AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n,
+       CAST(NULL AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
 """,
 )
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_time_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(
+    hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("window_start"),
         "event_type",
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_value"),
+    ).select(
+        F.lit("hourly").alias("variant"),
+        "window_start",
+        "event_type",
+        "n",
+        "sum_value",
+        F.lit(None).cast("long").alias("sum_k"),
     )
+    ts_type = hourly.schema["window_start"].dataType
+    jsonv = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    ).select(
+        F.lit("json").alias("variant"),
+        F.lit(None).cast(ts_type).alias("window_start"),
+        "event_type",
+        "n",
+        F.lit(None).cast("double").alias("sum_value"),
+        "sum_k",
+    )
+    return hourly.unionByName(jsonv)
 
 
 # ---------------------------------------------------------------------------
@@ -2522,6 +2543,48 @@ def q_url_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("curl").alias("n_unique_urls"),
         dup.alias("dup_url_frac"),
         (dup <= F.lit(0.5)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T28: mergeable sketch-based corpus profiling (functions/sketches.py) —
+# theta-sketch distinct counts + KLL length quantiles per source plus an
+# 'ALL' rollup row, in ONE Expand+hash-agg pass. The sketches are EXACT by
+# construction below their retention thresholds (theta lgk=14 -> 16384
+# hashes; KLL k=8192 values — sf0.1's 5000 docs fit with >3x headroom,
+# verified bit-exact at sf0.001/0.01/0.1), which is what lets an
+# approximate-by-design operator sit under this hard value-hash oracle.
+# The oracle's quantile is the explicit inclusive-rank order statistic
+# (rank = max(1, ceil(q*n))) — KLL's frozen convention — NOT quantile_disc,
+# whose rank convention differs from KLL's on some (q, n).
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_sketch_profile",
+    oracle="""
+SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS group_key,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS distinct_lang,
+       COUNT(DISTINCT text) AS distinct_text,
+       CAST((list_sort(list(n_chars) FILTER (n_chars IS NOT NULL)))
+            [CAST(GREATEST(1, CEIL(0.5 * COUNT(n_chars))) AS INT)] AS DOUBLE) AS p50_n_chars,
+       CAST((list_sort(list(n_chars) FILTER (n_chars IS NOT NULL)))
+            [CAST(GREATEST(1, CEIL(0.9 * COUNT(n_chars))) AS INT)] AS DOUBLE) AS p90_n_chars
+FROM documents GROUP BY ROLLUP(source)
+""",
+)
+def q_corpus_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T28: one-pass sketch profile of the documents table (see
+    functions/sketches.py for the 100 TB design notes; plan shape gated in
+    tests/test_sketches.py — exactly one exchange, sketch-typed partials)."""
+    from ..functions.sketches import sketch_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return sketch_profile(
+        docs,
+        group_col="source",
+        distinct_cols=("lang", "text"),
+        quantile_col="n_chars",
+        quantiles=(0.5, 0.9),
     )
 
 
