@@ -69,7 +69,7 @@ def theta_distinct(col: str, lgk: int = THETA_LGK) -> Column:
             "theta_distinct requires a column NAME (PySpark 4.1 exposes "
             "theta_sketch_agg only through SQL expr)"
         )
-    return F.expr(f"theta_sketch_estimate(theta_sketch_agg({col}, {int(lgk)}))")
+    return F.expr(f"theta_sketch_estimate(theta_sketch_agg(`{col}`, {int(lgk)}))")
 
 
 def kll_quantile(col: str, q: float, k: int = KLL_K) -> Column:
@@ -80,7 +80,7 @@ def kll_quantile(col: str, q: float, k: int = KLL_K) -> Column:
         raise ValueError(f"quantile must be in [0, 1], got {q!r}")
     return F.expr(
         f"kll_sketch_get_quantile_double("
-        f"kll_sketch_agg_double(CAST({col} AS DOUBLE), {int(k)}), {float(q)})"
+        f"kll_sketch_agg_double(CAST(`{col}` AS DOUBLE), {int(k)}), {float(q)})"
     )
 
 
@@ -114,7 +114,7 @@ def sketch_profile(
     for c in distinct_cols:
         aggs.append(
             F.expr(
-                f"theta_sketch_estimate(theta_sketch_agg({c}, {int(theta_lgk)}))"
+                f"theta_sketch_estimate(theta_sketch_agg(`{c}`, {int(theta_lgk)}))"
             ).alias(f"distinct_{c}")
         )
     for q in quantiles:

@@ -65,7 +65,7 @@ def stream_profile(
     for c in distinct_cols:
         aggs.append(
             F.expr(
-                f"theta_sketch_estimate(theta_sketch_agg({c}, {int(theta_lgk)}))"
+                f"theta_sketch_estimate(theta_sketch_agg(`{c}`, {int(theta_lgk)}))"
             ).alias(f"distinct_{c}")
         )
     for q in quantiles:
@@ -79,11 +79,11 @@ def stream_profile(
     if with_sketches:
         for c in distinct_cols:
             aggs.append(
-                F.expr(f"hll_sketch_agg({c}, {int(theta_lgk)})").alias(f"sketch_{c}")
+                F.expr(f"hll_sketch_agg(`{c}`, {int(theta_lgk)})").alias(f"sketch_{c}")
             )
         aggs.append(
             F.expr(
-                f"kll_sketch_agg_double(CAST({quantile_col} AS DOUBLE), {int(kll_k)})"
+                f"kll_sketch_agg_double(CAST(`{quantile_col}` AS DOUBLE), {int(kll_k)})"
             ).alias(f"sketch_{quantile_col}_kll")
         )
     return docs.groupBy(F.col(group_col).alias("group_key")).agg(*aggs)
