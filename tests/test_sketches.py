@@ -146,6 +146,39 @@ def test_null_group_distinct_from_all_row(spark):
     assert out["ALL"]["p50_n_chars"] == 2.0
 
 
+def test_kll_inclusive_rank_convention_grid(spark):
+    """Pin the frozen quantile convention the DuckDB oracle encodes: while
+    exact, kll_sketch_get_quantile(q) returns the 1-based order statistic at
+    rank max(1, ceil(q*n)) — INCLUSIVE ranks. A silent Spark default change
+    (e.g. to exclusive ranks) would break the corpus_sketch_profile oracle
+    only on some (q, n) boundaries; this grid (duplicate-heavy values, n
+    incl. 1/2/primes/exact-multiples, q incl. 0/1 and rank-integer points)
+    catches it deterministically in ONE Spark job."""
+    import math
+
+    sizes = [1, 2, 3, 7, 8, 10, 29, 100, 240]
+    qs = [0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    # duplicate-heavy deterministic values: v = (i * 13) % max(3, n // 2)
+    cases = [
+        (n, sorted(float((i * 13) % max(3, n // 2)) for i in range(n)))
+        for n in sizes
+    ]
+    rows = [
+        Row(case=n, v=val) for n, vals in cases for val in vals
+    ]
+    df = spark.createDataFrame(rows)
+    aggs = [
+        kll_quantile("v", q).alias(f"q{int(q * 100)}") for q in qs
+    ]
+    got = {r["case"]: r for r in df.groupBy("case").agg(*aggs).collect()}
+    for n, vals in cases:
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            expected = vals[rank - 1]
+            actual = got[n][f"q{int(q * 100)}"]
+            assert actual == expected, (n, q, rank, actual, expected)
+
+
 def test_validation_errors(spark):
     docs = spark.range(3).select(
         F.col("id").alias("doc_id"),
