@@ -236,7 +236,24 @@ Raw times: A={r['low']['times']}, B={r['high']['times']}; per-round ratios {r['r
 per-round normalized efficiencies {r['eff_per_round']}.
 """
     idx = text.find(marker)
-    text = (text[:idx] if idx >= 0 else text + "\n") + table
+    if idx < 0:
+        text = text + "\n" + table
+    else:
+        # Replace ONLY this script's own section — up to the next "\n\n"
+        # followed by a non-table, non-protocol paragraph would be fragile,
+        # so the section is delimited by the next line starting a narrative
+        # paragraph that this script did not write: everything after the
+        # "per-round normalized efficiencies" line is preserved. (The old
+        # truncate-to-EOF behavior silently deleted the measurement-note
+        # and per-query-history paragraphs living below the table — r5.)
+        tail_key = "per-round normalized efficiencies"
+        tail_at = text.find(tail_key, idx)
+        if tail_at >= 0:
+            tail_end = text.find("\n", tail_at)
+            rest = text[tail_end + 1 :] if tail_end >= 0 else ""
+        else:
+            rest = ""
+        text = text[:idx] + table + rest
     with open(path, "w") as f:
         f.write(text)
 
