@@ -1531,20 +1531,36 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-_IVF_EXACT_ORACLE = f"""
+_IVF_FAMILY_ORACLE = f"""
 WITH n AS ({_EMB_NORMED_SQL}),
-q AS (SELECT vec_id AS qid, v, nn FROM n WHERE vec_id < 10)
-SELECT qid, vec_id, rank FROM (
-  SELECT q.qid, n.vec_id,
-         row_number() OVER (PARTITION BY q.qid
-             ORDER BY {_COS_SQL.format(a='q', b='n')} DESC, n.vec_id ASC) AS rank
-  FROM q JOIN n ON n.vec_id <> q.qid) t
-WHERE rank <= 5
+q AS (SELECT vec_id AS qid, v, nn FROM n WHERE vec_id < 10),
+ranked AS (
+  SELECT qid, vec_id, rank FROM (
+    SELECT q.qid, n.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_COS_SQL.format(a='q', b='n')} DESC, n.vec_id ASC) AS rank
+    FROM q JOIN n ON n.vec_id <> q.qid) t
+  WHERE rank <= 5
+)
+SELECT 'fresh' AS variant, qid, vec_id, rank FROM ranked
+UNION ALL
+SELECT 'append' AS variant, qid, vec_id, rank FROM ranked
 """
 
 
-@register("ann_cosine_topk_ivf", oracle=_IVF_EXACT_ORACLE)
-def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("ann_ivf_family", oracle=_IVF_FAMILY_ORACLE)
+def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b IVF lifecycle family (r5 window fold — both variants were separate
+    oracle rows; same checks, one slot). variant='fresh' = build + search in
+    one plan; variant='append' = persisted index + incremental append +
+    pruned indexed search. Both run at nprobe == n_lists, where the result
+    must equal the exact brute top-k (the shared `ranked` oracle CTE)."""
+    fresh = _ivf_fresh(spark, sf_dir).select(F.lit("fresh").alias("variant"), "*")
+    app = _ivf_append(spark, sf_dir).select(F.lit("append").alias("variant"), "*")
+    return fresh.unionByName(app)
+
+
+def _ivf_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF plumbing exactness gate: with nprobe == n_lists every corpus vector
     is a candidate exactly once (each belongs to one list; the query probes
     all lists), so the result is the exact brute top-k and the brute oracle
@@ -1560,8 +1576,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_append", oracle=_IVF_EXACT_ORACLE)
-def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7b incremental maintenance gate (r5, r4 verdict ask #3): a base IVF
     index is built WITHOUT every 10th corpus vector, the held-out batch is
     appended against the frozen centroids (operators/ann.py::
@@ -2660,3 +2675,63 @@ def q_apply_osm_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = mods.unionByName(dels).unionByName(crts)
     out = apply_diff(base, diff, key="doc_id")
     return out.select("doc_id", "version", "op", "content")
+
+
+# ---------------------------------------------------------------------------
+# T29 (r5): host-graph PageRank — deterministic integer domain-authority
+# scoring (operators/graph.py). Links are synthesized deterministically from
+# doc_id (same trick as the T26 URL corpus): each doc contributes 1-3 host
+# edges over a 211-host universe, so the graph has dup edges, self-loops,
+# dangling hosts and skewed in-degrees. The oracle unrolls the 3 frozen
+# integer iterations as CTEs — BIGINT floor division in both engines, so the
+# match is bit-exact with no float-summation-order caveat.
+# ---------------------------------------------------------------------------
+_PAGERANK_ORACLE = """
+WITH links AS (
+  SELECT DISTINCT (doc_id * 7919 + 13) % 211 AS src,
+                  (doc_id * 31 + j * 97 + 5) % 211 AS dst
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j FROM documents)
+  WHERE (doc_id * 7919 + 13) % 211 <> (doc_id * 31 + j * 97 + 5) % 211
+),
+nodes AS (SELECT src AS node FROM links UNION SELECT dst FROM links),
+deg AS (SELECT src, count(*) AS outdeg FROM links GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+s1 AS (SELECT l.dst AS node, SUM((r.r * 17) // (20 * d.outdeg)) AS inflow
+       FROM links l JOIN deg d ON d.src = l.src JOIN r0 r ON r.node = l.src
+       GROUP BY 1),
+r1 AS (SELECT n.node, CAST(150000000 + COALESCE(s1.inflow, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+s2 AS (SELECT l.dst AS node, SUM((r.r * 17) // (20 * d.outdeg)) AS inflow
+       FROM links l JOIN deg d ON d.src = l.src JOIN r1 r ON r.node = l.src
+       GROUP BY 1),
+r2 AS (SELECT n.node, CAST(150000000 + COALESCE(s2.inflow, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN s2 ON s2.node = n.node),
+s3 AS (SELECT l.dst AS node, SUM((r.r * 17) // (20 * d.outdeg)) AS inflow
+       FROM links l JOIN deg d ON d.src = l.src JOIN r2 r ON r.node = l.src
+       GROUP BY 1),
+r3 AS (SELECT n.node, CAST(150000000 + COALESCE(s3.inflow, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
+SELECT node AS host_id, r AS rank_n FROM r3
+"""
+
+
+@register("host_graph_pagerank", oracle=_PAGERANK_ORACLE)
+def q_host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T29: domain-authority ranks over the synthesized hyperlink host graph
+    after 3 integer PageRank iterations (operators/graph.py::pagerank).
+    Bit-exact vs the unrolled-CTE oracle because the frozen update rule is
+    BIGINT-only — no float sum ordering anywhere."""
+    from ..operators.graph import pagerank
+
+    d = F.col("doc_id")
+    edges = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.sequence(F.lit(0), d % 3)).alias("j"))
+        .select(
+            ((F.col("doc_id") * 7919 + 13) % 211).alias("src"),
+            ((F.col("doc_id") * 31 + F.col("j") * 97 + 5) % 211).alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("node").alias("host_id"), "rank_n"
+    )

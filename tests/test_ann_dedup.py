@@ -452,7 +452,7 @@ def test_ivf_append_query_unique_dir_and_predecessor_gc(spark):
 
     from imposm2_spark.plans import registry
 
-    q = registry.queries()["ann_ivf_append"]
+    q = registry.queries()["ann_ivf_family"]
     n1 = q(spark, "/root/testdata/sf0.001").count()
     (d1,) = registry._IVF_APPEND_DIRS
     assert os.path.isdir(d1)
