@@ -629,14 +629,6 @@ def q_repair_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("import_pipeline_landusages", oracle=golden.IMPORT_PIPELINE_LANDUSAGES)
-def q_import_landusages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import defaultmapping as dm
-    from ..plans.import_pipeline import import_tables
-
-    nodes, ways, relations = fixtures.osm_dfs(spark)
-    out = import_tables(spark, nodes, ways, relations, [dm.LANDUSAGES, dm.MINORROADS])
-    return out["landusages"].select("id", "name", "type", F.round("area", 9).alias("area"))
 
 
 _GEN_CHAIN_ORACLE = """
@@ -683,8 +675,11 @@ def q_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen.unionByName(chain)
 
 
-_ALL_TABLES_ORACLE = """
-SELECT CAST(tbl AS VARCHAR) AS tbl, CAST(n_rows AS BIGINT) AS n_rows
+_ALL_TABLES_ORACLE = f"""
+SELECT CAST('counts' AS VARCHAR) AS part, CAST(tbl AS VARCHAR) AS tbl,
+       CAST(n_rows AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS id,
+       CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS type,
+       CAST(NULL AS DOUBLE) AS area
 FROM (VALUES
   ('admin', 0), ('aeroways', 0), ('amenities', 0), ('barrierpoints', 0),
   ('barrierways', 0), ('buildings', 81), ('landusages', 8), ('mainroads', 0),
@@ -692,17 +687,23 @@ FROM (VALUES
   ('transport_areas', 0), ('transport_points', 0), ('waterareas', 1),
   ('waterways', 0)
 ) AS t(tbl, n_rows)
+UNION ALL
+SELECT 'rows', 'landusages', CAST(NULL AS BIGINT), id, name, type, area
+FROM ({golden.IMPORT_PIPELINE_LANDUSAGES}) lu
 """
 
 
 @register("import_pipeline_all_tables", oracle=_ALL_TABLES_ORACLE)
 def q_import_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full 16-table default mapping through one import run — the widest
+    """The full 16-table default mapping through ONE import run — the widest
     composition the engine ships (every geom kind, field filters, P4
-    suppression, S3 whitelist = union of all spec keys). Golden counts
-    cross-checked against the pipeline test expectations (buildings = 81
+    suppression, S3 whitelist = union of all spec keys). r5 window fold:
+    part='counts' carries the 16 per-table golden counts (buildings = 81
     closed grid blocks, minorroads = 4 residential streets + MP-08 way 81,
-    landusages = 7 relations + way 81)."""
+    landusages = 7 relations + way 81) and part='rows' carries the former
+    `import_pipeline_landusages` value-level rows (id/name/type/area) off
+    the SAME import — one fixture import instead of the two the pair of
+    rows used to run."""
     from functools import reduce
 
     from ..operators import defaultmapping as dm
@@ -710,11 +711,29 @@ def q_import_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes, ways, relations = fixtures.osm_dfs(spark)
     out = import_tables(spark, nodes, ways, relations, dm.ALL_SPECS)
-    frames = [
+    counts = [
         df.agg(F.count("*").alias("n_rows")).select(F.lit(name).alias("tbl"), "n_rows")
         for name, df in sorted(out.items())
     ]
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    counts_part = reduce(lambda a, b: a.unionByName(b), counts).select(
+        F.lit("counts").alias("part"),
+        "tbl",
+        "n_rows",
+        F.lit(None).cast("long").alias("id"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("type"),
+        F.lit(None).cast("double").alias("area"),
+    )
+    rows_part = out["landusages"].select(
+        F.lit("rows").alias("part"),
+        F.lit("landusages").alias("tbl"),
+        F.lit(None).cast("long").alias("n_rows"),
+        "id",
+        "name",
+        "type",
+        F.round("area", 9).alias("area"),
+    )
+    return counts_part.unionByName(rows_part)
 
 
 @register("polygon_covering_tiles_z8", oracle=golden.POLYGON_COVERING_TILES_Z8)

@@ -108,7 +108,17 @@ def test_minhash_lsh_band_shuffle_carries_no_arrays(spark):
 def test_import_pipeline_prunes_tags_before_shuffle(spark):
     """S3: the tag whitelist map_filter sits in the scan-side projection, so
     full tag maps never shuffle through the J1 way-resolve join."""
-    p = plan_of(registry.queries()["import_pipeline_landusages"](spark, SF))
+    # build the two-spec import directly (its driver row folded into the
+    # all-tables family in r5) — the whitelist narrowing claim needs the
+    # NARROW spec list, which the 16-table family row no longer exercises
+    from imposm2_spark.operators import defaultmapping as dm2
+    from imposm2_spark.plans.import_pipeline import import_tables
+
+    nodes, ways, relations = fixtures.osm_dfs(spark)
+    lu = import_tables(spark, nodes, ways, relations, [dm2.LANDUSAGES, dm2.MINORROADS])[
+        "landusages"
+    ]
+    p = plan_of(lu)
     assert "map_filter" in p
     # the whitelist is the given specs' keys, not everything
     from imposm2_spark.operators import defaultmapping as dm
