@@ -1,0 +1,170 @@
+"""T30: BM25 ranked retrieval over the document corpus.
+
+Webtext pipelines rank documents against a term set constantly — test-set
+decontamination triage, topical subcorpus extraction ("pull the top-k docs
+for these seed terms"), and relevance-weighted sampling all reduce to a
+sparse BM25 scan. The engine already has the unranked half (T18 TF-IDF
+top-terms per doc, T19 n-gram decontamination); BM25 adds the
+corpus-ranked half: score every document against a SMALL query-term set
+and return the global top-k.
+
+No reference analog: imposm2 has no text ranking (SURVEY.md §2.11 graft
+addition; Robertson & Zaragoza 2009 BM25, Lucene idf variant).
+
+100 TB shape (the whole point — candidate work is proportional to the
+MATCHING postings, never to the corpus):
+
+  * tokenize ONCE per scan: explode -> (doc, term) rows;
+  * the query-term table is small BY CONTRACT and is broadcast; tokens are
+    broadcast-semi-joined against it BEFORE the (doc, term) hash
+    aggregation, so the big agg only ever sees matching tokens (the
+    "postings" for the query), a tiny fraction of the corpus;
+  * document length (dl) is the one full-corpus statistic BM25 needs. It
+    is a single map-side-combinable `groupBy(doc).count()` — and because
+    it is query-INDEPENDENT, callers running many queries should
+    materialize it once and pass it via `doc_lengths=` (the second corpus
+    scan disappears; the per-query cost is then postings-only);
+  * N and avgdl: a 1-row agg, broadcast. avgdl is derived as ONE IEEE
+    division `sum_dl / n_docs` from the exact BIGINT sum — never a
+    float-accumulated AVG, whose summation order differs between engines
+    and runs;
+  * per-(doc, term) scores are doubles rounded at `term_dp` and cast to
+    DECIMAL before the per-doc sum, so the final score is an EXACT,
+    order-independent decimal sum — bit-identical across partitionings,
+    core counts, and vs the DuckDB oracle (same discipline as the T29
+    integer PageRank: never let a float SUM's association order into the
+    result);
+  * global top-k is `orderBy(...).limit(k)` — Spark plans it as
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    NOT a single-partition window sort. Ranks are stamped AFTER the limit,
+    on k rows. Ties break (score DESC, doc_id ASC), fully deterministic.
+
+Scoring (engine spec, frozen — the DuckDB oracle in plans.registry mirrors
+the expression shape token-for-token so the IEEE op sequence is identical):
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))        # Lucene BM25
+    w(d, t)    = idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(d)   = sum over query terms t of round(w(d, t), term_dp)
+    output score = round(score(d), score_dp)
+
+ln() may differ in the last ulp between libm implementations; `term_dp=9`
+rounding absorbs that (same guard as T18 TF-IDF's round-at-9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+K1 = 1.2
+B = 0.75
+
+# DECIMAL(28,9): 19 integral digits of headroom — a doc matching 10^4 query
+# terms at the idf*(k1+1) ceiling stays far inside it, so the exact sum
+# cannot overflow at any realistic query size.
+_SUM_DEC = "decimal(28,9)"
+
+
+def doc_lengths(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token count `(id_col, dl)` — the query-independent
+    corpus statistic. One scan, one map-side-combinable hash agg. Callers
+    serving many BM25 queries should materialize this ONCE (write it as a
+    table / cache it) and pass it to `bm25_rank(doc_lengths=...)`; every
+    query after that touches only its own postings."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    return toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    top_k: int = 10,
+    term_dp: int = 9,
+    score_dp: int = 6,
+    doc_lengths_df: DataFrame | None = None,
+) -> DataFrame:
+    """Global BM25 top-k of `docs` against `query_terms` (a 1-column
+    DataFrame of distinct terms, small BY CONTRACT — it is broadcast).
+
+    Returns (id_col, n_terms, score, rank): matched-term count, the rounded
+    decimal-exact score, and the 1-based dense position under the
+    deterministic (score DESC, id ASC) order. Documents matching no query
+    term never appear (BM25 gives them score 0; emitting 10^12 zero rows
+    would be the anti-pattern).
+
+    `doc_lengths_df`: optional precomputed `doc_lengths()` output. When
+    given, `docs` is scanned exactly once (postings only); when None it is
+    derived here with a second scan. N (corpus size) always counts ALL of
+    `docs` — zero-token documents still dilute idf, matching the oracle.
+    """
+    q = F.broadcast(query_terms.select(F.col(query_terms.columns[0]).alias("term")).distinct())
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+
+    # postings: broadcast-semi restriction BEFORE the hash agg — the big
+    # shuffle only carries tokens that match the query
+    tf = (
+        toks.join(q, "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = (
+        doc_lengths_df.select(F.col(id_col), F.col("dl"))
+        if doc_lengths_df is not None
+        else doc_lengths(docs, id_col=id_col, text_col=text_col)
+    )
+
+    # 1-row corpus stats; avgdl = ONE division over the exact BIGINT sum
+    stats = F.broadcast(
+        docs.agg(F.count("*").alias("n_docs")).crossJoin(
+            dl.agg(F.sum("dl").alias("sum_dl"))
+        )
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    idf = F.log(
+        F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    w = (
+        idf
+        * (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / avgdl))
+    )
+
+    scored = (
+        tf.join(dl, id_col)  # postings ⋈ dl: equi-join on the doc key
+        .join(F.broadcast(dfreq), "term")  # df is |query|-sized: broadcast
+        .join(stats)
+        .select(
+            F.col(id_col),
+            F.round(w, term_dp).cast(_SUM_DEC).alias("w_dec"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.sum("w_dec").cast("double"), score_dp).alias("score"),
+    )
+    topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
+    # rank stamped on k rows only — the window sees the already-reduced set
+    rw = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col, "n_terms", "score", F.row_number().over(rw).alias("rank")
+    )

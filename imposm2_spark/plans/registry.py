@@ -2754,3 +2754,80 @@ def q_host_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3).select(
         F.col("node").alias("host_id"), "rank_n"
     )
+
+
+# ---------------------------------------------------------------------------
+# T30 (r5): BM25 ranked retrieval (operators/ranking.py). Query terms are
+# data-derived for determinism: vocabulary ranks 6-10 by document frequency
+# under the (df DESC, term ASC) order — both engines compute the same set
+# with no fixture literals. Per-term weights round at 9dp then sum as
+# DECIMAL(28,9), so the per-doc score is an exact order-independent sum;
+# the only float hazard left is a last-ulp ln() disagreement, absorbed by
+# the 9dp rounding (same guard as text_tfidf_top3).
+# ---------------------------------------------------------------------------
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS vdf FROM toks_f GROUP BY 1),
+qterms AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY vdf DESC, term ASC) AS r
+    FROM vocab
+  ) WHERE r BETWEEN 6 AND 10
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks_f t JOIN qterms q USING (term) GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks_f GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl) AS sum_dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(round(
+      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+      9) AS DECIMAL(28,9)) AS w_dec
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats
+)
+SELECT doc_id, n_terms, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM (
+  SELECT doc_id, count(*) AS n_terms,
+         round(CAST(sum(w_dec) AS DOUBLE), 6) AS score
+  FROM scored GROUP BY 1
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+"""
+
+
+@register("bm25_rank_top10", oracle=_BM25_ORACLE)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T30: global BM25 top-10 documents for the df-rank-6..10 query-term
+    set (operators/ranking.py::bm25_rank). The term derivation is the
+    demo's — production callers pass their own query_terms frame (and a
+    materialized doc_lengths table to make each query postings-only)."""
+    from ..operators.ranking import bm25_rank
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("vdf"))
+    rw = W.orderBy(F.col("vdf").desc(), F.col("term").asc())
+    qterms = (
+        vocab.withColumn("r", F.row_number().over(rw))
+        .where(F.col("r").between(6, 10))
+        .select("term")
+    )
+    return bm25_rank(docs, qterms, top_k=10)
