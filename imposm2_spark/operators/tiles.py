@@ -302,3 +302,96 @@ def raster_patch_join(
         .join(lookup, F.col("_pc") == F.col("_bcell"))
         .select(*keep, "patch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# J6c (r5): vector-tile geometry cut — the step after covering tiles.
+# ---------------------------------------------------------------------------
+_CLIP_ARRAY = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("n_pts", T.IntegerType()),
+            T.StructField("area", T.DoubleType()),
+            # tile-local ring coords, FLATTENED (x0,y0,x1,y1,...) with ring
+            # sizes alongside: a deliberately 2-level encoding. The natural
+            # array<array<array<double>>> shape trips the pyarrow 16.1
+            # empty-batch segfault (verify recipe r3 gotcha) and costs 3
+            # levels of offset buffers; flat + sizes is the Arrow-friendly
+            # columnar form and reconstructs with one np.split.
+            T.StructField("ring_sizes", T.ArrayType(T.IntegerType())),
+            T.StructField("rings_flat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+)
+
+
+def clip_tiles_udf(z: int, max_cells: int | None = None):
+    """pandas_udf: rings -> array of per-tile clip structs at zoom z.
+
+    Rings cross into Python ONCE per polygon; the tile fan-out (covering
+    tiles -> SH clip per tile) happens inside the kernel, so the shuffle
+    never carries ring payload duplicated per tile."""
+    from ..kernels import clip as kclip
+
+    def _one(rings_nested) -> list[dict]:
+        ring_arrays = nested_to_rings(rings_nested)
+        cover = _covering_tiles_kernel(
+            rings_nested, z, refine="exact", max_cells=max_cells
+        )
+        proj = [kclip.project_ring(r, z) for r in ring_arrays]
+        out = []
+        for t in cover:
+            local, area = kclip.clip_rings_to_tile(proj, t["x"], t["y"])
+            if not local or area == 0.0:
+                continue  # boundary-touch tile: zero-area cut, nothing to render
+            flat = np.concatenate([r.ravel() for r in local])
+            out.append(
+                {
+                    "x": t["x"],
+                    "y": t["y"],
+                    "n_pts": int(sum(len(r) for r in local)),
+                    "area": float(area),
+                    "ring_sizes": [int(len(r)) for r in local],
+                    "rings_flat": flat.tolist(),
+                }
+            )
+        return out
+
+    @F.pandas_udf(_CLIP_ARRAY)
+    def _udf(rings: pd.Series) -> pd.Series:
+        return rings.map(_one)
+
+    return _udf
+
+
+def clip_polygons_to_tiles(
+    polygons: DataFrame, z: int,
+    max_cells_per_polygon: int | None = MAX_COVER_CELLS,
+) -> DataFrame:
+    """(polygon_id, rings) -> one row per (polygon_id, z, x, y) with the
+    polygon∩tile geometry cut at the tile boundary (kernels/clip.py spec:
+    vertex-wise mercator projection, SH against the tile square, tile-local
+    coords, |signed-shoelace-sum| area). Tiles the polygon only touches on
+    the boundary (zero-area cut) are dropped — covering tiles answers the
+    touch question; this operator emits only renderable geometry.
+
+    Scale shape: identical to assign_polygon_tiles — one Arrow batch per
+    polygon partition, fan-out inside the kernel, explode after; no join,
+    no shuffle beyond the input's layout. `max_cells_per_polygon` bounds
+    the per-polygon covering grid with the same loud-failure contract."""
+    tiles = polygons.select(
+        "polygon_id",
+        F.lit(z).alias("z"),
+        F.explode(
+            clip_tiles_udf(z, max_cells=max_cells_per_polygon)(F.col("rings"))
+        ).alias("_t"),
+    )
+    return tiles.select(
+        "polygon_id", "z",
+        F.col("_t.x").alias("x"), F.col("_t.y").alias("y"),
+        F.col("_t.n_pts").alias("n_pts"), F.col("_t.area").alias("area"),
+        F.col("_t.ring_sizes").alias("ring_sizes"),
+        F.col("_t.rings_flat").alias("rings_flat"),
+    )

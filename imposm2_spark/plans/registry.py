@@ -738,22 +738,33 @@ def q_import_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("polygon_covering_tiles_z8", oracle=golden.POLYGON_COVERING_TILES_Z8)
 def q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 covering tiles, BOTH refine modes in one driver row (r5: the
-    exact-refine mode graduates from pytest-only to the hard golden oracle —
-    r4 verdict ask #1). The golden's exact rows are generated by an
-    INDEPENDENT Liang-Barsky segment-clip implementation in
-    scripts/gen_golden_oracles.py (the engine kernel uses SAT), so the two
-    algorithms cross-check each other tile-for-tile."""
-    from ..operators.tiles import assign_polygon_tiles
+    """J6 covering tiles + the J6c vector-tile geometry cut in one driver
+    row (r5). refine='center'/'exact' are the two covering modes (the
+    golden's exact rows come from an INDEPENDENT Liang-Barsky segment-clip
+    implementation in scripts/gen_golden_oracles.py; the engine kernel uses
+    SAT). refine='clip' adds the per-tile CUT geometry summary (n_pts,
+    round-9 area in tile² units) — its golden rows come from an independent
+    scalar Sutherland-Hodgman over the FULL bbox tile grid (no covering
+    shortcut), cross-checked at generation time against per-polygon area
+    conservation. Cover rows carry NULL n_pts/area."""
+    from ..operators.tiles import assign_polygon_tiles, clip_polygons_to_tiles
 
     polys = fixtures.polygons_admin_df(spark)
+    nul_i = F.lit(None).cast("integer")
+    nul_d = F.lit(None).cast("double")
     center = assign_polygon_tiles(polys, [8]).select(
-        F.lit("center").alias("refine"), "polygon_id", "z", "x", "y"
+        F.lit("center").alias("refine"), "polygon_id", "z", "x", "y",
+        nul_i.alias("n_pts"), nul_d.alias("area"),
     )
     exact = assign_polygon_tiles(polys, [8], refine="exact").select(
-        F.lit("exact").alias("refine"), "polygon_id", "z", "x", "y"
+        F.lit("exact").alias("refine"), "polygon_id", "z", "x", "y",
+        nul_i.alias("n_pts"), nul_d.alias("area"),
     )
-    return center.unionByName(exact)
+    clip = clip_polygons_to_tiles(polys, 8).select(
+        F.lit("clip").alias("refine"), "polygon_id", "z", "x", "y",
+        "n_pts", F.round("area", 9).alias("area"),
+    )
+    return center.unionByName(exact).unionByName(clip)
 
 
 # ===========================================================================

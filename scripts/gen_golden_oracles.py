@@ -97,6 +97,101 @@ def covering_tiles_exact_independent(rings, z):
     return out
 
 
+def _project_independent(ring, z):
+    """Fresh vertex-wise mercator projection (scalar math, no kernel import)."""
+    n = float(1 << z)
+    out = []
+    for lon, lat in ring:
+        lat = max(-85.05112878, min(85.05112878, lat))
+        tx = (lon + 180.0) / 360.0 * n
+        ty = (1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0 * n
+        out.append((tx, ty))
+    return out
+
+
+def _clip_edge_independent(pts, nx, ny, d, snap_axis, snap_val):
+    """Scalar generic-half-plane SH pass (keep nx*px + ny*py - d <= 0) —
+    structurally different from the engine's axis/sign vectorized form;
+    crossing points get the boundary coordinate written exactly."""
+    out = []
+    m = len(pts)
+    for i in range(m):
+        cx, cy = pts[i]
+        qx, qy = pts[(i + 1) % m]
+        fc = nx * cx + ny * cy - d
+        fq = nx * qx + ny * qy - d
+        inc, inq = fc <= 0.0, fq <= 0.0
+        if inc:
+            out.append((cx, cy))
+        if inc != inq:
+            t = fc / (fc - fq)
+            ix, iy = cx + t * (qx - cx), cy + t * (qy - cy)
+            if snap_axis == 0:
+                ix = snap_val
+            else:
+                iy = snap_val
+            out.append((ix, iy))
+    return out
+
+
+def clip_tile_independent(proj_rings, x, y):
+    """(clipped open rings, |signed shoelace sum|) for tile (x, y) — scalar
+    re-implementation of the kernels/clip.py frozen spec."""
+    x0, y0, x1, y1 = float(x), float(y), float(x + 1), float(y + 1)
+    rings_out = []
+    total = 0.0
+    for pr in proj_rings:
+        pts = list(pr)
+        if len(pts) >= 2 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        for nx, ny, d, ax, val in (
+            (-1.0, 0.0, -x0, 0, x0), (1.0, 0.0, x1, 0, x1),
+            (0.0, -1.0, -y0, 1, y0), (0.0, 1.0, y1, 1, y1),
+        ):
+            pts = _clip_edge_independent(pts, nx, ny, d, ax, val)
+            if len(pts) < 3:
+                pts = []
+                break
+        # consecutive dedup incl. wraparound, then <3 -> empty
+        if pts:
+            dd = [pts[0]]
+            for p in pts[1:]:
+                if p != dd[-1]:
+                    dd.append(p)
+            if len(dd) >= 2 and dd[0] == dd[-1]:
+                dd = dd[:-1]
+            pts = dd if len(dd) >= 3 else []
+        if not pts:
+            continue
+        arr = np.asarray(pts, dtype=np.float64)
+        # shoelace via the same np.sum pairing as geom.ring_signed_area so
+        # the zero-classification of degenerate slivers cannot drift
+        xx, yy = arr[:, 0], arr[:, 1]
+        total += float(np.sum(xx * np.roll(yy, -1) - np.roll(xx, -1) * yy) / 2.0)
+        rings_out.append(pts)
+    return rings_out, abs(total)
+
+
+def clip_tiles_independent(rings, z):
+    """(x, y, n_pts, area) rows over the FULL bbox tile grid — keeps tiles
+    with a nonzero-area cut. Deliberately does NOT reuse the covering-tile
+    rule: enumerating every bbox tile and clipping is the ground truth the
+    engine's cover-then-clip shortcut must reproduce."""
+    pts = [p for r in rings for p in r]
+    lon_min = min(p[0] for p in pts); lon_max = max(p[0] for p in pts)
+    lat_min = min(p[1] for p in pts); lat_max = max(p[1] for p in pts)
+    x0, y0 = tile_xy(lon_min, lat_max, z)
+    x1, y1 = tile_xy(lon_max, lat_min, z)
+    proj = [_project_independent(r, z) for r in rings]
+    out = []
+    for x in range(x0, x1 + 1):
+        for y in range(y0, y1 + 1):
+            local, area = clip_tile_independent(proj, x, y)
+            if local and area != 0.0:
+                out.append((x, y, sum(len(r) for r in local), area))
+    return out
+
+
 def covering_tiles_independent(rings, z):
     pts = [p for r in rings for p in r]
     lon_min = min(p[0] for p in pts); lon_max = max(p[0] for p in pts)
@@ -128,9 +223,38 @@ def main():
             expected.add(("center", int(row["polygon_id"]), 8, x, y))
         for x, y in covering_tiles_exact_independent(rings, 8):
             expected.add(("exact", int(row["polygon_id"]), 8, x, y))
+    # --- independent clip golden (J6c, r5) ----------------------------------
+    expected_clip = set()
+    clip_area_by_poly = {}
+    for _, row in pdf.iterrows():
+        rings = [np.asarray(r).tolist() for r in row["rings"]]
+        pid = int(row["polygon_id"])
+        proj_total = abs(sum(
+            float(np.sum(
+                np.asarray(p)[:, 0] * np.roll(np.asarray(p)[:, 1], -1)
+                - np.roll(np.asarray(p)[:, 0], -1) * np.asarray(p)[:, 1]
+            ) / 2.0)
+            for p in (_project_independent(r, 8) for r in rings)
+        ))
+        tile_sum = 0.0
+        for x, y, n_pts, area in clip_tiles_independent(rings, 8):
+            expected_clip.add(("clip", pid, 8, x, y, n_pts, round(area, 9)))
+            tile_sum += area
+        # algorithm-independent exactness: tiles partition the plane, so
+        # the cut areas must sum back to the projected polygon area
+        if abs(tile_sum - proj_total) > 1e-9 * max(proj_total, 1.0):
+            print("CLIP AREA NOT CONSERVED", pid, tile_sum, proj_total)
+            sys.exit(1)
+        clip_area_by_poly[pid] = tile_sum
+
+    fam = qs["polygon_covering_tiles_z8"](spark, "/root/testdata/sf0.01").collect()
     engine = {
         (r.refine, r.polygon_id, r.z, r.x, r.y)
-        for r in qs["polygon_covering_tiles_z8"](spark, "/root/testdata/sf0.01").collect()
+        for r in fam if r.refine != "clip"
+    }
+    engine_clip = {
+        (r.refine, r.polygon_id, r.z, r.x, r.y, r.n_pts, r.area)
+        for r in fam if r.refine == "clip"
     }
     only_exp = sorted(expected - engine)
     only_eng = sorted(engine - expected)
@@ -138,6 +262,12 @@ def main():
     if only_exp or only_eng:
         print("MISMATCH only_expected:", only_exp[:20])
         print("MISMATCH only_engine:", only_eng[:20])
+        sys.exit(1)
+    oc, ec = sorted(expected_clip - engine_clip), sorted(engine_clip - expected_clip)
+    print("clip tiles: expected", len(expected_clip), "engine", len(engine_clip))
+    if oc or ec:
+        print("CLIP MISMATCH only_expected:", oc[:10])
+        print("CLIP MISMATCH only_engine:", ec[:10])
         sys.exit(1)
 
     # DuckDB type names matching the Spark result schema exactly (VALUES
@@ -159,6 +289,8 @@ def main():
         chunks.append(f'{name.upper()} = """\n{sql}\n"""\n')
 
     def rows_fmt(v):
+        if v is None:
+            return "NULL"
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, str):
@@ -167,9 +299,10 @@ def main():
             return repr(v)
         return str(v)
 
-    emit("polygon_covering_tiles_z8", sorted(expected),
-         ["refine", "polygon_id", "z", "x", "y"],
-         ["string", "long", "integer", "long", "long"])
+    fam_rows = [r + (None, None) for r in sorted(expected)] + sorted(expected_clip)
+    emit("polygon_covering_tiles_z8", fam_rows,
+         ["refine", "polygon_id", "z", "x", "y", "n_pts", "area"],
+         ["string", "long", "integer", "long", "long", "integer", "double"])
 
     for name in ["relation_multipolygon_family", "import_pipeline_landusages",
                  "generalized_landusages", "wkb_roundtrip_landusages"]:

@@ -1,0 +1,145 @@
+"""J6c vector-tile geometry cut (kernels/clip.py + tiles.clip_polygons_to_tiles).
+
+Kernel identities on axis-aligned fixtures, hole semantics, the area-
+conservation property (sum of per-tile cut areas == projected polygon
+area — algorithm-independent, catches both dropped and doubled regions),
+boundary snapping, and operator-level partition invariance.
+"""
+
+import numpy as np
+import pytest
+
+from imposm2_spark.kernels import clip as kclip
+from imposm2_spark.kernels import geom
+
+
+def _sq(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+    )
+
+
+def test_clip_ring_fully_inside_identity():
+    r = _sq(10.2, 20.2, 10.8, 20.8)
+    c = kclip.clip_ring_to_rect(r, 10, 20, 11, 21)
+    assert abs(abs(geom.ring_signed_area(c)) - 0.36) < 1e-12
+    assert sorted(map(tuple, c)) == sorted(map(tuple, r))
+
+
+def test_clip_ring_spanning_two_tiles_splits_area():
+    r = _sq(10.5, 20.25, 11.5, 20.75)  # area 0.5 split evenly across x=11
+    left = kclip.clip_ring_to_rect(r, 10, 20, 11, 21)
+    right = kclip.clip_ring_to_rect(r, 11, 20, 12, 21)
+    assert abs(abs(geom.ring_signed_area(left)) - 0.25) < 1e-12
+    assert abs(abs(geom.ring_signed_area(right)) - 0.25) < 1e-12
+    # intersection points sit EXACTLY on the clip line
+    assert set(left[:, 0].tolist()) <= {10.5, 11.0}
+    assert 11.0 in left[:, 0]
+
+
+def test_clip_subject_containing_tile_yields_tile_square():
+    r = _sq(0, 0, 100, 100)
+    c = kclip.clip_ring_to_rect(r, 40, 40, 41, 41)
+    assert abs(abs(geom.ring_signed_area(c)) - 1.0) < 1e-12
+    assert sorted(map(tuple, c)) == [(40.0, 40.0), (40.0, 41.0), (41.0, 40.0), (41.0, 41.0)]
+
+
+def test_clip_disjoint_returns_empty():
+    r = _sq(0, 0, 1, 1)
+    assert len(kclip.clip_ring_to_rect(r, 5, 5, 6, 6)) == 0
+
+
+def test_tile_inside_hole_nets_zero():
+    outer = _sq(0, 0, 10, 10)                       # CCW
+    hole = _sq(2.5, 2.5, 7.5, 7.5)[::-1].copy()     # CW
+    # tile (4,4) = [4,5]^2 is entirely inside the hole -> exact zero
+    _, area = kclip.clip_rings_to_tile([outer, hole], 4, 4)
+    assert area == pytest.approx(0.0, abs=1e-12)
+    # tile (1,1) = [1,2]^2 is inside the outer, outside the hole -> full tile
+    _, area_full = kclip.clip_rings_to_tile([outer, hole], 1, 1)
+    assert area_full == pytest.approx(1.0, abs=1e-12)
+    # tile (2,2) = [2,3]^2 overlaps the hole corner [2.5,3]^2 -> 1 - 0.25
+    local, area_part = kclip.clip_rings_to_tile([outer, hole], 2, 2)
+    assert area_part == pytest.approx(0.75, abs=1e-12)
+    assert len(local) == 2  # outer square + clipped hole corner, both local
+    for r in local:
+        assert (r >= -1e-12).all() and (r <= 1 + 1e-12).all()
+
+
+def test_area_conservation_over_tile_grid():
+    # concave polygon (L-shape) + holed polygon in projected space
+    rng = np.random.default_rng(7)
+    lshape = np.array(
+        [[3.1, 3.2], [9.7, 3.2], [9.7, 6.4], [6.3, 6.4], [6.3, 9.8], [3.1, 9.8]]
+    )
+    outer = _sq(2.2, 2.3, 11.6, 11.7)
+    hole = _sq(4.4, 4.5, 7.7, 7.6)[::-1].copy()
+    for rings in ([lshape], [outer, hole]):
+        total = sum(geom.ring_signed_area(r) for r in rings)
+        covered = 0.0
+        for x in range(0, 13):
+            for y in range(0, 13):
+                _, a = kclip.clip_rings_to_tile(rings, x, y)
+                covered += a
+        assert covered == pytest.approx(abs(total), rel=1e-12)
+
+
+def test_projection_matches_cells_formula():
+    from imposm2_spark.kernels import cells as kcells
+
+    lon = np.array([-180.0, -12.34, 0.0, 56.78, 179.999])
+    lat = np.array([-85.0, -45.0, 0.0, 52.5, 84.9])
+    p = kclip.project_ring(np.column_stack([lon, lat]), 8)
+    x, y = kcells.lonlat_to_xy(lon, lat, 8)
+    assert (np.floor(p[:, 0]).astype(np.int64) == np.minimum(x, 255)).all()
+    assert (np.floor(p[:, 1]).astype(np.int64) == y).all()
+
+
+pytestmark_spark = pytest.mark.spark
+
+
+@pytest.mark.spark
+def test_clip_operator_conserves_area_and_subsets_cover(spark):
+    from imposm2_spark.operators.tiles import (
+        assign_polygon_tiles, clip_polygons_to_tiles,
+    )
+    from imposm2_spark.sources import fixtures
+
+    polys = fixtures.polygons_admin_df(spark)
+    out = clip_polygons_to_tiles(polys, 8).collect()
+    cover = {
+        (r["polygon_id"], r["x"], r["y"])
+        for r in assign_polygon_tiles(polys, [8], refine="exact").collect()
+    }
+    # every cut tile is an exact covering tile (never invents tiles)
+    assert {(r["polygon_id"], r["x"], r["y"]) for r in out} <= cover
+    # per-polygon area conservation vs the projected ring area
+    got = {}
+    for r in out:
+        got[r["polygon_id"]] = got.get(r["polygon_id"], 0.0) + r["area"]
+        assert r["n_pts"] == sum(r["ring_sizes"])
+        assert len(r["rings_flat"]) == 2 * r["n_pts"]
+        flat = np.asarray(r["rings_flat"])
+        assert (flat >= -1e-9).all() and (flat <= 1 + 1e-9).all()  # tile-local
+    pdf = fixtures.make_polygons_admin(12)
+    for _, row in pdf.iterrows():
+        proj = [kclip.project_ring(np.asarray(rr), 8) for rr in row["rings"]]
+        want = abs(sum(geom.ring_signed_area(p) for p in proj))
+        assert got[row["polygon_id"]] == pytest.approx(want, rel=1e-9), row[
+            "polygon_id"
+        ]
+
+
+@pytest.mark.spark
+def test_clip_operator_partition_invariance(spark):
+    from imposm2_spark.operators.tiles import clip_polygons_to_tiles
+    from imposm2_spark.sources import fixtures
+
+    polys = fixtures.polygons_admin_df(spark)
+    a = clip_polygons_to_tiles(polys.repartition(1), 8)
+    b = clip_polygons_to_tiles(polys.repartition(5, "polygon_id"), 8)
+    ka = sorted((r["polygon_id"], r["x"], r["y"], r["n_pts"], round(r["area"], 12))
+                for r in a.collect())
+    kb = sorted((r["polygon_id"], r["x"], r["y"], r["n_pts"], round(r["area"], 12))
+                for r in b.collect())
+    assert ka == kb
