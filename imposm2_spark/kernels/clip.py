@@ -131,3 +131,114 @@ def clip_rings_to_tile(
         total += geom.ring_signed_area(c)
         out.append(c - np.array([float(x), float(y)]))
     return out, abs(total)
+
+
+# ---------------------------------------------------------------------------
+# Polyline cut (J6c line side): Liang–Barsky per segment + run stitching.
+# ---------------------------------------------------------------------------
+def _lb_segment(ax, ay, bx, by, x0, y0, x1, y1):
+    """Liang–Barsky clip of segment A->B to the rect; returns (t0, t1) or
+    None when fully outside. Inclusive bounds: a segment lying exactly on a
+    shared tile edge survives in BOTH adjacent tiles (frozen spec — tile
+    cuts are per-tile independent; renderers tolerate the shared edge)."""
+    dx, dy = bx - ax, by - ay
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
+        if p == 0.0:
+            if q < 0.0:
+                return None
+        else:
+            t = q / p
+            if p < 0.0:
+                if t > t1:
+                    return None
+                if t > t0:
+                    t0 = t
+            else:
+                if t < t0:
+                    return None
+                if t < t1:
+                    t1 = t
+    return t0, t1
+
+
+def _snap_rect(px, py, x0, y0, x1, y1, was_clipped):
+    """Write boundary coordinates exactly for clipped endpoints (same
+    discipline as the SH pass: no 1-ulp drift off the clip line)."""
+    if not was_clipped:
+        return px, py
+    if px <= x0:
+        px = x0
+    elif px >= x1:
+        px = x1
+    if py <= y0:
+        py = y0
+    elif py >= y1:
+        py = y1
+    return px, py
+
+
+def clip_polyline_to_rect(
+    pts: np.ndarray, x0: float, y0: float, x1: float, y1: float
+) -> list[np.ndarray]:
+    """Cut one projected polyline at the rect boundary.
+
+    Returns the list of sub-polylines (runs) inside [x0,x1]x[y0,y1]. Runs
+    stitch across consecutive segments while the clip is continuous (the
+    previous segment ends unclipped at the shared vertex and the next
+    starts unclipped there); leaving and re-entering the rect starts a new
+    run. Zero-length runs (a single grazing point) are dropped.
+    """
+    r = np.asarray(pts, dtype=np.float64)
+    runs: list[list[tuple[float, float]]] = []
+    cur: list[tuple[float, float]] = []
+    for i in range(len(r) - 1):
+        ax, ay = float(r[i, 0]), float(r[i, 1])
+        bx, by = float(r[i + 1, 0]), float(r[i + 1, 1])
+        hit = _lb_segment(ax, ay, bx, by, x0, y0, x1, y1)
+        if hit is None:
+            if len(cur) >= 2:
+                runs.append(cur)
+            cur = []
+            continue
+        t0, t1 = hit
+        dx, dy = bx - ax, by - ay
+        p0 = (ax, ay) if t0 == 0.0 else _snap_rect(
+            ax + t0 * dx, ay + t0 * dy, x0, y0, x1, y1, True
+        )
+        p1 = (bx, by) if t1 == 1.0 else _snap_rect(
+            ax + t1 * dx, ay + t1 * dy, x0, y0, x1, y1, True
+        )
+        if p0 == p1:
+            continue  # grazing touch: measure zero, nothing to draw
+        if cur and cur[-1] == p0:
+            cur.append(p1)
+        else:
+            if len(cur) >= 2:
+                runs.append(cur)
+            cur = [p0, p1]
+    if len(cur) >= 2:
+        runs.append(cur)
+    return [np.asarray(run, dtype=np.float64) for run in runs]
+
+
+def polyline_length(pts: np.ndarray) -> float:
+    """Euclidean length in the coordinate units of `pts` (tile units when
+    projected)."""
+    r = np.asarray(pts, dtype=np.float64)
+    if len(r) < 2:
+        return 0.0
+    d = np.diff(r, axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def clip_polyline_to_tile(
+    proj: np.ndarray, x: int, y: int
+) -> tuple[list[np.ndarray], float]:
+    """(tile-LOCAL runs, total length in tile units) for tile (x, y)."""
+    runs = clip_polyline_to_rect(
+        proj, float(x), float(y), float(x + 1), float(y + 1)
+    )
+    total = sum(polyline_length(run) for run in runs)
+    off = np.array([float(x), float(y)])
+    return [run - off for run in runs], float(total)

@@ -395,3 +395,85 @@ def clip_polygons_to_tiles(
         F.col("_t.ring_sizes").alias("ring_sizes"),
         F.col("_t.rings_flat").alias("rings_flat"),
     )
+
+
+_CLIPLINE_ARRAY = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("n_pts", T.IntegerType()),
+            T.StructField("length", T.DoubleType()),
+            T.StructField("run_sizes", T.ArrayType(T.IntegerType())),
+            T.StructField("runs_flat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+)
+
+
+def clip_line_tiles_udf(z: int):
+    """pandas_udf: polyline pts -> array of per-tile line-cut structs.
+
+    Candidate tiles come from PER-SEGMENT bbox ranges (tight and linear in
+    the polyline length — a diagonal line's whole-bbox grid would be
+    quadratic), then each candidate gets the exact Liang-Barsky cut."""
+    from ..kernels import clip as kclip
+
+    def _one(pts_nested) -> list[dict]:
+        pts = np.asarray(
+            [np.asarray(p, dtype=np.float64) for p in pts_nested]
+        ).reshape(-1, 2)
+        if len(pts) < 2:
+            return []
+        proj = kclip.project_ring(pts, z)
+        n = 1 << z
+        cand: set[tuple[int, int]] = set()
+        fx = np.clip(np.floor(proj[:, 0]).astype(np.int64), 0, n - 1)
+        fy = np.clip(np.floor(proj[:, 1]).astype(np.int64), 0, n - 1)
+        for i in range(len(proj) - 1):
+            for x in range(min(fx[i], fx[i + 1]), max(fx[i], fx[i + 1]) + 1):
+                for y in range(min(fy[i], fy[i + 1]), max(fy[i], fy[i + 1]) + 1):
+                    cand.add((x, y))
+        out = []
+        for x, y in sorted(cand):
+            runs, length = kclip.clip_polyline_to_tile(proj, x, y)
+            if not runs or length == 0.0:
+                continue
+            flat = np.concatenate([r.ravel() for r in runs])
+            out.append(
+                {
+                    "x": int(x),
+                    "y": int(y),
+                    "n_pts": int(sum(len(r) for r in runs)),
+                    "length": float(length),
+                    "run_sizes": [int(len(r)) for r in runs],
+                    "runs_flat": flat.tolist(),
+                }
+            )
+        return out
+
+    @F.pandas_udf(_CLIPLINE_ARRAY)
+    def _udf(pts: pd.Series) -> pd.Series:
+        return pts.map(_one)
+
+    return _udf
+
+
+def clip_lines_to_tiles(lines: DataFrame, z: int) -> DataFrame:
+    """(line_id, pts) -> one row per (line_id, z, x, y) with the polyline
+    cut at the tile boundary (kernels/clip.py line spec: Liang-Barsky per
+    segment, run stitching across continuous segments, tile-local coords,
+    euclidean length in tile units). Same scale shape as the polygon cut:
+    points cross into Python once per line, fan-out inside the kernel."""
+    tiles = lines.select(
+        "line_id",
+        F.lit(z).alias("z"),
+        F.explode(clip_line_tiles_udf(z)(F.col("pts"))).alias("_t"),
+    )
+    return tiles.select(
+        "line_id", "z",
+        F.col("_t.x").alias("x"), F.col("_t.y").alias("y"),
+        F.col("_t.n_pts").alias("n_pts"), F.col("_t.length").alias("length"),
+        F.col("_t.run_sizes").alias("run_sizes"),
+        F.col("_t.runs_flat").alias("runs_flat"),
+    )

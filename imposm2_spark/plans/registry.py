@@ -742,29 +742,42 @@ def q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (r5). refine='center'/'exact' are the two covering modes (the
     golden's exact rows come from an INDEPENDENT Liang-Barsky segment-clip
     implementation in scripts/gen_golden_oracles.py; the engine kernel uses
-    SAT). refine='clip' adds the per-tile CUT geometry summary (n_pts,
-    round-9 area in tile² units) — its golden rows come from an independent
-    scalar Sutherland-Hodgman over the FULL bbox tile grid (no covering
-    shortcut), cross-checked at generation time against per-polygon area
-    conservation. Cover rows carry NULL n_pts/area."""
-    from ..operators.tiles import assign_polygon_tiles, clip_polygons_to_tiles
+    SAT). refine='clip' adds the per-tile polygon CUT summary and
+    refine='clipline' the polyline cut over the roads fixture — golden rows
+    for both come from independent scalar clippers (generic-half-plane SH /
+    interval-form LB) over the FULL bbox tile grid, cross-checked at
+    generation time against per-feature measure conservation. `feature_id`
+    is polygon_id or line_id per variant; `measure` is area in tile² for
+    'clip', euclidean length in tile units for 'clipline', NULL for the
+    cover rows (as is n_pts)."""
+    from ..operators.tiles import (
+        assign_polygon_tiles, clip_lines_to_tiles, clip_polygons_to_tiles,
+    )
 
     polys = fixtures.polygons_admin_df(spark)
     nul_i = F.lit(None).cast("integer")
     nul_d = F.lit(None).cast("double")
     center = assign_polygon_tiles(polys, [8]).select(
-        F.lit("center").alias("refine"), "polygon_id", "z", "x", "y",
-        nul_i.alias("n_pts"), nul_d.alias("area"),
+        F.lit("center").alias("refine"),
+        F.col("polygon_id").alias("feature_id"), "z", "x", "y",
+        nul_i.alias("n_pts"), nul_d.alias("measure"),
     )
     exact = assign_polygon_tiles(polys, [8], refine="exact").select(
-        F.lit("exact").alias("refine"), "polygon_id", "z", "x", "y",
-        nul_i.alias("n_pts"), nul_d.alias("area"),
+        F.lit("exact").alias("refine"),
+        F.col("polygon_id").alias("feature_id"), "z", "x", "y",
+        nul_i.alias("n_pts"), nul_d.alias("measure"),
     )
     clip = clip_polygons_to_tiles(polys, 8).select(
-        F.lit("clip").alias("refine"), "polygon_id", "z", "x", "y",
-        "n_pts", F.round("area", 9).alias("area"),
+        F.lit("clip").alias("refine"),
+        F.col("polygon_id").alias("feature_id"), "z", "x", "y",
+        "n_pts", F.round("area", 9).alias("measure"),
     )
-    return center.unionByName(exact).unionByName(clip)
+    clipline = clip_lines_to_tiles(fixtures.lines_roads_df(spark), 8).select(
+        F.lit("clipline").alias("refine"),
+        F.col("line_id").alias("feature_id"), "z", "x", "y",
+        "n_pts", F.round("length", 9).alias("measure"),
+    )
+    return center.unionByName(exact).unionByName(clip).unionByName(clipline)
 
 
 # ===========================================================================

@@ -411,3 +411,38 @@ def polygons_admin_df(spark, cell_level: int = 12):
     return spark.createDataFrame(
         make_polygons_admin(cell_level), schema=POLYGONS_ADMIN_SCHEMA
     )
+
+
+LINES_ROADS_SCHEMA = (
+    "line_id long, name string, pts array<array<double>>"
+)
+
+
+def make_lines_roads(n: int = 30) -> pd.DataFrame:
+    """n deterministic polylines (roads) for the J6c line-cut golden: an LCG
+    walk of 3..8 vertices with steps up to ~2°, starting inside [-20,40] x
+    [-15,55]. Steps use odd 1e-4 grid offsets so no segment lies exactly on
+    a z8 tile boundary (boundary-lying segments are spec'd to emit in BOTH
+    adjacent tiles — deliberately excluded from the conservation fixture)."""
+    rows = []
+    state = 41
+    for i in range(n):
+        def nxt():
+            nonlocal state
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            return state
+
+        lon = -20.0 + (nxt() % 60000) / 1000.0 + 0.00013
+        lat = -15.0 + (nxt() % 70000) / 1000.0 + 0.00017
+        pts = [[lon, lat]]
+        for _ in range(3 + nxt() % 6 - 1):
+            lon += ((nxt() % 4000) - 2000) / 1000.0 + 0.00019
+            lat += ((nxt() % 4000) - 2000) / 1000.0 + 0.00023
+            lat = max(-80.0, min(80.0, lat))
+            pts.append([lon, lat])
+        rows.append({"line_id": i, "name": f"road_{i}", "pts": pts})
+    return pd.DataFrame(rows)
+
+
+def lines_roads_df(spark, n: int = 30):
+    return spark.createDataFrame(make_lines_roads(n), schema=LINES_ROADS_SCHEMA)

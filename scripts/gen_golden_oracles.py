@@ -192,6 +192,99 @@ def clip_tiles_independent(rings, z):
     return out
 
 
+def _lb_interval_independent(ax, ay, bx, by, x0, y0, x1, y1):
+    """Interval-form Liang-Barsky (fresh structure vs the engine's p/q loop):
+    intersect the per-axis parameter intervals; None when empty."""
+    dx, dy = bx - ax, by - ay
+    t0, t1 = 0.0, 1.0
+    if dx == 0.0:
+        if ax < x0 or ax > x1:
+            return None
+    else:
+        ta, tb = (x0 - ax) / dx, (x1 - ax) / dx
+        lo, hi = (ta, tb) if ta <= tb else (tb, ta)
+        t0, t1 = max(t0, lo), min(t1, hi)
+    if dy == 0.0:
+        if ay < y0 or ay > y1:
+            return None
+    else:
+        ta, tb = (y0 - ay) / dy, (y1 - ay) / dy
+        lo, hi = (ta, tb) if ta <= tb else (tb, ta)
+        t0, t1 = max(t0, lo), min(t1, hi)
+    if t0 > t1:
+        return None
+    return t0, t1
+
+
+def _snap_independent(px, py, x0, y0, x1, y1):
+    if px <= x0:
+        px = x0
+    elif px >= x1:
+        px = x1
+    if py <= y0:
+        py = y0
+    elif py >= y1:
+        py = y1
+    return px, py
+
+
+def clip_line_tile_independent(proj, x, y):
+    """(runs, length) of one projected polyline in tile (x, y) — scalar
+    re-implementation of the kernels/clip.py line spec (LB + stitch)."""
+    x0, y0, x1, y1 = float(x), float(y), float(x + 1), float(y + 1)
+    runs, cur = [], []
+    for i in range(len(proj) - 1):
+        ax, ay = proj[i]
+        bx, by = proj[i + 1]
+        hit = _lb_interval_independent(ax, ay, bx, by, x0, y0, x1, y1)
+        if hit is None:
+            if len(cur) >= 2:
+                runs.append(cur)
+            cur = []
+            continue
+        t0, t1 = hit
+        dx, dy = bx - ax, by - ay
+        p0 = (ax, ay) if t0 == 0.0 else _snap_independent(
+            ax + t0 * dx, ay + t0 * dy, x0, y0, x1, y1
+        )
+        p1 = (bx, by) if t1 == 1.0 else _snap_independent(
+            ax + t1 * dx, ay + t1 * dy, x0, y0, x1, y1
+        )
+        if p0 == p1:
+            continue
+        if cur and cur[-1] == p0:
+            cur.append(p1)
+        else:
+            if len(cur) >= 2:
+                runs.append(cur)
+            cur = [p0, p1]
+    if len(cur) >= 2:
+        runs.append(cur)
+    length = sum(
+        math.hypot(r[i + 1][0] - r[i][0], r[i + 1][1] - r[i][1])
+        for r in runs
+        for i in range(len(r) - 1)
+    )
+    return runs, length
+
+
+def clip_line_tiles_independent(pts, z):
+    """(x, y, n_pts, length) rows over the FULL bbox tile grid of the line
+    (deliberately not the engine's per-segment cover — a cover bug would
+    surface as a missing nonzero-cut tile here)."""
+    proj = _project_independent(pts, z)
+    xs = [p[0] for p in proj]; ys = [p[1] for p in proj]
+    gx0, gx1 = int(math.floor(min(xs))), int(math.floor(max(xs)))
+    gy0, gy1 = int(math.floor(min(ys))), int(math.floor(max(ys)))
+    out = []
+    for x in range(gx0, gx1 + 1):
+        for y in range(gy0, gy1 + 1):
+            runs, length = clip_line_tile_independent(proj, x, y)
+            if runs and length != 0.0:
+                out.append((x, y, sum(len(r) for r in runs), length))
+    return out
+
+
 def covering_tiles_independent(rings, z):
     pts = [p for r in rings for p in r]
     lon_min = min(p[0] for p in pts); lon_max = max(p[0] for p in pts)
@@ -247,14 +340,36 @@ def main():
             sys.exit(1)
         clip_area_by_poly[pid] = tile_sum
 
+    # --- independent polyline clip golden (J6c line side, r5) ---------------
+    expected_clipline = set()
+    for _, lrow in fixtures.make_lines_roads().iterrows():
+        lid = int(lrow["line_id"])
+        pts = [tuple(p) for p in lrow["pts"]]
+        proj = _project_independent(pts, 8)
+        full_len = sum(
+            math.hypot(proj[i + 1][0] - proj[i][0], proj[i + 1][1] - proj[i][1])
+            for i in range(len(proj) - 1)
+        )
+        tile_len = 0.0
+        for x, y, n_pts, length in clip_line_tiles_independent(pts, 8):
+            expected_clipline.add(("clipline", lid, 8, x, y, n_pts, round(length, 9)))
+            tile_len += length
+        if abs(tile_len - full_len) > 1e-9 * max(full_len, 1.0):
+            print("LINE LENGTH NOT CONSERVED", lid, tile_len, full_len)
+            sys.exit(1)
+
     fam = qs["polygon_covering_tiles_z8"](spark, "/root/testdata/sf0.01").collect()
     engine = {
-        (r.refine, r.polygon_id, r.z, r.x, r.y)
-        for r in fam if r.refine != "clip"
+        (r.refine, r.feature_id, r.z, r.x, r.y)
+        for r in fam if r.refine in ("center", "exact")
     }
     engine_clip = {
-        (r.refine, r.polygon_id, r.z, r.x, r.y, r.n_pts, r.area)
+        (r.refine, r.feature_id, r.z, r.x, r.y, r.n_pts, r.measure)
         for r in fam if r.refine == "clip"
+    }
+    engine_clipline = {
+        (r.refine, r.feature_id, r.z, r.x, r.y, r.n_pts, r.measure)
+        for r in fam if r.refine == "clipline"
     }
     only_exp = sorted(expected - engine)
     only_eng = sorted(engine - expected)
@@ -268,6 +383,14 @@ def main():
     if oc or ec:
         print("CLIP MISMATCH only_expected:", oc[:10])
         print("CLIP MISMATCH only_engine:", ec[:10])
+        sys.exit(1)
+    ol = sorted(expected_clipline - engine_clipline)
+    el = sorted(engine_clipline - expected_clipline)
+    print("clipline tiles: expected", len(expected_clipline),
+          "engine", len(engine_clipline))
+    if ol or el:
+        print("CLIPLINE MISMATCH only_expected:", ol[:10])
+        print("CLIPLINE MISMATCH only_engine:", el[:10])
         sys.exit(1)
 
     # DuckDB type names matching the Spark result schema exactly (VALUES
@@ -299,9 +422,13 @@ def main():
             return repr(v)
         return str(v)
 
-    fam_rows = [r + (None, None) for r in sorted(expected)] + sorted(expected_clip)
+    fam_rows = (
+        [r + (None, None) for r in sorted(expected)]
+        + sorted(expected_clip)
+        + sorted(expected_clipline)
+    )
     emit("polygon_covering_tiles_z8", fam_rows,
-         ["refine", "polygon_id", "z", "x", "y", "n_pts", "area"],
+         ["refine", "feature_id", "z", "x", "y", "n_pts", "measure"],
          ["string", "long", "integer", "long", "long", "integer", "double"])
 
     for name in ["relation_multipolygon_family", "import_pipeline_landusages",

@@ -143,3 +143,70 @@ def test_clip_operator_partition_invariance(spark):
     kb = sorted((r["polygon_id"], r["x"], r["y"], r["n_pts"], round(r["area"], 12))
                 for r in b.collect())
     assert ka == kb
+
+
+def test_clip_polyline_splits_and_conserves_length():
+    line = np.array([[0.5, 0.5], [2.5, 2.5]])
+    full = kclip.polyline_length(line)
+    covered = 0.0
+    for x in range(3):
+        for y in range(3):
+            runs, ln = kclip.clip_polyline_to_tile(line, x, y)
+            covered += ln
+            for r in runs:
+                assert (r >= -1e-12).all() and (r <= 1 + 1e-12).all()
+    assert covered == pytest.approx(full, rel=1e-12)
+
+
+def test_clip_polyline_reentry_starts_new_run():
+    # V shape leaving tile (0,0) through x=1 and coming back
+    v = np.array([[0.2, 0.2], [1.5, 0.2], [0.3, 0.9]])
+    runs, _ = kclip.clip_polyline_to_tile(v, 0, 0)
+    assert len(runs) == 2
+    # boundary crossings snapped exactly to x=1 (tile-local 1.0)
+    assert runs[0][-1][0] == 1.0 and runs[1][0][0] == 1.0
+
+
+def test_clip_polyline_inside_identity_and_outside_empty():
+    line = np.array([[3.2, 4.1], [3.8, 4.9], [3.3, 4.4]])
+    runs, ln = kclip.clip_polyline_to_tile(line, 3, 4)
+    assert len(runs) == 1 and len(runs[0]) == 3
+    assert ln == pytest.approx(kclip.polyline_length(line), rel=1e-12)
+    runs2, ln2 = kclip.clip_polyline_to_tile(line, 9, 9)
+    assert runs2 == [] and ln2 == 0.0
+
+
+def test_fixture_lines_conserve_length_over_grid():
+    from imposm2_spark.sources.fixtures import make_lines_roads
+
+    for _, row in make_lines_roads(8).iterrows():
+        proj = kclip.project_ring(np.asarray(row["pts"]), 8)
+        full = kclip.polyline_length(proj)
+        gx0, gx1 = int(np.floor(proj[:, 0].min())), int(np.floor(proj[:, 0].max()))
+        gy0, gy1 = int(np.floor(proj[:, 1].min())), int(np.floor(proj[:, 1].max()))
+        covered = sum(
+            kclip.clip_polyline_to_tile(proj, x, y)[1]
+            for x in range(gx0, gx1 + 1)
+            for y in range(gy0, gy1 + 1)
+        )
+        assert covered == pytest.approx(full, rel=1e-9), row["line_id"]
+
+
+@pytest.mark.spark
+def test_clip_lines_operator(spark):
+    from imposm2_spark.operators.tiles import clip_lines_to_tiles
+    from imposm2_spark.sources import fixtures
+
+    lines = fixtures.lines_roads_df(spark)
+    out = clip_lines_to_tiles(lines, 8).collect()
+    assert len(out) > 30  # every line crosses at least one tile
+    got = {}
+    for r in out:
+        got[r["line_id"]] = got.get(r["line_id"], 0.0) + r["length"]
+        assert r["n_pts"] == sum(r["run_sizes"])
+        assert len(r["runs_flat"]) == 2 * r["n_pts"]
+    for _, row in fixtures.make_lines_roads().iterrows():
+        proj = kclip.project_ring(np.asarray(row["pts"]), 8)
+        assert got[row["line_id"]] == pytest.approx(
+            kclip.polyline_length(proj), rel=1e-9
+        )
