@@ -53,12 +53,21 @@ rounding absorbs that (same guard as T18 TF-IDF's round-at-9).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 K1 = 1.2
 B = 0.75
+
+# Inline-path cap: the query-term DataFrame is pulled to the driver with
+# limit(cap+1) in ONE action (pip_join's bounded-collect contract); at or
+# under the cap the zero-shuffle in-row plan runs, above it the operator
+# falls back to the postings-join plan — never an error, never an unbounded
+# driver pull.
+MAX_INLINE_TERMS = 64
 
 # DECIMAL(28,9): 19 integral digits of headroom — a doc matching 10^4 query
 # terms at the idf*(k1+1) ceiling stays far inside it, so the exact sum
@@ -81,6 +90,98 @@ def doc_lengths(
     return toks.groupBy(id_col).agg(F.count("*").alias("dl"))
 
 
+def _doc_stats_expr(text_col: F.Column, terms: list[str]) -> F.Column:
+    """Per-row struct(dl, tfs[k]) in ONE pass over the token array.
+
+    The token array is bound once as a lambda variable (aggregate over a
+    1-element array — the HOF re-evaluation guard, same idiom as
+    dedup.simhash_from_hashes); the inner fold zip_withs a k-counter state
+    against the literal term array, so the row cost is O(tokens · k) with
+    no explode and no shuffle."""
+    k = len(terms)
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != "")
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    zero = F.struct(
+        F.lit(0).cast("long").alias("dl"),
+        F.array_repeat(F.lit(0).cast("long"), k).alias("tfs"),
+    )
+    one, nil = F.lit(1).cast("long"), F.lit(0).cast("long")
+    return F.aggregate(
+        F.array(toks),
+        zero,
+        lambda _acc, tk: F.struct(
+            F.size(tk).cast("long").alias("dl"),
+            F.aggregate(
+                tk,
+                F.array_repeat(nil, k),
+                lambda a, x: F.zip_with(
+                    a, term_lits,
+                    lambda c, t: c + F.when(x == t, one).otherwise(nil),
+                ),
+            ).alias("tfs"),
+        ),
+    )
+
+
+def _bm25_inline(
+    docs: DataFrame, terms: list[str], *, id_col: str, text_col: str,
+    k1: float, b: float, top_k: int, term_dp: int, score_dp: int,
+) -> DataFrame:
+    """Zero-shuffle BM25 for a driver-known term list: per-doc (dl, tfs)
+    in-row, ALL corpus statistics (N, sum_dl, per-term df) in ONE
+    map-side-combined 1-row aggregate broadcast back, score as the same
+    round-then-DECIMAL sum as the join path (term order fixed by the
+    expression, so the decimal result is identical). The only exchanges in
+    the plan are the 1-row stats agg and the top-k."""
+    k = len(terms)
+    base = docs.select(F.col(id_col), _doc_stats_expr(F.col(text_col), terms).alias("s"))
+    stats = F.broadcast(
+        base.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("s.dl").alias("sum_dl"),
+            *[
+                F.sum((F.element_at("s.tfs", i + 1) > 0).cast("long")).alias(f"df_{i}")
+                for i in range(k)
+            ],
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    dld = F.col("s.dl").cast("double")
+
+    def w_dec(i: int) -> F.Column:
+        dfc = F.col(f"df_{i}")
+        tfd = F.element_at("s.tfs", i + 1).cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+        w = (
+            idf
+            * (tfd * F.lit(k1 + 1.0))
+            / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / avgdl))
+        )
+        # unmatched terms contribute an exact decimal 0 (tf=0 -> w=0.0)
+        return F.round(w, term_dp).cast(_SUM_DEC)
+
+    score_dec = reduce(lambda a, c: a + c, [w_dec(i) for i in range(k)])
+    n_terms = reduce(
+        lambda a, c: a + c,
+        [(F.element_at("s.tfs", i + 1) > 0).cast("long") for i in range(k)],
+    )
+    per_doc = (
+        base.join(stats)
+        .select(
+            F.col(id_col),
+            n_terms.alias("n_terms"),
+            F.round(score_dec.cast("double"), score_dp).alias("score"),
+        )
+        .where(F.col("n_terms") > 0)
+    )
+    topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
+    rw = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col, "n_terms", "score", F.row_number().over(rw).alias("rank")
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     query_terms: DataFrame,
@@ -93,6 +194,7 @@ def bm25_rank(
     term_dp: int = 9,
     score_dp: int = 6,
     doc_lengths_df: DataFrame | None = None,
+    max_inline_terms: int = MAX_INLINE_TERMS,
 ) -> DataFrame:
     """Global BM25 top-k of `docs` against `query_terms` (a 1-column
     DataFrame of distinct terms, small BY CONTRACT — it is broadcast).
@@ -103,11 +205,42 @@ def bm25_rank(
     term never appear (BM25 gives them score 0; emitting 10^12 zero rows
     would be the anti-pattern).
 
-    `doc_lengths_df`: optional precomputed `doc_lengths()` output. When
-    given, `docs` is scanned exactly once (postings only); when None it is
-    derived here with a second scan. N (corpus size) always counts ALL of
-    `docs` — zero-token documents still dilute idf, matching the oracle.
+    Execution: when the term set fits `max_inline_terms` (pulled with a
+    bounded limit(cap+1) collect), the ZERO-SHUFFLE in-row plan runs —
+    per-doc (dl, tf...) folded in one bound HOF pass, corpus stats in one
+    1-row agg, no explode, no (doc, term) exchange; measured 2.0x over the
+    postings join at 8M docs (BENCH_XL_r05 bm25_xl — and that corpus is the
+    postings path's BEST case: a ~30-word vocabulary where 5 query terms
+    match ~1/6 of all tokens; with realistically rare terms the join path's
+    shuffle shrinks but the inline path's cost is unchanged — already
+    scan-bound). Larger term sets fall
+    back to the postings-join plan below. Results are identical: same
+    frozen arithmetic, same round-then-DECIMAL sum (term order fixed).
+    Set max_inline_terms=0 to force the join plan (plan tests do).
+
+    `doc_lengths_df`: optional precomputed `doc_lengths()` output for the
+    join path. When given, `docs` is scanned exactly once (postings only);
+    when None it is derived here with a second scan. N (corpus size) always
+    counts ALL of `docs` — zero-token documents still dilute idf, matching
+    the oracle. (The inline path needs no external dl: the same scan that
+    scores computes it in-row.)
     """
+    if max_inline_terms > 0:
+        tcol = query_terms.columns[0]
+        pulled = (
+            query_terms.select(F.col(tcol).alias("term"))
+            .distinct()
+            .limit(max_inline_terms + 1)
+            .collect()
+        )
+        if len(pulled) <= max_inline_terms:
+            terms = sorted(r["term"] for r in pulled if r["term"] is not None)
+            if terms:  # 0 terms: fall through — the join plan's schema is
+                # the canonical empty result (same dtypes as non-empty runs)
+                return _bm25_inline(
+                    docs, terms, id_col=id_col, text_col=text_col, k1=k1,
+                    b=b, top_k=top_k, term_dp=term_dp, score_dp=score_dp,
+                )
     q = F.broadcast(query_terms.select(F.col(query_terms.columns[0]).alias("term")).distinct())
 
     toks = docs.select(

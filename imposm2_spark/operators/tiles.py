@@ -337,20 +337,29 @@ def clip_tiles_udf(z: int, max_cells: int | None = None):
 
     def _one(rings_nested) -> list[dict]:
         ring_arrays = nested_to_rings(rings_nested)
-        cover = _covering_tiles_kernel(
-            rings_nested, z, refine="exact", max_cells=max_cells
+        # candidates = the bbox tile grid directly — the SH cut itself
+        # decides emptiness, so the exact-cover refinement (ray-cast +
+        # SAT) would be pure overhead here (measured: 20.5s -> 17.2s at
+        # 100k holed polygons / z12, identical 727,708 tile rows; the
+        # remaining constant is the per-(polygon, tile) SH itself);
+        # max_cells keeps the same loud per-polygon grid bound as
+        # assign_polygon_tiles
+        lon_min, lat_min, lon_max, lat_max = geom.rings_bbox(ring_arrays)
+        cover_cells = kcells.covering_cells_bbox(
+            lon_min, lat_min, lon_max, lat_max, z, max_cells=max_cells
         )
+        _, cxs, cys = kcells.cell_decode(cover_cells)
         proj = [kclip.project_ring(r, z) for r in ring_arrays]
         out = []
-        for t in cover:
-            local, area = kclip.clip_rings_to_tile(proj, t["x"], t["y"])
+        for cx, cy in zip(cxs.tolist(), cys.tolist()):
+            local, area = kclip.clip_rings_to_tile(proj, cx, cy)
             if not local or area == 0.0:
                 continue  # boundary-touch tile: zero-area cut, nothing to render
             flat = np.concatenate([r.ravel() for r in local])
             out.append(
                 {
-                    "x": t["x"],
-                    "y": t["y"],
+                    "x": int(cx),
+                    "y": int(cy),
                     "n_pts": int(sum(len(r) for r in local)),
                     "area": float(area),
                     "ring_sizes": [int(len(r)) for r in local],

@@ -84,16 +84,41 @@ def test_bm25_top_k_truncates_with_deterministic_ties(spark):
 
 
 def test_bm25_plan_topk_and_broadcast(spark):
-    # plan locks: global top-k must be TakeOrderedAndProject (per-partition
-    # heaps), never a global Sort; the query-term restriction reaches the
-    # postings via broadcast BELOW the (doc, term) hash agg, so the big agg
-    # only sees matching tokens. The postings ⋈ dl join on the doc key is
-    # ALLOWED to be a shuffle join — that is the designed 100 TB shape.
+    # JOIN-path plan locks (max_inline_terms=0 forces it): global top-k must
+    # be TakeOrderedAndProject (per-partition heaps), never a global Sort;
+    # the query-term restriction reaches the postings via broadcast BELOW
+    # the (doc, term) hash agg, so the big agg only sees matching tokens.
+    # The postings ⋈ dl join on the doc key is ALLOWED to be a shuffle
+    # join — that is the designed 100 TB shape for large term sets.
     docs = _docs(spark)
-    out = bm25_rank(docs, _qterms(spark, "spark"), top_k=3)
+    out = bm25_rank(docs, _qterms(spark, "spark"), top_k=3, max_inline_terms=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     agg_pos = plan.index("HashAggregate(keys=[doc_id")
     bhj_pos = plan.rindex("BroadcastHashJoin [term")
     assert bhj_pos > agg_pos  # restriction sits under the agg in the tree
+
+
+def test_bm25_inline_plan_zero_corpus_shuffle(spark):
+    # INLINE-path plan locks (the small-query default): no explode at all
+    # (no Generate), no (doc, term) hash exchange — the only exchanges are
+    # the 1-row stats agg and the top-k heap merge
+    docs = _docs(spark)
+    out = bm25_rank(docs, _qterms(spark, "spark", "rows"), top_k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_bm25_inline_matches_join_path(spark):
+    docs = _docs(spark)
+    q = _qterms(spark, "spark", "rows", "tile", "zzz")
+    inline = sorted(map(tuple, bm25_rank(docs, q).collect()))
+    joined = sorted(map(tuple, bm25_rank(docs, q, max_inline_terms=0).collect()))
+    assert inline == joined and len(inline) == 3
+    # empty term set falls through to the join plan's canonical empty schema
+    e1 = bm25_rank(docs, _qterms(spark))
+    e2 = bm25_rank(docs, _qterms(spark), max_inline_terms=0)
+    assert e1.count() == 0 and e1.dtypes == e2.dtypes
