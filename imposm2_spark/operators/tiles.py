@@ -486,3 +486,53 @@ def clip_lines_to_tiles(lines: DataFrame, z: int) -> DataFrame:
         F.col("_t.run_sizes").alias("run_sizes"),
         F.col("_t.runs_flat").alias("runs_flat"),
     )
+
+
+def expire_tiles(
+    z: int,
+    points: DataFrame | None = None,
+    polygons: DataFrame | None = None,
+    lines: DataFrame | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+    max_cells_per_polygon: int | None = MAX_COVER_CELLS,
+) -> DataFrame:
+    """Tile-expiry list after an update: the DISTINCT z/x/y tiles touched by
+    changed features, the set a renderer must re-render after `apply_diff`.
+
+    Reference parity: imposm's -expiretiles / osm2pgsql's expire output
+    (imposm2 itself re-imports and swaps; expiry arrived with diff support
+    in imposm3 — same lineage as S6b, SURVEY §2.9). Feed it the CHANGED
+    rows of a diff (creates + modifies + the pre-image of deletes — a
+    deleted feature's old tiles need re-rendering too).
+
+    Scale shape: points are pure codegen tile math; polygons expire their
+    exact covering set (a changed polygon invalidates every tile it
+    intersects); lines expire tiles with a nonzero-length cut. Each side
+    reduces to tile ids BEFORE the single distinct hash-agg (map-side
+    combined), so the shuffle carries only (z, x, y) rows — never feature
+    payloads."""
+    parts = []
+    if points is not None:
+        parts.append(
+            points.select(
+                tile_x(F.col(lon), z).alias("x"), tile_y(F.col(lat), z).alias("y")
+            )
+        )
+    if polygons is not None:
+        parts.append(
+            assign_polygon_tiles(
+                polygons, [z], refine="exact",
+                max_cells_per_polygon=max_cells_per_polygon,
+            ).select("x", "y")
+        )
+    if lines is not None:
+        parts.append(
+            clip_lines_to_tiles(lines, z).select("x", "y")
+        )
+    if not parts:
+        raise ValueError("expire_tiles: pass at least one of points/polygons/lines")
+    from functools import reduce
+
+    allt = reduce(lambda a, b: a.unionByName(b), parts)
+    return allt.distinct().select(F.lit(z).alias("z"), "x", "y")

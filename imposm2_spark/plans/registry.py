@@ -78,20 +78,42 @@ def oracle_sql() -> dict[str, str]:
 @register(
     "tile_assign_z8",
     oracle=f"""
-WITH pts AS ({PTS_SQL})
-SELECT doc_id,
-       CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT) AS x,
-       CAST(floor((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 256) AS BIGINT) AS y
-FROM pts
+WITH pts AS ({PTS_SQL}),
+t AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT) AS x,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 256) AS BIGINT) AS y
+  FROM pts
+)
+SELECT 'assign' AS variant, doc_id, x, y FROM t
+UNION ALL
+SELECT 'expire' AS variant, CAST(NULL AS BIGINT) AS doc_id, x, y
+FROM (SELECT DISTINCT x, y FROM t WHERE doc_id % 3 = 0 OR doc_id % 5 = 1)
 """,
 )
 def q_tile_assign_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 point tile assignment + the S6b-companion tile-EXPIRY list in one
+    family row (r5). variant='assign' is the per-point codegen tile math;
+    variant='expire' feeds the apply_osm_diff demo's changed-id set
+    (doc_id%3==0 modifies, %5==1 deletes) through
+    operators.tiles.expire_tiles — the distinct tiles a renderer must
+    re-render after that diff (imposm -expiretiles parity)."""
+    from ..operators.tiles import expire_tiles
+
     pts = derived_points(spark, sf_dir)
-    return pts.select(
+    assign = pts.select(
+        F.lit("assign").alias("variant"),
         "doc_id",
         spatial.tile_x(F.col("lon"), 8).alias("x"),
         spatial.tile_y(F.col("lat"), 8).alias("y"),
     )
+    changed = pts.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 1))
+    expire = expire_tiles(8, points=changed).select(
+        F.lit("expire").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "x", "y",
+    )
+    return assign.unionByName(expire)
 
 
 # ---------------------------------------------------------------------------

@@ -210,3 +210,47 @@ def test_clip_lines_operator(spark):
         assert got[row["line_id"]] == pytest.approx(
             kclip.polyline_length(proj), rel=1e-9
         )
+
+
+@pytest.mark.spark
+def test_expire_tiles_unions_all_feature_kinds(spark):
+    from imposm2_spark.operators.tiles import (
+        assign_polygon_tiles, clip_lines_to_tiles, expire_tiles,
+    )
+    from imposm2_spark.sources import fixtures
+
+    pts = spark.createDataFrame(
+        [(1, 0.6, 0.6), (2, 0.6, 0.6), (3, 9.1, 9.1)],  # two share a tile
+        "doc_id long, lon double, lat double",
+    )
+    polys = fixtures.polygons_admin_df(spark).where("polygon_id = 23")
+    lines = fixtures.lines_roads_df(spark, 3)
+    out = expire_tiles(8, points=pts, polygons=polys, lines=lines)
+    rows = {(r["z"], r["x"], r["y"]) for r in out.collect()}
+    assert out.count() == len(rows)  # distinct by construction
+    # every constituent tile set is a subset of the expiry list
+    from imposm2_spark.functions.spatial import tile_x, tile_y
+    from pyspark.sql import functions as F
+
+    pt_tiles = {
+        (8, r["x"], r["y"])
+        for r in pts.select(
+            tile_x(F.col("lon"), 8).alias("x"), tile_y(F.col("lat"), 8).alias("y")
+        ).collect()
+    }
+    poly_tiles = {
+        (8, r["x"], r["y"])
+        for r in assign_polygon_tiles(polys, [8], refine="exact").collect()
+    }
+    line_tiles = {
+        (8, r["x"], r["y"]) for r in clip_lines_to_tiles(lines, 8).collect()
+    }
+    assert pt_tiles | poly_tiles | line_tiles == rows
+
+
+@pytest.mark.spark
+def test_expire_tiles_requires_a_feature_frame(spark):
+    from imposm2_spark.operators.tiles import expire_tiles
+
+    with pytest.raises(ValueError, match="at least one"):
+        expire_tiles(8)
