@@ -254,3 +254,64 @@ def test_expire_tiles_requires_a_feature_frame(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         expire_tiles(8)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=3, max_value=12),
+)
+def test_clip_area_conservation_fuzz(data, n):
+    # random simple-ish star polygons (radial construction guarantees a
+    # non-self-intersecting ring): area over the covering grid must equal
+    # the ring area regardless of shape, tile alignment, or concavity
+    cx = data.draw(st.floats(min_value=1.0, max_value=9.0))
+    cy = data.draw(st.floats(min_value=1.0, max_value=9.0))
+    radii = np.array(
+        [data.draw(st.floats(min_value=0.05, max_value=3.0)) for _ in range(n)]
+    )
+    # evenly spaced angles + bounded jitter keep the ring star-shaped about
+    # (cx, cy) — hence SIMPLE, which the SH spec requires (vertices merely
+    # sorted by angle about an arbitrary point can self-intersect when the
+    # angular span leaves a gap > pi)
+    jit = np.array(
+        [data.draw(st.floats(min_value=-0.4, max_value=0.4)) for _ in range(n)]
+    )
+    angles = 2.0 * np.pi * np.arange(n) / n + jit * (np.pi / n)
+    ring = np.column_stack(
+        [cx + radii * np.cos(angles), cy + radii * np.sin(angles)]
+    )
+    want = abs(geom.ring_signed_area(ring))
+    gx0, gx1 = int(np.floor(ring[:, 0].min())), int(np.floor(ring[:, 0].max()))
+    gy0, gy1 = int(np.floor(ring[:, 1].min())), int(np.floor(ring[:, 1].max()))
+    covered = sum(
+        kclip.clip_rings_to_tile([ring], x, y)[1]
+        for x in range(gx0, gx1 + 1)
+        for y in range(gy0, gy1 + 1)
+    )
+    assert covered == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data(), n=st.integers(min_value=2, max_value=10))
+def test_clip_polyline_length_conservation_fuzz(data, n):
+    pts = np.array(
+        [
+            [data.draw(st.floats(min_value=0.2, max_value=9.8)),
+             data.draw(st.floats(min_value=0.2, max_value=9.8))]
+            for _ in range(n)
+        ]
+    )
+    full = kclip.polyline_length(pts)
+    gx0, gx1 = int(np.floor(pts[:, 0].min())), int(np.floor(pts[:, 0].max()))
+    gy0, gy1 = int(np.floor(pts[:, 1].min())), int(np.floor(pts[:, 1].max()))
+    covered = sum(
+        kclip.clip_polyline_to_tile(pts, x, y)[1]
+        for x in range(gx0, gx1 + 1)
+        for y in range(gy0, gy1 + 1)
+    )
+    assert covered == pytest.approx(full, rel=1e-9, abs=1e-12)
