@@ -45,9 +45,25 @@ def test_revenue_by_region_broadcasts_dims(spark):
 
 
 def test_tile_assign_is_shuffle_free(spark):
+    # family row = assign UNION expire (J6d fold): the ONLY exchange allowed
+    # is the expiry distinct hash-agg, which by design shuffles (x, y) tile
+    # ids — never point payloads; the whole family stays JVM-only
     p = plan_of(registry.queries()["tile_assign_z8"](spark, SF))
-    assert "Exchange" not in p  # pure codegen'd projection
+    assert n_exchanges(p) == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # JVM-only
+    # the per-point assign projection alone is pure codegen — zero shuffles
+    from imposm2_spark.functions import spatial
+    from pyspark.sql import functions as F
+
+    pts = testdata.derived_points(spark, SF)
+    pa = plan_of(
+        pts.select(
+            "doc_id",
+            spatial.tile_x(F.col("lon"), 8).alias("x"),
+            spatial.tile_y(F.col("lat"), 8).alias("y"),
+        )
+    )
+    assert "Exchange" not in pa
 
 
 def test_pip_join_broadcasts_polygons_no_point_shuffle(spark):
