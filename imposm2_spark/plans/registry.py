@@ -22,7 +22,14 @@ from ..functions import spatial
 from . import golden
 from ..operators.pip import pip_join
 from ..sources import fixtures, testdata
-from ..sources.testdata import PTS_DENSE_SQL, PTS_SQL, derived_points, derived_points_dense, load
+from ..sources.testdata import (
+    PTS_DENSE_SQL,
+    PTS_SQL,
+    SEGS_SQL,
+    derived_points,
+    derived_points_dense,
+    load,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1283,24 +1290,20 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
 
-_MINHASH_ORACLE = f"""
-WITH {_MINHASH_CTES}
-SELECT doc_a, doc_b,
-  round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
-        / len(list_distinct(list_concat(sa, sb))), 9) AS jaccard
-FROM cand
-WHERE round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
-        / len(list_distinct(list_concat(sa, sb))), 9) >= 0.5
-"""
-
-# Connected components over the verified pair graph: the oracle computes the
-# transitive closure with a recursive CTE (label of every reachable node,
-# then min per node) — an independent formulation of the engine's iterative
-# min-label propagation.
-_MINHASH_CLUSTERS_ORACLE = f"""
+# MinHash-LSH near-dup PAIRS + their connected-component CLUSTERS in one
+# variant-family row (r5 window consolidation freeing the slot
+# merge_lines_roads occupies). variant='pairs': (a, b) = verified near-dup
+# pair + exact jaccard; variant='clusters': (a, b) = (doc_id, cluster_id),
+# jaccard NULL. The cluster oracle computes the transitive closure with a
+# recursive CTE (label of every reachable node, then min per node) — an
+# independent formulation of the engine's iterative min-label propagation.
+_MINHASH_FAMILY_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_CTES},
 vpairs AS (
-  SELECT doc_a, doc_b FROM cand
+  SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
+          / len(list_distinct(list_concat(sa, sb))), 9) AS jaccard
+  FROM cand
   WHERE round(CAST(len(list_intersect(list_distinct(sa), list_distinct(sb))) AS DOUBLE)
         / len(list_distinct(list_concat(sa, sb))), 9) >= 0.5
 ),
@@ -1313,16 +1316,41 @@ cc AS (
   UNION
   SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id
 )
-SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id FROM cc GROUP BY id
+SELECT 'pairs' AS variant, doc_a AS a, doc_b AS b, jaccard FROM vpairs
+UNION ALL
+SELECT 'clusters' AS variant, id AS a, CAST(min(lbl) AS BIGINT) AS b,
+       CAST(NULL AS DOUBLE) AS jaccard
+FROM cc GROUP BY id
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs
+@register("dedup_minhash_family", oracle=_MINHASH_FAMILY_ORACLE)
+def q_minhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 + T2b in one driver row (r5 fold of `dedup_minhash_lsh` +
+    `dedup_minhash_clusters`): the banded-LSH verified pair table and the
+    pointer-doubling connected-component clustering over it, both against
+    one recursive-CTE oracle."""
+    from ..operators.dedup import dedup_connected_components, minhash_lsh_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    # CC consumes `pairs` twice (symmetric union) and would persist it; the
+    # family row ALSO emits the pair rows themselves, so cache here once and
+    # let dedup_connected_components reuse the caller's cache
+    pairs = pairs.persist()
+    p = pairs.select(
+        F.lit("pairs").alias("variant"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        "jaccard",
+    )
+    c = dedup_connected_components(pairs).select(
+        F.lit("clusters").alias("variant"),
+        F.col("doc_id").alias("a"),
+        F.col("cluster_id").alias("b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return p.unionByName(c)
 
 
 @register(
@@ -1411,15 +1439,53 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_block_metrics(docs)
 
 
-@register("dedup_minhash_clusters", oracle=_MINHASH_CLUSTERS_ORACLE)
-def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative connected-components clustering of the verified near-dup
-    pairs (bounded min-label-propagation loop; oracle = recursive CTE)."""
-    from ..operators.dedup import dedup_connected_components, minhash_lsh_pairs
+# J11 linestring merge: components + rollups under a recursive-CTE
+# transitive-closure oracle over the deterministic street fixture; the
+# stitched geometry variant is pytest-golden (tests/test_lines.py).
+_MERGE_LINES_ORACLE = f"""
+WITH RECURSIVE segs AS ({SEGS_SQL}),
+lens AS (
+  SELECT seg_id, name,
+         CASE WHEN r <= 6 THEN sqrt((xm-x0)*(xm-x0) + (ym-y0)*(ym-y0))
+                              + sqrt((x1-xm)*(x1-xm) + (y1-ym)*(y1-ym))
+              ELSE sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) END AS len,
+         CAST(round(x0*1000) AS BIGINT) AS k0x, CAST(round(y0*1000) AS BIGINT) AS k0y,
+         CAST(round(x1*1000) AS BIGINT) AS k1x, CAST(round(y1*1000) AS BIGINT) AS k1y
+  FROM segs),
+ends AS (
+  SELECT name, seg_id, k0x AS kx, k0y AS ky FROM lens
+  UNION ALL SELECT name, seg_id, k1x, k1y FROM lens),
+deg AS (
+  SELECT name, kx, ky, count(*) AS d, min(seg_id) AS a, max(seg_id) AS b
+  FROM ends GROUP BY 1, 2, 3),
+pairs AS (SELECT DISTINCT a, b FROM deg WHERE d = 2 AND a <> b),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+cc AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id),
+lab AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
+comp AS (
+  SELECT l.seg_id, l.name, l.len, COALESCE(b.lbl, l.seg_id) AS merged_id
+  FROM lens l LEFT JOIN lab b ON l.seg_id = b.id)
+SELECT name, CAST(merged_id AS BIGINT) AS merged_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       round(CAST(sum(CAST(round(len, 9) AS DECIMAL(28,9))) AS DOUBLE), 4) AS total_len
+FROM comp GROUP BY 1, 2
+"""
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
-    return dedup_connected_components(pairs)
+
+@register("merge_lines_roads", oracle=_MERGE_LINES_ORACLE)
+def q_merge_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 attribute-group linestring merge (ST_LineMerge semantics —
+    degree-2 endpoint stitching, junctions break): component rollups over
+    the deterministic street fixture against a recursive-CTE transitive-
+    closure oracle."""
+    from ..operators.lines import merge_lines
+    from ..sources.testdata import derived_segments
+
+    segs = derived_segments(spark, sf_dir)
+    return merge_lines(segs, quantum=0.001)
 
 
 @register(

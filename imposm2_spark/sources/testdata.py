@@ -155,3 +155,66 @@ def synth_documents_web(
         F.col("text"),
         F.col("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Street-segment fixture (J11 merge_lines): a deterministic road network
+# derived from doc_id arithmetic so the DuckDB oracle reproduces it exactly
+# (same pattern as derived_points / PTS_SQL).
+#
+# Per doc_id d: street grp = d % N_STREETS, position seq = d div N_STREETS,
+# r = ((d * SEG_MIX) % 101) % 10 picks the segment kind
+# (mod a prime first: a plain % 10 of the product collapses to d % 10,
+# making every street all-chains or all-spurs):
+#   r <= 6  chain segment, 3 vertices  v(seq) -> m(seq) -> v(seq+1)
+#   r in {7,8}  spur, 2 vertices       v(seq) -> (x(seq), y(seq) + 77)
+#   r == 9  absent (gap -> the chain breaks into runs)
+# with v(s) = (100 s, 1000 grp + (s^2 % 7) * 10) shared EXACTLY between
+# consecutive chain segments, and m(s) a deterministic off-axis midpoint so
+# lengths are non-trivial. A spur's first vertex coincides with a chain
+# vertex, making that endpoint degree-3 — a junction the degree-2 stitch
+# rule must break at. All coordinates are integral doubles (exact in f64).
+# ---------------------------------------------------------------------------
+N_STREETS = 20
+SEG_MIX = 2_654_435_761  # Knuth multiplicative-hash constant
+
+
+def derived_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    grp = (d % N_STREETS).alias("grp")
+    base = docs.select(
+        d.alias("seg_id"),
+        grp,
+        F.expr(f"doc_id div {N_STREETS}").alias("seq"),
+        ((d * F.lit(SEG_MIX)) % 101 % 10).alias("r"),
+    ).where(F.col("r") <= 8)
+    s, g, r = F.col("seq"), F.col("grp"), F.col("r")
+    x0 = (s * 100.0).cast("double")
+    y0 = (g * 1000.0 + (s * s % 7) * 10.0).cast("double")
+    xm = (s * 100.0 + 50.0).cast("double")
+    ym = (g * 1000.0 + ((2 * s * s + 2 * s + 1) % 13) * 10.0).cast("double")
+    x1 = ((s + 1) * 100.0).cast("double")
+    y1 = (g * 1000.0 + ((s + 1) * (s + 1) % 7) * 10.0).cast("double")
+    return base.select(
+        "seg_id",
+        F.concat(F.lit("street_"), g.cast("string")).alias("name"),
+        F.when(r <= 6, F.array(x0, xm, x1)).otherwise(F.array(x0, x0)).alias("xs"),
+        F.when(r <= 6, F.array(y0, ym, y1)).otherwise(F.array(y0, y0 + 77.0)).alias("ys"),
+    )
+
+
+SEGS_SQL = f"""
+SELECT seg_id, 'street_' || grp AS name, r,
+       100.0 * seq AS x0, 1000.0 * grp + ((seq * seq) % 7) * 10.0 AS y0,
+       100.0 * seq + 50.0 AS xm,
+       1000.0 * grp + ((2 * seq * seq + 2 * seq + 1) % 13) * 10.0 AS ym,
+       CASE WHEN r <= 6 THEN 100.0 * (seq + 1) ELSE 100.0 * seq END AS x1,
+       CASE WHEN r <= 6 THEN 1000.0 * grp + (((seq + 1) * (seq + 1)) % 7) * 10.0
+            ELSE 1000.0 * grp + ((seq * seq) % 7) * 10.0 + 77.0 END AS y1
+FROM (
+  SELECT doc_id AS seg_id, doc_id % {N_STREETS} AS grp,
+         doc_id // {N_STREETS} AS seq, ((doc_id * {SEG_MIX}) % 101) % 10 AS r
+  FROM documents
+) WHERE r <= 8
+"""

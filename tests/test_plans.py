@@ -112,7 +112,7 @@ def test_minhash_lsh_band_shuffle_carries_no_arrays(spark):
     per-side verify joins (joined back by id for surviving candidates)."""
     import re
 
-    p = plan_of(registry.queries()["dedup_minhash_lsh"](spark, SF))
+    p = plan_of(registry.queries()["dedup_minhash_family"](spark, SF))
     # every shuffle Exchange's Input line must be array-free
     blocks = re.split(r"\n\(\d+\) ", p)
     for blk in blocks:
@@ -331,7 +331,7 @@ def test_mix_sources_broadcasts_rates_no_corpus_shuffle(spark):
     "name",
     [
         "curate_corpus",
-        "dedup_minhash_clusters",
+        "dedup_minhash_family",
         "import_pipeline_all_tables",
         "apply_osm_diff",
         "pack_sequences_512",
