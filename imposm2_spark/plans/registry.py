@@ -1003,29 +1003,8 @@ def _stop_in(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
 
 
-@register(
-    "text_token_counts",
-    # T10 + T11 in one driver row (r4 window consolidation: absorbs the old
-    # `text_fingerprint` — the rolling-hash fp rides the same per-doc scan)
-    oracle=f"""
-SELECT doc_id,
-       CASE WHEN len(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws,
-       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe,
-       {_CHASH_SQL.format(s='text')} AS fp
-FROM documents
-""",
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import text_analysis as ta
-
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        ta.token_count_ws(F.col("text")).alias("n_ws"),
-        ta.token_count_bpe(F.col("text")).alias("n_bpe"),
-        ta.fingerprint(F.col("text")).alias("fp"),
-    )
+# (T10/T11 registration folded into `text_stats_family` below — post-r5
+# window consolidation freeing the slot quality_classifier occupies.)
 
 
 from ..operators.curation import SAMPLE_A, SAMPLE_B, SAMPLE_P  # noqa: E402
@@ -1127,9 +1106,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_quality",
-    # float outputs rounded at 6 (not 9): round-at-9 can disagree by 1e-9
-    # between BigDecimal-HALF_UP (Spark) and x*1e9-based rounding (DuckDB)
+    "text_stats_family",
+    # T9 + T8 (variant='quality') and T10 + T11 (variant='tokens') in ONE
+    # family row — post-r5 fold of `text_quality` + `text_token_counts`
+    # (both pure in-row scans of documents; inapplicable columns are typed
+    # NULLs). float outputs rounded at 6 (not 9): round-at-9 can disagree
+    # by 1e-9 between BigDecimal-HALF_UP (Spark) and x*1e9-based rounding
+    # (DuckDB)
     oracle=f"""
 WITH t AS (SELECT doc_id, text, {_WS_TOKS_SQL} AS toks FROM documents),
 f AS (SELECT doc_id,
@@ -1146,7 +1129,7 @@ f AS (SELECT doc_id,
   len(list_filter(toks, x -> lower(x) IN ({_stop_in('fr')}))) AS h_fr,
   len(list_filter(toks, x -> lower(x) IN ({_stop_in('es')}))) AS h_es
 FROM t)
-SELECT doc_id, n_chars, n_tokens,
+SELECT 'quality' AS variant, doc_id, n_chars, n_tokens,
   round(r_alpha, 6) AS alpha_ratio, round(r_punct, 6) AS punct_ratio,
   round(r_stop, 6) AS stopword_ratio,
   round(greatest(0.0, least(1.0,
@@ -1157,19 +1140,36 @@ SELECT doc_id, n_chars, n_tokens,
     WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
     WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr'
     WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
-    ELSE 'und' END AS lang_pred
+    ELSE 'und' END AS lang_pred,
+  CAST(NULL AS BIGINT) AS n_ws, CAST(NULL AS BIGINT) AS n_bpe,
+  CAST(NULL AS BIGINT) AS fp
 FROM f
+UNION ALL
+SELECT 'tokens' AS variant, doc_id,
+  CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS BIGINT) AS n_tokens,
+  CAST(NULL AS DOUBLE) AS alpha_ratio, CAST(NULL AS DOUBLE) AS punct_ratio,
+  CAST(NULL AS DOUBLE) AS stopword_ratio, CAST(NULL AS DOUBLE) AS score,
+  CAST(NULL AS VARCHAR) AS lang_pred,
+  CASE WHEN len(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws,
+  len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe,
+  {_CHASH_SQL.format(s='text')} AS fp
+FROM documents
 """,
 )
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T9 + T8 in one driver row (r4 window consolidation: absorbs the old
-    `text_lang_id` — lang_pred comes off the same tokenizing scan the
-    quality features already run, one column wider, one slot cheaper)."""
+def q_text_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 + T8 (variant='quality'; the r4 fold already absorbed lang_id)
+    plus T10 + T11 (variant='tokens'; absorbs token counts + fingerprint)
+    in one driver row — post-r5 fold of `text_quality` +
+    `text_token_counts`."""
     from ..functions import text_analysis as ta
 
     docs = load(spark, sf_dir, "documents")
     feats = ta.quality_features(F.col("text"))
-    return docs.select(
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    quality = docs.select(
+        F.lit("quality").alias("variant"),
         "doc_id",
         feats["n_chars"].alias("n_chars"),
         feats["n_tokens"].alias("n_tokens"),
@@ -1178,6 +1178,84 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(ta.quality_score(F.col("text")), 6).alias("score"),
         ta.lang_id(F.col("text")).alias("lang_pred"),
+        nl.alias("n_ws"),
+        nl.alias("n_bpe"),
+        nl.alias("fp"),
+    )
+    tokens = docs.select(
+        F.lit("tokens").alias("variant"),
+        "doc_id",
+        nl.alias("n_chars"),
+        nl.alias("n_tokens"),
+        nd.alias("alpha_ratio"),
+        nd.alias("punct_ratio"),
+        nd.alias("stopword_ratio"),
+        nd.alias("score"),
+        F.lit(None).cast("string").alias("lang_pred"),
+        ta.token_count_ws(F.col("text")).alias("n_ws"),
+        ta.token_count_bpe(F.col("text")).alias("n_bpe"),
+        ta.fingerprint(F.col("text")).alias("fp"),
+    )
+    return quality.unionByName(tokens)
+
+
+# T31 linear quality-classifier scoring: frozen gram -> milli-weight table
+# (the offline-trained model stand-in), integer logit — both engines sum
+# BIGINTs, so the value hash is partition/engine-proof. The VALUES list is
+# built from the SAME dict the engine query passes (oracles-cannot-drift).
+_CLS_WEIGHTS = {
+    "the": 120, "a": 80, "fast": 200, "spark": 150, "vector": 90,
+    "window": 60, "data": 40, "query": 70, "stream": 50,
+    "the_fast": 250, "sort_merge": 180, "hash_scan": 160, "key_order": 140,
+    "slow": -220, "dup": -400, "big": -60,
+    "batch_batch": -500, "slow_slow": -350, "small_small": -300,
+    "join_join": -250, "dup_dup": -600, "slow_dup": -300,
+}
+_CLS_BIAS = -150
+_CLS_THRESHOLD = 0
+_CLS_VALUES = ", ".join(
+    f"('{g}', {w})" for g, w in sorted(_CLS_WEIGHTS.items())
+)
+
+_CLS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_concat(tk, list_transform(
+             generate_series(1, greatest(len(tk) - 1, 0)),
+             i -> tk[i] || '_' || tk[i + 1])) AS grams
+  FROM t),
+w(gram, wm) AS (VALUES {_CLS_VALUES}),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+s AS (
+  SELECT e.doc_id, CAST(sum(w.wm) AS BIGINT) AS wsum
+  FROM e JOIN w USING (gram) GROUP BY 1)
+SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.wsum, 0) + {_CLS_BIAS} AS BIGINT) AS logit_milli,
+       (COALESCE(s.wsum, 0) + {_CLS_BIAS} >= {_CLS_THRESHOLD}) AS keep
+FROM g LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("quality_classifier", oracle=_CLS_ORACLE)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31 hashed-feature linear classifier scoring (the CCNet/DCLM/FineWeb
+    quality-gate shape): unigram+bigram bag, frozen integer milli-weights,
+    BIGINT logit + keep flag. Default inline plan — one zero-shuffle
+    codegen scan (plan-locked); inline == broadcast-join plan pytest-pinned
+    in tests/test_classify.py."""
+    from ..functions.classify import score_quality
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_quality(
+        docs,
+        _CLS_WEIGHTS,
+        bias_milli=_CLS_BIAS,
+        threshold_milli=_CLS_THRESHOLD,
     )
 
 

@@ -195,7 +195,7 @@ def test_mapping_route_uses_broadcast(spark):
 
 def test_text_ops_stay_jvm_side(spark):
     # text analysis + dedup hashing must not cross the Python boundary
-    for name in ("text_token_counts", "text_quality", "text_repetition",
+    for name in ("text_stats_family", "quality_classifier", "text_repetition",
                  "dedup_simhash_clusters"):
         p = plan_of(registry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
