@@ -305,22 +305,91 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window top-k (W3): top-3 events per user, deterministic tiebreak.
 # ---------------------------------------------------------------------------
 @register(
-    "topk_events_per_user",
+    "events_window_family",
+    # W3 top-k (variant='topk') + W-class sessionization (variant='sessions')
+    # in ONE family row — post-r5 fold of `topk_events_per_user` +
+    # `events_sessionize` (both keyed windows over the events scan),
+    # freeing the slot bloom_dedup_probe (T32) occupies.
     oracle="""
-SELECT user_id, event_id, value, rn FROM (
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM gaps
+)
+SELECT 'topk' AS variant, user_id, event_id, value, rn,
+       CAST(NULL AS BIGINT) AS session_no, CAST(NULL AS BIGINT) AS n_events,
+       CAST(NULL AS TIMESTAMP) AS session_start,
+       CAST(NULL AS TIMESTAMP) AS session_end
+FROM (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
   FROM events) t
 WHERE rn <= 3
+UNION ALL
+SELECT 'sessions' AS variant, user_id, CAST(NULL AS BIGINT) AS event_id,
+       CAST(NULL AS DOUBLE) AS value, CAST(NULL AS INTEGER) AS rn,
+       session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_no
 """,
 )
-def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
-    return (
-        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+    wt = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    ts_type = ev.schema["ts"].dataType
+    nts = F.lit(None).cast(ts_type)
+    topk = (
+        ev.select("user_id", "event_id", "value", F.row_number().over(wt).alias("rn"))
         .where(F.col("rn") <= 3)
+        .select(
+            F.lit("topk").alias("variant"),
+            "user_id",
+            "event_id",
+            "value",
+            "rn",
+            F.lit(None).cast("long").alias("session_no"),
+            F.lit(None).cast("long").alias("n_events"),
+            nts.alias("session_start"),
+            nts.alias("session_end"),
+        )
     )
+    ws = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("ts") - F.lag("ts").over(ws) <= F.expr("INTERVAL 30 MINUTES"),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_sess"),
+    )
+    sess = gaps.withColumn(
+        "session_no", F.sum("new_sess").over(ws.rowsBetween(W.unboundedPreceding, 0))
+    )
+    sessions = sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    ).select(
+        F.lit("sessions").alias("variant"),
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("int").alias("rn"),
+        "session_no",
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+    return topk.unionByName(sessions)
 
 
 # ---------------------------------------------------------------------------
@@ -822,6 +891,11 @@ from ..functions.text_analysis import (  # noqa: E402
     LANG_STOPWORDS,
 )
 from ..operators.dedup import _COMBINE, MINHASH_P, PERMS  # noqa: E402
+from ..operators.bloom import BLOOM_A, BLOOM_B  # noqa: E402
+from ..functions.text_analysis import CHAR_MOD  # noqa: E402
+
+BLOOM_N_BITS = 1 << 17
+
 
 _CHASH_SQL = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -2338,46 +2412,56 @@ def q_mapping_pseudoarea(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of user inactivity — lag + conditional cumsum over an event-time window.
 # ---------------------------------------------------------------------------
 @register(
-    "events_sessionize",
-    oracle="""
-WITH gaps AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, event_id, ts,
-         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
-  FROM gaps
-)
-SELECT user_id, session_no, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
-FROM sess GROUP BY user_id, session_no
+    "bloom_dedup_probe",
+    # T32: the filter is deterministic, so the DuckDB oracle rebuilds it
+    # bit-for-bit (the T28 approximate-under-a-hard-oracle discipline):
+    # history = even docs; probe = odd docs + planted copies of the even
+    # texts (id + 1e9) which MUST flag maybe_member (no false negatives).
+    oracle=f"""
+WITH hist AS (
+  SELECT {_CHASH_SQL.format(s='text')} AS h FROM documents WHERE doc_id % 2 = 0),
+probe AS (
+  SELECT doc_id, {_CHASH_SQL.format(s='text')} AS h FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, {_CHASH_SQL.format(s='text')} AS h
+  FROM documents WHERE doc_id % 2 = 0),
+hpos AS (
+  {" UNION ALL ".join(
+      f"SELECT ((h * {a} + {b}) % {CHAR_MOD}) % {BLOOM_N_BITS} AS pos FROM hist"
+      for a, b in zip(BLOOM_A, BLOOM_B))}),
+bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM hpos GROUP BY 1),
+ppos AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, ((h * {a} + {b}) % {CHAR_MOD}) % {BLOOM_N_BITS} AS pos FROM probe"
+      for a, b in zip(BLOOM_A, BLOOM_B))}),
+hits AS (
+  SELECT p.doc_id,
+         CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER)))
+                       = (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos p LEFT JOIN bloom b ON p.pos // 32 = b.word)
+SELECT doc_id, (sum(hit) = {len(BLOOM_A)}) AS maybe_member
+FROM hits GROUP BY doc_id
 """,
 )
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(
-            F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL 30 MINUTES"),
-            0,
-        )
-        .otherwise(1)
-        .alias("new_sess"),
+def q_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32 Bloom-filter membership probe (incremental-crawl dedup without
+    joining the history): filter built over the even-doc half, probed by
+    the odd half plus planted exact copies of the even texts — copies must
+    flag, false positives are deterministic and oracle-reproduced."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    probe = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        hist.select((F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text")
     )
-    sess = gaps.withColumn(
-        "session_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
-    return sess.groupBy("user_id", "session_no").agg(
-        F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-    )
+    bloom = bloom_build(hist, n_bits=BLOOM_N_BITS)
+    return bloom_probe(probe, bloom, n_bits=BLOOM_N_BITS)
 
 
 # ---------------------------------------------------------------------------

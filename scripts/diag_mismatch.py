@@ -53,4 +53,4 @@ def main(names):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["events_json_agg", "events_sessionize", "curate_corpus"])
+    main(sys.argv[1:] or ["events_time_json_family", "events_window_family", "curate_corpus"])
