@@ -45,8 +45,11 @@ MAX_INLINE_WEIGHTS = 4096
 
 
 def _tokens(text_col: Column) -> Column:
+    # null text scores like empty text (bias only) instead of nulling the
+    # whole row through the fold
     return F.filter(
-        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda x: x != ""
+        F.split(F.trim(F.lower(F.coalesce(text_col, F.lit("")))), r"\s+"),
+        lambda x: x != "",
     )
 
 

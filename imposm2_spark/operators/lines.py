@@ -241,11 +241,21 @@ def merge_line_geometries(
             )
             for x, y in zip(pdf["_xs"], pdf["_ys"])
         ]
-        closed, chains, _dropped = krings.merge_fragments(ways)
+        closed, chains, dropped = krings.merge_fragments(ways)
+        pieces = len(closed) + len(chains)
+        if pieces == 0 and dropped:
+            # every fragment degenerate (<2 distinct points): no valid
+            # linestring to emit (G2 semantics). The ROLLUP path still
+            # counts such components — geometry is geometry, rollups are
+            # bookkeeping (tests pin both behaviors)
+            # object dtype: an empty float64 ndarray column fails Arrow's
+            # list<double> conversion; empty object columns convert to any
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in
+                                 gcols + ["merged_id", "n_segments",
+                                          "closed", "xs", "ys"]})
         # degree-2 components stitch to exactly one piece; quantum-level
         # float jitter (keys matched, raw coords differ) could leave more —
         # surface that loudly instead of emitting a broken geometry
-        pieces = len(closed) + len(chains)
         if pieces != 1:
             raise ValueError(
                 f"component {key} stitched to {pieces} pieces (expected 1): "

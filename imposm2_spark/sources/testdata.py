@@ -180,7 +180,13 @@ SEG_MIX = 2_654_435_761  # Knuth multiplicative-hash constant
 
 
 def derived_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return segments_from_docs(load(spark, sf_dir, "documents").select("doc_id"))
+
+
+def segments_from_docs(docs: DataFrame) -> DataFrame:
+    """Segment synthesis over ANY (doc_id) frame — the XL rehearsal fans the
+    id space out first; replica blocks (+rep*1e6) form their own far-apart
+    street runs since seq/grp arithmetic is pure id math."""
     d = F.col("doc_id")
     grp = (d % N_STREETS).alias("grp")
     base = docs.select(

@@ -100,3 +100,9 @@ def test_grams_expr_shapes(spark):
         .collect()
     )
     assert [r.g for r in got] == [["a", "b", "c", "a_b", "b_c"], [], ["x"]]
+
+
+def test_null_text_scores_bias_only(spark):
+    docs = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r = score_quality(docs, W, bias_milli=-5).collect()[0]
+    assert (r.n_grams, r.logit_milli, r.keep) == (0, -5, False)

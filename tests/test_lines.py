@@ -132,3 +132,12 @@ def test_rollup_matches_geometry_components(spark):
     a = sorted((r.name, r.merged_id, r.n_segments) for r in roll.collect())
     b = sorted((r.name, r.merged_id, r.n_segments) for r in geo.collect())
     assert a == b
+
+
+def test_degenerate_segment_rollup_vs_geometry(spark):
+    # a <2-distinct-point segment: no valid linestring (G2), so the
+    # geometry path emits nothing; the rollup path still counts it
+    rows = [(7, "z", [5.0, 5.0], [3.0, 3.0])]
+    roll = merge_lines(_df(spark, rows)).collect()
+    assert [(r.merged_id, r.n_segments, r.total_len) for r in roll] == [(7, 1, 0.0)]
+    assert merge_line_geometries(_df(spark, rows)).count() == 0
