@@ -80,19 +80,39 @@ def score_quality(
     bias_milli: int = 0,
     threshold_milli: int = 0,
     max_inline_weights: int = MAX_INLINE_WEIGHTS,
+    engine: str = "inline",
 ) -> DataFrame:
     """Score every document: (id cols..., n_grams, logit_milli, keep).
 
-    weights: {gram: milli-weight} dict (inline plan when it fits, else
-    converted) or a DataFrame(gram string, weight_milli long) — always the
-    broadcast-join plan. logit_milli = bias + sum(matched weights), BIGINT;
-    keep = logit_milli >= threshold_milli. Repeated grams count once per
-    occurrence (bag semantics, like fastText's sum over input features).
+    weights: {gram: milli-weight} dict or a DataFrame(gram string,
+    weight_milli long) — a DataFrame always takes the broadcast-join plan.
+    logit_milli = bias + sum(matched weights), BIGINT; keep = logit_milli
+    >= threshold_milli. Repeated grams count once per occurrence (bag
+    semantics, like fastText's sum over input features).
+
+    engine (dict weights only):
+      * 'inline' — literal-map bound-HOF fold, zero shuffles, pure JVM.
+        The interpreted fold costs ~O(grams x vocab) comparisons per doc
+        (map literals linear-scan in interpreted mode).
+      * 'arrow'  — batched mapInPandas kernel: C-level dict lookups per
+        gram, the 10^12-doc configuration (same successor pattern as the
+        T23 repetition kernel). Tokenization uses an ASCII \\s+ split +
+        lower() matching the JVM expression byte-for-byte on ASCII text
+        (the frozen corpus contract; inline == arrow is differential-
+        fuzzed in tests/test_classify.py). Integer sums -> bit-identical.
+      Vocabularies over `max_inline_weights` fall back to the join plan
+      under 'inline'; 'arrow' handles any dict size.
     """
     ids = [F.col(c) for c in id_cols]
     grams = grams_expr(F.col(text_col))
 
     if isinstance(weights, dict):
+        if engine == "arrow":
+            return _score_arrow(
+                docs, weights, id_cols, text_col, bias_milli, threshold_milli
+            )
+        if engine != "inline":
+            raise ValueError(f"unknown engine {engine!r}; use 'inline' or 'arrow'")
         if len(weights) <= max_inline_weights:
             return _score_inline(
                 docs, weights, ids, grams, bias_milli, threshold_milli
@@ -102,6 +122,49 @@ def score_quality(
             sorted(weights.items()), "gram string, weight_milli long"
         )
     return _score_join(docs, weights, ids, id_cols, grams, bias_milli, threshold_milli)
+
+
+def _score_arrow(docs, weights, id_cols, text_col, bias_milli, threshold_milli):
+    import re
+
+    id_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in docs.schema
+        if f.name in id_cols
+    )
+    out_schema = f"{id_schema}, n_grams long, logit_milli long, keep boolean"
+    w = dict(weights)
+    bias, thr = int(bias_milli), int(threshold_milli)
+    # ASCII split mirrors the JVM regex (Java \s is ASCII-only; Python's
+    # default is unicode-aware — re.ASCII pins them equal)
+    ws_re = re.compile(r"\s+", re.ASCII)
+    cols = list(id_cols)
+
+    def score_batches(batches):
+        import pandas as pd
+
+        get = w.get
+        for pdf in batches:
+            texts = pdf[text_col]
+            n_grams, logits = [], []
+            for t in texts:
+                toks = [x for x in ws_re.split((t or "").strip().lower()) if x]
+                s = sum(get(tk, 0) for tk in toks)
+                n = len(toks)
+                if n > 1:
+                    s += sum(
+                        get(a + "_" + b, 0) for a, b in zip(toks, toks[1:])
+                    )
+                    n += n - 1
+                n_grams.append(n)
+                logits.append(s + bias)
+            out = pdf[cols].copy()
+            out["n_grams"] = pd.Series(n_grams, dtype="int64", index=pdf.index)
+            out["logit_milli"] = pd.Series(logits, dtype="int64", index=pdf.index)
+            out["keep"] = out["logit_milli"] >= thr
+            yield out
+
+    return docs.mapInPandas(score_batches, out_schema)
 
 
 def _score_inline(docs, weights, ids, grams, bias_milli, threshold_milli):

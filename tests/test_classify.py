@@ -106,3 +106,42 @@ def test_null_text_scores_bias_only(spark):
     docs = spark.createDataFrame([(9, None)], "doc_id long, text string")
     r = score_quality(docs, W, bias_milli=-5).collect()[0]
     assert (r.n_grams, r.logit_milli, r.keep) == (0, -5, False)
+
+
+def test_arrow_engine_equals_inline(spark):
+    got_i = _rows(score_quality(_docs(spark), W, bias_milli=-50))
+    got_a = _rows(score_quality(_docs(spark), W, bias_milli=-50, engine="arrow"))
+    assert got_i == got_a
+
+
+def test_arrow_engine_fuzz_corpus_and_random(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = list(W) + ["zz", "q q", "the fast", "x"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+        for i in range(200)
+    ] + [(900, None), (901, ""), (902, "  \t the   fast \n dup dup ")]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    a = _rows(score_quality(docs, W, bias_milli=3, threshold_milli=100))
+    b = _rows(
+        score_quality(docs, W, bias_milli=3, threshold_milli=100, engine="arrow")
+    )
+    assert a == b
+    # and on the real sf corpus
+    from imposm2_spark.sources.testdata import load
+
+    corpus = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ca = _rows(score_quality(corpus, W))
+    cb = _rows(score_quality(corpus, W, engine="arrow"))
+    assert ca == cb
+
+
+def test_unknown_engine_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown engine"):
+        score_quality(_docs(spark), W, engine="nope")
