@@ -1500,15 +1500,22 @@ def q_minhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     # CC consumes `pairs` twice (symmetric union) and would persist it; the
     # family row ALSO emits the pair rows themselves, so cache here once and
-    # let dedup_connected_components reuse the caller's cache
+    # let dedup_connected_components reuse the caller's cache. The labels CC
+    # returns are checkpoint-CUT (LogicalRDD leaf — no lineage back into
+    # pairs), so the cache can be released immediately after the loop: the
+    # 'pairs' branch then recomputes the LSH chain once at materialization
+    # instead of leaking a cached frame nobody owns (a registry row has no
+    # caller to unpersist; the knn-style caller-owns contract doesn't fit)
     pairs = pairs.persist()
+    labels = dedup_connected_components(pairs)
+    pairs.unpersist()
     p = pairs.select(
         F.lit("pairs").alias("variant"),
         F.col("doc_a").alias("a"),
         F.col("doc_b").alias("b"),
         "jaccard",
     )
-    c = dedup_connected_components(pairs).select(
+    c = labels.select(
         F.lit("clusters").alias("variant"),
         F.col("doc_id").alias("a"),
         F.col("cluster_id").alias("b"),

@@ -335,6 +335,8 @@ def test_mix_sources_broadcasts_rates_no_corpus_shuffle(spark):
         "import_pipeline_all_tables",
         "apply_osm_diff",
         "pack_sequences_512",
+        "merge_lines_roads",
+        "bloom_dedup_probe",
     ],
 )
 def test_partition_invariance_shuffle_heavy(spark, name):
