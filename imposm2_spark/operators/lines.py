@@ -62,7 +62,9 @@ DEFAULT_QUANTUM = 1e-7
 
 def _seg_length(xs, ys):
     """Sequential fold of per-edge euclidean lengths (see module docstring)."""
-    n = F.size(xs) - 1
+    # greatest(.., 0): an EMPTY coords array would pass slice a -1 length,
+    # which raises; empty/1-point segments fold to length 0 instead
+    n = F.greatest(F.size(xs) - 1, F.lit(0))
     dxs = F.zip_with(F.slice(xs, 2, n), F.slice(xs, 1, n), lambda a, b: a - b)
     dys = F.zip_with(F.slice(ys, 2, n), F.slice(ys, 1, n), lambda a, b: a - b)
     dists = F.zip_with(dxs, dys, lambda dx, dy: F.sqrt(dx * dx + dy * dy))
@@ -87,11 +89,17 @@ def stitch_pairs(
     gcols = [F.col(c) for c in group_cols]
 
     def _ends(pos: int) -> DataFrame:
+        # try_element_at: ANSI mode makes plain element_at THROW on an
+        # empty coords array; null keys never form pairs (a==b or deg!=2)
         return segments.select(
             *gcols,
             F.col(id_col).alias("_seg"),
-            F.round(F.element_at(F.col(xs_col), pos) * inv).cast("long").alias("kx"),
-            F.round(F.element_at(F.col(ys_col), pos) * inv).cast("long").alias("ky"),
+            F.round(F.try_element_at(F.col(xs_col), F.lit(pos)) * inv)
+            .cast("long")
+            .alias("kx"),
+            F.round(F.try_element_at(F.col(ys_col), F.lit(pos)) * inv)
+            .cast("long")
+            .alias("ky"),
         )
 
     ends = _ends(1).unionByName(_ends(-1))

@@ -141,3 +141,10 @@ def test_degenerate_segment_rollup_vs_geometry(spark):
     roll = merge_lines(_df(spark, rows)).collect()
     assert [(r.merged_id, r.n_segments, r.total_len) for r in roll] == [(7, 1, 0.0)]
     assert merge_line_geometries(_df(spark, rows)).count() == 0
+
+
+def test_empty_coords_segment_safe(spark):
+    # empty coordinate arrays must not crash the length fold (slice guard)
+    rows = [(1, "e", [], []), (2, "e", [0.0, 1.0], [0.0, 0.0])]
+    got = {r.merged_id: r.total_len for r in merge_lines(_df(spark, rows)).collect()}
+    assert got == {1: 0.0, 2: 1.0}

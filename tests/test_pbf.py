@@ -1,0 +1,150 @@
+"""S1 literal form: OSM PBF wire codec + block-parallel Spark scan.
+
+Three layers of evidence: (1) encode->decode round-trip over a synthetic
+extract (ids/coords/tags/refs/members exact); (2) a blob HAND-ASSEMBLED
+byte-by-byte from the published wire spec — independent of the encoder, so
+a field-number or zigzag mistake made consistently in both codec halves
+still fails; (3) read_pbf -> DataFrames -> the real import pipeline runs
+end-to-end on a .pbf-born fixture.
+"""
+
+from __future__ import annotations
+
+from imposm2_spark.kernels import pbf as k
+
+
+def _extract():
+    nodes = [
+        k.PbfNode(
+            i,
+            round(-180 + i * 0.0001, 4),
+            round(-85 + i * 0.0001, 4),
+            {"name": f"n{i}"} if i % 3 == 0 else {},
+        )
+        for i in range(1, 501)
+    ]
+    ways = [
+        k.PbfWay(10_000 + i, list(range(1, (i % 5) + 3)), {"highway": "primary"})
+        for i in range(60)
+    ]
+    rels = [
+        k.PbfRelation(
+            50_000 + i,
+            [("way", 10_000 + i, "outer"), ("way", 10_001 + i, "inner"), ("node", 5, "")],
+            {"type": "multipolygon"},
+        )
+        for i in range(20)
+    ]
+    return nodes, ways, rels
+
+
+def test_roundtrip_exact(tmp_path):
+    nodes, ways, rels = _extract()
+    path = str(tmp_path / "x.osm.pbf")
+    n_blobs = k.encode_file(path, nodes, ways, rels, block_elements=128)
+    rn, rw, rr = k.decode_file(path)
+    assert n_blobs == 1 + 4 + 1 + 1  # header + ceil(500/128) + ways + rels
+    assert [(n.id, n.tags) for n in rn] == [(n.id, n.tags) for n in nodes]
+    # 1e-4-degree grid coords are exact multiples of the granularity
+    assert [(n.lon, n.lat) for n in rn] == [(n.lon, n.lat) for n in nodes]
+    assert [(w.id, w.refs, w.tags) for w in rw] == [(w.id, w.refs, w.tags) for w in ways]
+    assert [(r.id, r.members, r.tags) for r in rr] == [
+        (r.id, r.members, r.tags) for r in rels
+    ]
+
+
+def test_scan_ranges_headers_only(tmp_path):
+    nodes, ways, rels = _extract()
+    path = str(tmp_path / "x.osm.pbf")
+    k.encode_file(path, nodes, ways, rels, block_elements=128)
+    ranges = k.scan_blob_ranges(path)
+    assert [t for _, _, t in ranges][0] == "OSMHeader"
+    assert all(t == "OSMData" for _, _, t in ranges[1:])
+    # ranges tile the file: each blob starts where the previous frame ended
+    import os
+
+    last_off, last_len, _ = ranges[-1]
+    assert last_off + last_len == os.path.getsize(path)
+
+
+def test_hand_assembled_wire_bytes_decode():
+    # PrimitiveBlock built byte-by-byte from the published spec:
+    # stringtable ["", "amenity", "pub"]; DenseNodes ids [10,12],
+    # lat raw [1000,-1000], lon raw [2000,3000] (granularity 100),
+    # keys_vals [1,2,0, 0] (node 10 tagged amenity=pub; node 12 bare)
+    st = bytes.fromhex("0a000a07616d656e6974790a03707562")
+    dense = (
+        bytes.fromhex("0a021404")          # 1: packed zigzag deltas [20, 4]
+        + bytes.fromhex("4204d00f9f1f")    # 8: lat deltas zz [2000, 3999]
+        + bytes.fromhex("4a04a01fd00f")    # 9: lon deltas zz [4000, 2000]
+        + bytes.fromhex("520401020000")    # 10: keys_vals
+    )
+    group = bytes([0x12, len(dense)]) + dense
+    block = (
+        bytes([0x0A, len(st)]) + st
+        + bytes([0x12, len(group)]) + group
+        + bytes.fromhex("880164")          # 17: granularity = 100
+    )
+    blob = bytes([0x0A, len(block)]) + block  # Blob.raw (uncompressed)
+    nodes, ways, rels = k.decode_blob(blob)
+    assert not ways and not rels
+    assert [(n.id, n.lon, n.lat, n.tags) for n in nodes] == [
+        (10, 0.0002, 0.0001, {"amenity": "pub"}),
+        (12, 0.0003, -0.0001, {}),
+    ]
+
+
+def test_read_pbf_dataframes(spark, tmp_path):
+    from imposm2_spark.sources.pbf import read_pbf
+
+    nodes, ways, rels = _extract()
+    path = str(tmp_path / "x.osm.pbf")
+    k.encode_file(path, nodes, ways, rels, block_elements=128)
+    dfs = read_pbf(spark, path)
+    assert dfs["nodes"].count() == 500
+    got_w = {
+        r.id: (list(r.refs), dict(r.tags)) for r in dfs["ways"].collect()
+    }
+    assert got_w[10_001] == ([1, 2, 3], {"highway": "primary"})
+    m = sorted(
+        (mm.type, mm.ref, mm.role)
+        for r in dfs["relations"].collect()
+        if r.id == 50_000
+        for mm in r.members
+    )
+    assert m == [("node", 5, ""), ("way", 10_000, "outer"), ("way", 10_001, "inner")]
+
+
+def test_pbf_feeds_import_pipeline(spark, tmp_path):
+    # the multipolygon parity fixture written as a real .osm.pbf, read back
+    # via the byte-level scan, and pushed through the actual import
+    # pipeline — output must match the createDataFrame-born fixture exactly
+    from imposm2_spark.operators import defaultmapping as dm
+    from imposm2_spark.plans.import_pipeline import import_tables
+    from imposm2_spark.sources import fixtures
+    from imposm2_spark.sources.pbf import read_pbf
+
+    nrows, wrows, rrows = fixtures.make_osm_fixture()
+    nodes = [k.PbfNode(i, lon, lat, dict(t)) for i, lon, lat, t in nrows]
+    ways = [k.PbfWay(i, list(refs), dict(t)) for i, refs, t in wrows]
+    rels = [
+        k.PbfRelation(i, [(t, ref, role) for ref, t, role in members], dict(tags))
+        for i, members, tags in rrows
+    ]
+    path = str(tmp_path / "fixture.osm.pbf")
+    k.encode_file(path, nodes, ways, rels)
+    dfs = read_pbf(spark, path)
+    direct = fixtures.osm_dfs(spark)
+
+    def rows(out):
+        return sorted(
+            (r.id, r.name, r.type, round(r.area, 9)) for r in out.collect()
+        )
+
+    a = rows(
+        import_tables(
+            spark, dfs["nodes"], dfs["ways"], dfs["relations"], [dm.LANDUSAGES]
+        )["landusages"]
+    )
+    b = rows(import_tables(spark, *direct, [dm.LANDUSAGES])["landusages"])
+    assert a == b and len(a) > 0
