@@ -148,3 +148,54 @@ def test_pbf_feeds_import_pipeline(spark, tmp_path):
     )
     b = rows(import_tables(spark, *direct, [dm.LANDUSAGES])["landusages"])
     assert a == b and len(a) > 0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _tag_text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+    )
+    _tags = st.dictionaries(_tag_text.filter(bool), _tag_text, max_size=3)
+    _coord = st.integers(-1_800_000_000, 1_800_000_000)  # nano-degrees/100
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 2**40), _coord, _coord, _tags),
+            max_size=25,
+            unique_by=lambda t: t[0],
+        ),
+        st.lists(
+            st.tuples(
+                st.integers(1, 2**40),
+                st.lists(st.integers(-(2**40), 2**40), max_size=6),
+                _tags,
+            ),
+            max_size=8,
+            unique_by=lambda t: t[0],
+        ),
+    )
+    def test_codec_roundtrip_fuzz(tmp_path_factory, node_rows, way_rows):
+        # ids up to 2^40, negative refs, unicode tags, negative coords —
+        # the encode->decode loop must be the identity on the grid
+        nodes = [
+            k.PbfNode(i, lon / 1e7, lat / 1e7, dict(t))
+            for i, lon, lat, t in node_rows
+        ]
+        ways = [k.PbfWay(i, list(refs), dict(t)) for i, refs, t in way_rows]
+        path = str(tmp_path_factory.mktemp("pbf") / "f.osm.pbf")
+        k.encode_file(path, nodes, ways, [], block_elements=7)
+        rn, rw, _ = k.decode_file(path)
+        assert [(n.id, n.tags) for n in rn] == [(n.id, n.tags) for n in nodes]
+        for a, b in zip(nodes, rn):
+            assert abs(a.lon - b.lon) < 5e-8 and abs(a.lat - b.lat) < 5e-8
+        assert [(w.id, w.refs, w.tags) for w in rw] == [
+            (w.id, w.refs, w.tags) for w in ways
+        ]
