@@ -144,6 +144,12 @@ def merge_lines(
     Returns (group cols..., merged_id = min member seg id, n_segments,
     total_len = round(sum(round(len_i, 9)), 4) — DECIMAL-summed, so the
     value is independent of partitioning and member order).
+
+    Execution contract (same as the kNN ring loop): the connected-component
+    label loop runs AT CALL TIME (a bounded driver-side plan loop whose
+    per-round state is checkpointed; data never reaches the driver). The
+    returned frame is lazy downstream of the checkpointed labels and owns
+    no caches — safe to materialize any number of times.
     """
     pairs = stitch_pairs(
         segments,
