@@ -41,7 +41,13 @@ def _open(path: str):
 def _iter_elements(path: str):
     """Yield ('node'|'way'|'relation', dict) streaming; bounded memory."""
     with _open(path) as f:
-        for _ev, el in ET.iterparse(f, events=("end",)):
+        root = None
+        n_done = 0
+        for ev, el in ET.iterparse(f, events=("start", "end")):
+            if ev == "start":
+                if root is None:
+                    root = el
+                continue
             tag = el.tag
             if tag == "node":
                 yield tag, {
@@ -72,7 +78,14 @@ def _iter_elements(path: str):
                 }
             else:
                 continue
+            # el.clear() alone is NOT bounded memory: the root keeps a
+            # reference per (cleared) child — the classic iterparse leak,
+            # gigabytes of empty Element objects on a planet file. Trim the
+            # root's child list periodically as well.
             el.clear()
+            n_done += 1
+            if root is not None and n_done % 10_000 == 0:
+                del root[:]
 
 
 def read_osm_xml(

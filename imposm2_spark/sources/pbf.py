@@ -38,10 +38,14 @@ def read_pbf(
 ) -> dict[str, DataFrame]:
     """{'nodes': df, 'ways': df, 'relations': df} from one .osm.pbf file.
 
-    All three frames share one ranges scan but decode lazily and
-    independently (each output filters the blob set it needs — Catalyst
-    prunes nothing inside an opaque decode, so the filter happens on the
-    tiny ranges frame, not on decoded rows).
+    Each frame is lazy, and each decodes EVERY blob when materialized (the
+    container gives no per-kind index without reading payloads), so
+    consuming all three directly costs three decode passes. The intended
+    flow for multi-kind consumption is the reference's own: decode once
+    into the element checkpoint (S4 — `plans.checkpoint` write of the
+    three frames), then every downstream stage reads columnar parquet.
+    For single-kind scans (e.g. node extraction) the direct frame is
+    already optimal.
     """
     ranges = [
         (off, ln)
