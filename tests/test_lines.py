@@ -148,3 +148,45 @@ def test_empty_coords_segment_safe(spark):
     rows = [(1, "e", [], []), (2, "e", [0.0, 1.0], [0.0, 0.0])]
     got = {r.merged_id: r.total_len for r in merge_lines(_df(spark, rows)).collect()}
     assert got == {1: 0.0, 2: 1.0}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 1),                # group
+                st.integers(0, 5), st.integers(0, 5),   # start vertex
+                st.integers(0, 5), st.integers(0, 5),   # end vertex
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_rollup_conservation_fuzz(spark, segs):
+        # random small street graphs on an integer grid: the rollup must
+        # conserve segment count and total length exactly, merged ids must
+        # be member minima, and no component may span groups
+        rows = [
+            (i, f"g{g}", [float(x0), float(x1)], [float(y0), float(y1)])
+            for i, (g, x0, y0, x1, y1) in enumerate(segs)
+        ]
+        out = merge_lines(_df(spark, rows)).collect()
+        assert sum(r.n_segments for r in out) == len(rows)
+        import math
+
+        exp_len = sum(
+            math.hypot(x1 - x0, y1 - y0) for _g, x0, y0, x1, y1 in segs
+        )
+        assert abs(sum(r.total_len for r in out) - exp_len) < 1e-3 * max(len(rows), 1)
+        for r in out:
+            assert r.merged_id in {i for i, row in enumerate(rows) if row[1] == r.name}
