@@ -1502,13 +1502,17 @@ def q_minhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family row ALSO emits the pair rows themselves, so cache here once and
     # let dedup_connected_components reuse the caller's cache. The labels CC
     # returns are checkpoint-CUT (LogicalRDD leaf — no lineage back into
-    # pairs), so the cache can be released immediately after the loop: the
-    # 'pairs' branch then recomputes the LSH chain once at materialization
-    # instead of leaking a cached frame nobody owns (a registry row has no
-    # caller to unpersist; the knn-style caller-owns contract doesn't fit)
+    # pairs), so after the loop the cache has no owner left (a registry row
+    # has no caller to unpersist; the knn-style caller-owns contract doesn't
+    # fit): localCheckpoint the pairs branch FROM the warm cache (cheap —
+    # reads cached blocks, cuts the LSH lineage), then release the cache.
+    # The checkpoint blocks free on GC, the same storage discipline as the
+    # CC loop's own label frames.
     pairs = pairs.persist()
     labels = dedup_connected_components(pairs)
+    pairs_cut = pairs.localCheckpoint(eager=True)
     pairs.unpersist()
+    pairs = pairs_cut
     p = pairs.select(
         F.lit("pairs").alias("variant"),
         F.col("doc_a").alias("a"),
