@@ -111,6 +111,9 @@ def pagerank(
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank_n"))
 
+    from .dedup import _release_local_checkpoint
+
+    prev_ck = None
     try:
         for _ in range(iterations):
             contrib = (
@@ -136,6 +139,12 @@ def pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
+            # free the SUPERSEDED round's checkpoint blocks (the CC loop's
+            # storage discipline); the final round's frame backs the
+            # returned DataFrame and is kept
+            if prev_ck is not None:
+                _release_local_checkpoint(prev_ck)
+            prev_ck = ranks
         return ranks
     finally:
         edges_deg.unpersist()
