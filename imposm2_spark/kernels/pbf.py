@@ -75,6 +75,12 @@ def _zigzag_enc(v: int) -> int:
 
 
 def _w_uvarint(v: int) -> bytes:
+    if v < 0:
+        # Python's arithmetic right shift never reaches 0 for negatives, so
+        # the loop below would hang silently (ADVICE r5). Negative ids are
+        # legal int64 per the spec but must come through zigzag encoding;
+        # raise instead of spinning.
+        raise ValueError(f"_w_uvarint requires a non-negative value, got {v}")
     out = bytearray()
     while True:
         b = v & 0x7F

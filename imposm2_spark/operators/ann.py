@@ -566,7 +566,12 @@ def write_ivf_index(
         )
     assign = _make_assign_udf(centroids)
     assigned = corpus.withColumn("_list", assign(F.col(vec_col)))
-    assigned.write.mode("overwrite").partitionBy("_list").parquet(path)
+    # repartition by the partition column before the partitioned write (r6,
+    # guide §6): without it every task writes a file into every list dir —
+    # n_tasks x n_lists small files (measured 512 at local[32]); clustering
+    # first costs one shuffle and lands ~one file per list, which is also
+    # what every pruned search afterwards wants to open.
+    assigned.repartition("_list").write.mode("overwrite").partitionBy("_list").parquet(path)
     spark = corpus.sparkSession
     # per-list running stats seed the append path's drift metric (r5);
     # reading the just-written index back avoids re-running the assign UDF
@@ -680,11 +685,12 @@ def append_ivf_index(
     assign = _make_assign_udf(centroids)
     assigned = new_rows.withColumn("_list", assign(F.col(vec_col)))
     staging = path.rstrip("/") + "__staging__"
-    assigned.write.mode("overwrite").partitionBy("_list").parquet(staging)
+    # repartition("_list") on both writes: see write_ivf_index (guide §6)
+    assigned.repartition("_list").write.mode("overwrite").partitionBy("_list").parquet(staging)
     # explicit schema: an EMPTY batch writes no part files and inference
     # would fail; the schema also keeps _list typed int across the round-trip
     back = spark.read.schema(assigned.schema).parquet(staging)
-    back.write.mode("append").partitionBy("_list").parquet(path)
+    back.repartition("_list").write.mode("append").partitionBy("_list").parquet(path)
     batch = _list_stats(back, vec_col)
     stats, n_base = {}, 0
     for r in meta:

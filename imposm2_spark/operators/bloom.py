@@ -121,11 +121,17 @@ def bloom_probe(
         F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
         1,
     ).otherwise(0)
+    # min(_hit) == 1, NOT sum(_hit) == k (ADVICE r5, confirmed): duplicate
+    # doc_id rows in the candidate frame (plausible in incremental-crawl
+    # batches) make the per-id group hold 2k hit rows, so sum == 2k != k
+    # reported maybe_member=false for an exact history copy — a false
+    # negative violating the operator's core guarantee. min over the hit
+    # flags is duplicate-count-invariant and identical on unique ids.
     return (
         probe.join(F.broadcast(bloom), "word", "left")
         .select(id_col, hit.alias("_hit"))
         .groupBy(id_col)
-        .agg((F.sum("_hit") == F.lit(k)).alias("maybe_member"))
+        .agg((F.min("_hit") == F.lit(1)).alias("maybe_member"))
     )
 
 

@@ -53,6 +53,14 @@ assert N_BANDS * BAND_ROWS == len(PERMS)
 SHINGLE_N = 3
 _COMBINE = 8191  # token-hash combiner multiplier (shared with oracle SQL)
 
+# minhash_lsh_pairs persists its signature frame (consumed by ~5 plan
+# branches — bands, bucket counts, both verify sides, and the returned
+# frame's re-executions); each invocation releases its PREDECESSOR's cache
+# (the registry _KNN_PREV pattern) so repeated bench/oracle invocations pin
+# one signature set, not one per call. The unpersisted predecessor stays
+# recomputable through its lineage.
+_SIG_PREV: list[DataFrame] = []
+
 
 def token_hashes(text: F.Column) -> F.Column:
     """Per-token rolling hashes; tokens = single-space split (corpus shape)."""
@@ -150,14 +158,31 @@ def minhash_lsh_pairs(
     raise recall at low j but explode the candidate count). For exhaustive
     pairs above a low threshold use ngram_jaccard_pairs on an explicit
     candidate set instead."""
-    sig = minhash_signatures(docs, id_col, text_col)
+    # r6 optimization (guide §5 caching): the signature frame feeds ~5 plan
+    # branches (bands explode, the bucket-count gate, BOTH verify sides, and
+    # every re-execution of the returned frame) and each branch used to
+    # re-run the per-char token-hash + shingle + 16-permutation chain over
+    # the whole corpus — the dominant cost of this operator. Persist it once
+    # per invocation (predecessor released via _SIG_PREV above; footprint =
+    # id + shingle hashes + 20 longs per doc, MEMORY_AND_DISK so oversized
+    # inputs spill instead of OOM). At true 10^12 scale callers materialize
+    # signatures as a table instead; within one invocation this is the same
+    # compute-once discipline.
+    sig = minhash_signatures(docs, id_col, text_col).persist()
+    while _SIG_PREV:
+        _SIG_PREV.pop().unpersist()
+    _SIG_PREV.append(sig)
+    # NOTE (r6, measured): an EAGER sig.count() here looked attractive (fill
+    # the cache once before the multi-branch consumers) but benched WORSE
+    # end-to-end (curate_corpus 32.6s vs 22.2s, dedup_minhash_family 7.3s vs
+    # 5.1s at sf1.0) — the extra standalone job costs more than the partial
+    # duplicate compute it avoids. Kept lazy deliberately.
     # band rows are (id, band_idx, band_key) ONLY — 3 longs/row. Carrying the
     # shingle arrays through the explode / self-join / dropDuplicates would
     # shuffle ~8x the corpus shingle set (thousands of longs per doc); instead
     # the shingles join back per side for surviving candidate pairs, exactly
-    # the ngram_jaccard_pairs shape. The shingle projection appears on three
-    # plan branches (bands + both verify sides) — a linear, codegen'd rescan,
-    # cheap next to the shuffle it replaces (plan-locked in tests/test_plans).
+    # the ngram_jaccard_pairs shape (all branches now read the cached
+    # signatures; plan-locked in tests/test_plans).
     bands = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
@@ -290,6 +315,7 @@ def dedup_connected_components(
     b_col: str = "doc_b",
     max_iterations: int = 25,
     use_reliable_checkpoint: bool | None = None,
+    driver_max_edges: int | None = 1_000_000,
 ) -> DataFrame:
     """Near-dup CLUSTERS from a verified pair table: (doc_id, cluster_id)
     where cluster_id = the smallest doc id reachable through the pair graph
@@ -313,6 +339,19 @@ def dedup_connected_components(
     under-dedup downstream curation. With doubling, hitting the default cap
     means a component diameter around 2^25.
 
+    driver_max_edges (optimization r6, guide §1.2 "the distributed
+    algorithm" + §3.1 "broadcast the side that fits"): near-dup pair graphs
+    are orders of magnitude smaller than the corpus (they hold DUP nodes
+    only), and the iterative plan loop pays ~2 jobs x O(seconds) of fixed
+    latency per doubling round regardless of size. When the pair table fits
+    `driver_max_edges` rows (ONE bounded limit(cap+1) collect — the
+    pip_join max_broadcast_polygons contract; ~16 bytes/edge, so the
+    default 10^6 cap is ~mid-MB of driver memory), labels are computed with
+    an exact union-find over the collected edges and parallelized back —
+    identical output (min reachable id per node, pytest-pinned equal to
+    the loop), zero iterative rounds. Larger graphs take the loop below
+    unchanged; pass None to force the loop.
+
     use_reliable_checkpoint: per-round state normally lives in
     localCheckpoint blocks — fast, but lost with an executor, which fails
     the whole job on a long run. None (default) sniffs the SparkContext: if
@@ -323,6 +362,20 @@ def dedup_connected_components(
     False forces localCheckpoint either way. Results are identical across
     modes (pytest-gated).
     """
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    integral = all(
+        isinstance(pairs.schema[c].dataType, (LongType, IntegerType, ShortType))
+        for c in (a_col, b_col)
+    )
+    if integral and driver_max_edges is not None and driver_max_edges > 0:
+        # bounded probe-and-collect in ONE action: evaluates the (possibly
+        # expensive) pair lineage exactly once on the fast path; if the
+        # extra row comes back the graph is big and the loop re-evaluates —
+        # the rare path by construction (dup graphs are corpus-tiny).
+        head = pairs.select(a_col, b_col).limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            return _cc_driver(pairs.sparkSession, head)
     sc = pairs.sparkSession.sparkContext
     ckpt_dir = sc.getCheckpointDir()
     if use_reliable_checkpoint is None:
@@ -435,6 +488,46 @@ def dedup_connected_components(
             "raise max_iterations rather than consuming under-merged clusters"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _cc_driver(spark, edge_rows) -> DataFrame:
+    """Exact union-find over a bounded, collected edge list — the small-graph
+    engine behind dedup_connected_components(driver_max_edges=...). Returns
+    (doc_id, cluster_id) for every node appearing in the edges, cluster_id =
+    the smallest id reachable through the pair graph — byte-identical to the
+    distributed loop's contract (pytest-pinned)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    rows = sorted((node, comp_min[find(node)]) for node in parent)
+    # 1 slice: a parallelize over default parallelism would schedule ~32
+    # near-empty tasks for a frame this small (bounded by driver_max_edges)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(1, len(rows) // 500_000 + 1)),
+        "doc_id long, cluster_id long",
+    )
 
 
 def _delete_reliable_checkpoint(df: DataFrame) -> None:

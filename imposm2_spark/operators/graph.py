@@ -61,6 +61,7 @@ def pagerank(
     damping_num: int = 17,
     damping_den: int = 20,
     scale: int = 10**9,
+    tol_n: int | None = None,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list → (node, rank_n).
 
@@ -73,6 +74,16 @@ def pagerank(
     the graph with its nano-rank after `iterations` rounds. Deterministic
     and partition-invariant by construction (integer rank math only;
     pytest-gated).
+
+    tol_n (r6, VERDICT r5 ask #7 — deterministic early termination): when
+    set, the loop stops as soon as max |Δrank_n| over all nodes is <= tol_n
+    (computed in the SAME BIGINT nano-rank space as the update rule, so the
+    stopping decision is partition/engine-invariant like the ranks
+    themselves). `iterations` becomes the CAP instead of a blind constant —
+    deep host graphs converge in however many rounds they need, shallow
+    ones stop paying for guessed extra rounds. Costs one extra equi-join +
+    1-row aggregate per round, only when opted in; default None keeps the
+    fixed-iteration plan (and the frozen driver oracle) bit-identical.
 
     Plan shape per round: broadcast-or-shuffle equi-join of the (node,
     rank) frame onto the degree-annotated edge list + one hash agg keyed
@@ -89,6 +100,8 @@ def pagerank(
         raise ValueError(
             f"need 0 < damping_num < damping_den, got {damping_num}/{damping_den}"
         )
+    if tol_n is not None and (not isinstance(tol_n, int) or tol_n < 0):
+        raise ValueError(f"tol_n must be a non-negative int or None, got {tol_n!r}")
 
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -128,6 +141,7 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("contrib").alias("inflow"))
             )
+            prev = ranks
             ranks = (
                 nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
                 .select(
@@ -139,12 +153,25 @@ def pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
+            converged = False
+            if tol_n is not None:
+                old = prev.select(
+                    F.col("node").alias("_n"), F.col("rank_n").alias("_old")
+                )
+                row = (
+                    ranks.join(old, ranks["node"] == old["_n"])
+                    .agg(F.max(F.abs(F.col("rank_n") - F.col("_old"))).alias("d"))
+                    .collect()[0]
+                )
+                converged = row["d"] is not None and row["d"] <= tol_n
             # free the SUPERSEDED round's checkpoint blocks (the CC loop's
             # storage discipline); the final round's frame backs the
             # returned DataFrame and is kept
             if prev_ck is not None:
                 _release_local_checkpoint(prev_ck)
             prev_ck = ranks
+            if converged:
+                break
         return ranks
     finally:
         edges_deg.unpersist()

@@ -42,6 +42,49 @@ from ..kernels.wkb import nested_to_rings
 
 DEFAULT_CELL_LEVEL = 12
 
+# auto-salt gate: below this many rows in the hottest cell, salting is a
+# no-op-to-harmful (fixed overhead, nothing to spread) and stays off
+AUTO_SALT_HOT_MIN = 4096
+AUTO_SALT_CAP = 32
+
+
+def auto_salt_factor(
+    keyed: "DataFrame",
+    key_cols: list,
+    hot_min: int = AUTO_SALT_HOT_MIN,
+    cap: int = AUTO_SALT_CAP,
+) -> int | None:
+    """O10a self-gating fan-out (r6, VERDICT r5 ask #2): derive the salt
+    factor from the OBSERVED key histogram instead of a blind constant that
+    can invert under load. One bounded aggregate over the keyed side
+    (max/total per key — a map-side-combined count, never payloads):
+
+      * gate OFF (None) when the hottest key holds < `hot_min` rows or no
+        more than ~2 ideal task shares — nothing worth spreading;
+      * otherwise the smallest power of 2 that brings the hot key's share
+        down to one ideal task share, capped at `cap` (salting multiplies
+        probe/replica work linearly, so unbounded fan-out is its own skew).
+
+    Deterministic given the data; output rows are identical for every salt
+    choice by the salting construction (pytest-pinned).
+    """
+    row = (
+        keyed.groupBy(*key_cols)
+        .count()
+        .agg(F.max("count").alias("hot"), F.sum("count").alias("total"))
+        .collect()[0]
+    )
+    hot = int(row["hot"] or 0)
+    total = int(row["total"] or 0)
+    par = keyed.sparkSession.sparkContext.defaultParallelism
+    target = max(1, total // max(par, 1))
+    if hot < hot_min or hot <= 2 * target:
+        return None
+    k = 1
+    while k < cap and hot // k > target:
+        k *= 2
+    return k
+
 
 @F.pandas_udf(T.BooleanType())
 def _contains_udf(polygon_id: pd.Series, rings: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -96,7 +139,7 @@ def pip_join(
     lat: str | Column = "lat",
     cell_level: int = DEFAULT_CELL_LEVEL,
     broadcast_polygons: bool = True,
-    salt_factor: int | None = None,
+    salt_factor: int | str | None = None,
     keep_point_cols: list[str] | None = None,
     max_broadcast_polygons: int = 100_000,
 ) -> DataFrame:
@@ -121,6 +164,11 @@ def pip_join(
     lat_c = F.col(lat) if isinstance(lat, str) else lat
     pts = points.withColumn("_cell", cell_encode_col(lon_c, lat_c, cell_level))
 
+    if isinstance(salt_factor, str) and salt_factor != "auto":
+        raise ValueError(
+            f"salt_factor must be an int, None, or 'auto', got {salt_factor!r}"
+        )
+
     rings_by_pid: dict | None = None
     if broadcast_polygons:
         capped = (
@@ -132,6 +180,16 @@ def pip_join(
             broadcast_polygons = False  # auto-fallback: shuffle path
         else:
             rings_by_pid = {r["polygon_id"]: nested_to_rings(r["rings"]) for r in capped}
+
+    if salt_factor == "auto":
+        # measured fan-out (SURVEY O10a promise; auto_salt_factor above),
+        # resolved AFTER the broadcast decision: salting only spreads a
+        # SHUFFLE's hot keys, so it is always off on the broadcast path.
+        # The histogram aggregate makes this branch EAGER (one bounded
+        # cells-only job at call time).
+        salt_factor = (
+            None if broadcast_polygons else auto_salt_factor(pts, ["_cell"])
+        )
 
     poly_cells = explode_polygon_cells(
         polygons, salt_factor, with_rings=not broadcast_polygons

@@ -74,6 +74,13 @@ MAX_INLINE_TERMS = 64
 # cannot overflow at any realistic query size.
 _SUM_DEC = "decimal(28,9)"
 
+# _bm25_inline persists its per-doc (dl, tfs) frame (consumed by the 1-row
+# stats aggregate AND the scoring join — two branches that each re-ran the
+# O(tokens x k) fold); each invocation releases its predecessor's cache
+# (the registry _KNN_PREV pattern), bounding the footprint at one live
+# instance. The unpersisted predecessor stays recomputable via lineage.
+_BM25_PREV: list[DataFrame] = []
+
 
 def doc_lengths(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
@@ -134,7 +141,14 @@ def _bm25_inline(
     expression, so the decimal result is identical). The only exchanges in
     the plan are the 1-row stats agg and the top-k."""
     k = len(terms)
-    base = docs.select(F.col(id_col), _doc_stats_expr(F.col(text_col), terms).alias("s"))
+    # persist: the corpus-stats aggregate and the scoring projection both
+    # consume this frame — unpersisted, the interpreted O(tokens x k) fold
+    # ran twice over the corpus (r6, guide §5 caching; rows are id + one
+    # small struct, so the cache is corpus-row-count bounded, never text)
+    base = docs.select(F.col(id_col), _doc_stats_expr(F.col(text_col), terms).alias("s")).persist()
+    while _BM25_PREV:
+        _BM25_PREV.pop().unpersist()
+    _BM25_PREV.append(base)
     stats = F.broadcast(
         base.agg(
             F.count("*").alias("n_docs"),

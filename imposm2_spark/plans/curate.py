@@ -56,18 +56,24 @@ def curate(
     gated = scored.where(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
     )
+    # persist GATED, not just the deduped frame (r6, guide §1.2): `exact`
+    # consumes `gated` on two branches (keepers agg + semi-join left side),
+    # so persisting only `exact` still ran the regexp-heavy scoring chain
+    # twice to materialize it. With `gated` cached the scoring scan executes
+    # exactly once; `exact` is additionally cached because the LSH chain and
+    # the final anti-join consume it on several branches, and rebuilding it
+    # per branch would repeat the keepers hash-agg + semi-join (cheap next
+    # to scoring, but free to avoid). Footprint stays bounded at one live
+    # invocation via the predecessor-release holder above (module comment).
+    gated = gated.persist()
     # exact dedup: keep the lowest id per content hash
     keepers = gated.groupBy(F.md5(text_col).alias("_h")).agg(
         F.min(id_col).alias(id_col)
     )
-    # persisted: the frame feeds both LSH self-join sides and the final
-    # anti-join (4 consumers) — without it the regexp-heavy scoring chain
-    # re-executes per consumer. Footprint bounded at ONE live instance via
-    # the predecessor-release holder above (module comment).
     exact = gated.join(keepers, id_col, "left_semi").persist()
     while _CURATE_PREV:
         _CURATE_PREV.pop().unpersist()
-    _CURATE_PREV.append(exact)
+    _CURATE_PREV.extend([gated, exact])
     # near-dup: exact transitive clustering — keep the smallest id per
     # connected component of the verified pair graph
     pairs = minhash_lsh_pairs(exact, id_col=id_col, text_col=text_col,

@@ -29,6 +29,7 @@ from ..sources.testdata import (
     derived_points,
     derived_points_dense,
     load,
+    load_spread,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -155,7 +156,7 @@ def q_pip_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pip_join_grid_salted`): the broadcast default and the salted shuffle
     rewrite must produce identical rows, so both run against one oracle with
     a `variant` discriminator."""
-    pts = derived_points_dense(spark, sf_dir)
+    pts = derived_points_dense(spark, sf_dir, spread=True)
     polys = fixtures.polygons_admin_df(spark).where(F.col("polygon_id") < 20)
     plain = pip_join(pts, polys, keep_point_cols=["doc_id"]).select(
         F.lit("plain").alias("variant"), "doc_id", "polygon_id"
@@ -226,7 +227,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminator."""
     from ..operators.knn import knn_join, knn_join_brute
 
-    pts = derived_points_dense(spark, sf_dir)
+    pts = derived_points_dense(spark, sf_dir, spread=True)
     sites = _grid_sites(spark)
     brute = knn_join_brute(pts, sites, k=3).select(
         F.lit("brute").alias("variant"), "doc_id", "site_id", "rank"
@@ -529,7 +530,7 @@ FROM documents
 
 
 def _tag_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     d = F.col("doc_id")
     place = (
         F.when(d % 7 == 0, "city").when(d % 7 == 1, "town").when(d % 7 == 2, "village")
@@ -958,7 +959,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     must surface with full-gram hit counts; sub-13-token docs plant nothing."""
     from ..operators.curation import contamination_hits
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     test = docs.where(F.col("doc_id") % 37 == 0)
     train = docs.where(F.col("doc_id") % 37 != 0).unionByName(
         test.select((F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text")
@@ -1037,7 +1038,7 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial count) pairs, never text."""
     from ..operators.dedup import shingle_hashes, token_hashes
 
-    docs = load(spark, sf_dir, "documents").select("text")
+    docs = load_spread(spark, sf_dir, "documents").select("text")
     # bind the token-hash array once (HOF lambdas have no CSE; see
     # curation.text_ngram_hashes) — shingle_hashes guards <3 tokens itself
     grams = docs.select(
@@ -1175,7 +1176,7 @@ FROM m
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import repetition_metrics
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return repetition_metrics(docs)
 
 
@@ -1238,7 +1239,7 @@ def q_text_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     `text_token_counts`."""
     from ..functions import text_analysis as ta
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     feats = ta.quality_features(F.col("text"))
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
@@ -1331,7 +1332,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_classify.py."""
     from ..functions.classify import score_quality
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     parts = [
         score_quality(
             docs,
@@ -1496,7 +1497,7 @@ def q_minhash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     one recursive-CTE oracle."""
     from ..operators.dedup import dedup_connected_components, minhash_lsh_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     # CC consumes `pairs` twice (symmetric union) and would persist it; the
     # family row ALSO emits the pair rows themselves, so cache here once and
@@ -1556,7 +1557,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window count over the same rows (no dfreq self-join, which would
     re-tokenize the whole corpus as a second scan) -> window top-k. The
     corpus size joins in as a broadcast 1-row metadata-only count."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     ).where(F.col("term") != "")
@@ -1610,7 +1611,7 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac > 0.5 and flip keep=false; 32 more carry partial overlap."""
     from ..operators.dedup import substring_block_metrics
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return substring_block_metrics(docs)
 
 
@@ -1677,18 +1678,47 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import SHINGLE_N, jaccard, shingle_hashes, token_hashes
 
-    docs = load(spark, sf_dir, "documents")
-    # compute the (expensive) shingle table ONCE, then equi-self-join on the
-    # adjacent-id key — three separate plan branches would re-hash 3x
+    docs = load_spread(spark, sf_dir, "documents")
+    # r6 optimization (guide §2.4/§1.2): the former a/b equi-self-join put the
+    # shingle chain on TWO plan branches — a DataFrame self-join re-executes
+    # the full lineage per side (no exchange reuse: the sides hash-partition
+    # on different expressions), so the per-char rolling hash ran 2x over the
+    # corpus. Instead each doc emits its shingles once under BOTH pair keys
+    # it participates in (key = doc_id as the 'a' side, key = doc_id - 1 as
+    # the 'b' side) and ONE aggregation pairs them: one scan, one exchange,
+    # hash chain computed exactly once. Rows identical (oracle unchanged).
     sh = (
         docs.select("doc_id", token_hashes(F.col("text")).alias("th"))
         .where(F.size("th") >= SHINGLE_N)
         .select("doc_id", shingle_hashes(F.col("th")).alias("shs"))
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
-    return a.join(b, F.col("doc_b") == F.col("doc_a") + 1).select(
-        "doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("jaccard")
+    sides = sh.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("key"), F.lit(0).alias("side"), F.col("shs")
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("key"),
+                    F.lit(1).alias("side"),
+                    F.col("shs"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.key", "e.side", "e.shs")
+    # exactly one row per (key, side), so min() IS that row's shingle set
+    paired = (
+        sides.groupBy("key")
+        .agg(
+            F.min(F.when(F.col("side") == 0, F.struct("shs"))).alias("_a"),
+            F.min(F.when(F.col("side") == 1, F.struct("shs"))).alias("_b"),
+        )
+        .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    )
+    return paired.select(
+        F.col("key").alias("doc_a"),
+        (F.col("key") + 1).alias("doc_b"),
+        jaccard(F.col("_a.shs"), F.col("_b.shs")).alias("jaccard"),
     )
 
 
@@ -1711,7 +1741,7 @@ FROM fp GROUP BY simhash HAVING count(*) > 1
 def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_clusters
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return simhash_clusters(docs)
 
 
@@ -1755,7 +1785,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence on the fixture hash-fails the row."""
     from ..operators.ann import cosine_topk_brute
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
     hof = cosine_topk_brute(emb, q, k=5).select(
         F.lit("hof").alias("score"), "qid", "vec_id", "rank"
@@ -1833,7 +1863,7 @@ WHERE rank <= 5
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import cosine_topk_lsh
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
@@ -1876,7 +1906,7 @@ def _ivf_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_ann_dedup.py)."""
     from ..operators.ann import N_LISTS, cosine_topk_ivf
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(
         emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=N_LISTS
     )
@@ -1902,7 +1932,7 @@ def _ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     vid = F.col("vec_id")
     base = emb.where((vid % 10 != 7) | (vid < 10))
     tail = emb.where((vid % 10 == 7) & (vid >= 10))
@@ -1981,7 +2011,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate path oracle-checkable (see _LSH_PLANES_SQL note)."""
     from ..operators.ann import embedding_neardup_lsh, embedding_neardup_window
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     win = embedding_neardup_window(emb, threshold=0.3, window=20).select(
         F.lit("window").alias("variant"), "vec_a", "vec_b", "sim"
     )
@@ -2005,7 +2035,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import media_features, synth_media
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     feats = media_features(synth_media(docs))
     return feats.select(
         "media_id", "kind", "n_bytes",
@@ -2018,7 +2048,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import frame_sample, synth_media
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     frames = frame_sample(synth_media(docs), frame_bytes=64, every=2)
     return frames.select("media_id", "frame_idx", F.length("frame").alias("frame_len"))
 
@@ -2408,7 +2438,7 @@ def q_mapping_pseudoarea(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.assemble import way_polygons
     from ..operators.mapping import build_tables
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     d = F.col("doc_id")
     w = (1 + d % 7).cast("double")
     h = (1 + d % 5).cast("double")
@@ -2478,7 +2508,7 @@ def q_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag, false positives are deterministic and oracle-reproduced."""
     from ..operators.bloom import bloom_build, bloom_probe
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     hist = docs.where(F.col("doc_id") % 2 == 0)
     probe = docs.where(F.col("doc_id") % 2 == 1).unionByName(
         hist.select((F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text")
@@ -2742,7 +2772,7 @@ FROM kept GROUP BY lang_pred
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curate import curate, curate_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     # the synthetic corpus predicts only en/other with the tiny stopword sets
     kept = curate(docs, min_quality=0.3, langs=("en",), neardup_threshold=0.5)
     return curate_stats(kept)
@@ -2859,7 +2889,7 @@ def q_url_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle agrees bit-for-bit at the threshold boundary."""
     from ..functions import urlx
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_spread(spark, sf_dir, "documents").select(
         "doc_id", url_synth_col().alias("url")
     )
     per_doc = docs.select(
@@ -3116,7 +3146,7 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized doc_lengths table to make each query postings-only)."""
     from ..operators.ranking import bm25_rank
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     ).where(F.col("term") != "")

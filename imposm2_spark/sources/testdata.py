@@ -36,6 +36,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """`load` + a scale-adaptive parallelism floor for CPU-heavy consumers.
+
+    The driver tables are single-file parquet with ONE row group (verified:
+    documents/embeddings at every sf), and parquet byte-range splits land on
+    row-group boundaries — so the scan yields ~2 partitions no matter the
+    core count, and a scan-bound plan (interpreted hash folds, regex chains,
+    Arrow kernels) runs 2 tasks on 32 cores. This is the guide §2.5
+    "unsplittable input" case: repartition immediately after the read.
+
+    Scale-adaptive by construction: the round-robin repartition fires ONLY
+    when the scan has fewer partitions than the session's parallelism — a
+    production-sized table (>= cores x maxPartitionBytes) never triggers it,
+    so nothing here is tuned to local[32]. Deterministic under retries via
+    Spark's default sort-before-repartition. Use plain `load` for cheap
+    scan-bound plans where pushdown/zero-shuffle shape matters more than
+    parallelism (their plan locks pin that choice)."""
+    df = load(spark, sf_dir, table)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # lon in [-180, 180), lat in [-85, 85) on a 0.0001-degree grid — exact in f64
 LON_MOD, LAT_MOD = 3_600_000, 1_700_000
 LON_MUL, LAT_MUL = 9973, 7919
@@ -62,8 +86,13 @@ FROM documents
 DENSE_MOD = 400_000
 
 
-def derived_points_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def derived_points_dense(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """spread=True applies the load_spread parallelism floor — for consumers
+    whose per-point work (PIP refine UDF, kNN candidate fan-out) dominates;
+    zero-shuffle consumers (tile math plan locks) keep the raw scan."""
+    docs = (load_spread if spread else load)(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         ((F.col("doc_id") * LON_MUL) % DENSE_MOD / 10_000.0 - 20.0).alias("lon"),

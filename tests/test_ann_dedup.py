@@ -254,12 +254,15 @@ def test_dedup_connected_components_deep_chain_converges(spark):
 
     pairs = [(i, i + 1) for i in range(100, 140)]  # one chain, diameter 40
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    got = {r.doc_id: r.cluster_id for r in dedup_connected_components(df).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_connected_components(df, driver_max_edges=None).collect()
+    }
     assert got == {i: 100 for i in range(100, 141)}
 
     # under-capped run fails LOUDLY instead of emitting under-merged labels
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup_connected_components(df, max_iterations=2)
+        dedup_connected_components(df, max_iterations=2, driver_max_edges=None)
 
 
 def test_multimodal_features_batch_invariance(spark):
@@ -319,10 +322,13 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path):
 
     pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    base = {r.doc_id: r.cluster_id for r in dedup_connected_components(df).collect()}
+    base = {
+        r.doc_id: r.cluster_id
+        for r in dedup_connected_components(df, driver_max_edges=None).collect()
+    }
 
     with pytest.raises(ValueError, match="setCheckpointDir"):
-        dedup_connected_components(df, use_reliable_checkpoint=True)
+        dedup_connected_components(df, use_reliable_checkpoint=True, driver_max_edges=None)
 
     ckpt = str(tmp_path / "cc_ckpt")
     sc = spark.sparkContext
@@ -331,7 +337,7 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path):
         # None sniffs the dir -> reliable mode
         auto = {
             r.doc_id: r.cluster_id
-            for r in dedup_connected_components(df).collect()
+            for r in dedup_connected_components(df, driver_max_edges=None).collect()
         }
         assert auto == base
         assert any(os.scandir(ckpt))  # checkpoint files actually written
@@ -345,7 +351,7 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path):
         forced_local = {
             r.doc_id: r.cluster_id
             for r in dedup_connected_components(
-                df, use_reliable_checkpoint=False
+                df, use_reliable_checkpoint=False, driver_max_edges=None
             ).collect()
         }
         assert forced_local == base
@@ -927,3 +933,32 @@ def test_substring_block_metrics_null_and_empty_text(spark):
     for i in (1, 2):
         assert (out[i]["n_blocks"] or 0, out[i]["n_dup_blocks"]) == (0, 0)
         assert out[i]["keep"] is True
+
+
+def test_cc_driver_fallback_equals_loop(spark):
+    """r6 optimization: the bounded driver union-find path must produce
+    byte-identical labels to the distributed pointer-doubling loop on the
+    same graph (chain + triangle + pair + reversed-min edge + self-ish
+    dense cluster), and the over-cap probe must fall back to the loop."""
+    from imposm2_spark.operators.dedup import dedup_connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(100, 140)]
+        + [(30, 31), (31, 32), (30, 32), (50, 51), (99, 7)]
+        + [(200 + i, 200 + j) for i in range(6) for j in range(i + 1, 6)]
+    )
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fast = {
+        r.doc_id: r.cluster_id for r in dedup_connected_components(df).collect()
+    }
+    loop = {
+        r.doc_id: r.cluster_id
+        for r in dedup_connected_components(df, driver_max_edges=None).collect()
+    }
+    assert fast == loop
+    # over-cap: probe comes back too big -> identical labels via the loop
+    capped = {
+        r.doc_id: r.cluster_id
+        for r in dedup_connected_components(df, driver_max_edges=3).collect()
+    }
+    assert capped == loop

@@ -133,3 +133,17 @@ def test_inrow_probe_is_stream_safe(spark, tmp_path):
     assert len(got) == 40
     assert all(got[i] for i in range(20))          # history copies flag
     assert sum(got[700 + i] for i in range(20)) <= 2  # fresh mostly clean
+
+
+def test_duplicate_candidate_ids_stay_positive(spark):
+    """ADVICE r5: a candidate frame carrying the SAME doc_id twice (recrawl
+    batches) must still flag an exact history copy — the old sum(_hit) == k
+    aggregation saw 2k hits per id and reported a false negative."""
+    hist_rows = _corpus(50, "hist")
+    hist = _texts(spark, hist_rows)
+    bloom = bloom_build(hist)
+    copies = _texts(spark, hist_rows, start=10_000)
+    dup = copies.unionByName(copies)  # every id appears twice
+    got = {r.doc_id: r.maybe_member for r in bloom_probe(dup, bloom).collect()}
+    assert len(got) == 50
+    assert all(got.values())  # no false negatives, duplicate ids included

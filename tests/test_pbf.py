@@ -199,3 +199,17 @@ if _HYP:
         assert [(w.id, w.refs, w.tags) for w in rw] == [
             (w.id, w.refs, w.tags) for w in ways
         ]
+
+
+def test_w_uvarint_rejects_negative():
+    """ADVICE r5: a negative input (legal int64 id routed around zigzag)
+    made _w_uvarint spin forever — it must raise instead."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        k._w_uvarint(-1)
+    # non-negative round-trip still intact
+    for v in (0, 1, 127, 128, 300, 2**63 - 1):
+        buf = k._w_uvarint(v)
+        got, _ = k._uvarint(buf, 0)
+        assert got == v
