@@ -59,7 +59,7 @@ def main() -> None:
         if plan_dir is not None:
             df = fn(spark, sf_dir)
             with open(os.path.join(plan_dir, f"{name}{plan_suffix}.txt"), "w") as f:
-                f.write(df._jdf.queryExecution().explainString("formatted"))
+                f.write(spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
         if os.environ.get("SPARK_GRAFT_PLANS_ONLY"):
             continue
         spark.sparkContext.setJobDescription(f"bench_extra:{name}:warm")

@@ -123,15 +123,74 @@ def jaccard(sa: F.Column, sb: F.Column) -> F.Column:
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
-    """(id, shs, m0..m15, band0..band3); docs with <SHINGLE_N tokens dropped."""
+    """(id, shs, m0..m15, band0..band3); docs with <SHINGLE_N tokens dropped.
+
+    engine='arrow' (default, r6 — guide §4.2): one batched mapInPandas pass
+    through the NumPy twins in kernels/texthash.py. The whole chain is
+    integer arithmetic, so the kernel is BIT-IDENTICAL to the interpreted
+    HOF expressions (differential-tested in tests/test_texthash.py incl.
+    non-ASCII and empty-token edges) while replacing O(chars + 16*shingles)
+    interpreted expression evaluation per row with vectorized array math.
+    engine='hof' keeps the Catalyst expression formulation (the oracle's
+    textual twin, used by the differential tests)."""
+    if engine == "arrow":
+        return _minhash_signatures_kernel(docs, id_col, text_col)
+    if engine != "hof":
+        raise ValueError(f"engine must be 'arrow' or 'hof', got {engine!r}")
     th = docs.select(
         F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
     ).where(F.size("_th") >= SHINGLE_N)
     sh = th.select(id_col, shingle_hashes(F.col("_th")).alias("shs"))
     sig = sh.select(id_col, "shs", *minhash_signature(F.col("shs")))
     return sig.select(id_col, "shs", *[F.col(f"m{j}") for j in range(len(PERMS))], *band_keys())
+
+
+def _minhash_signatures_kernel(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow engine behind minhash_signatures (see its docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import texthash as tx
+
+    schema = (
+        f"{id_col} long, shs array<long>, "
+        + ", ".join(f"m{j} long" for j in range(len(PERMS)))
+        + ", "
+        + ", ".join(f"band{b} long" for b in range(N_BANDS))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs_out, sigs, bands = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue  # NULL text: the HOF chain's size(NULL) filter
+                th = tx.token_hashes_doc(t)
+                if len(th) < SHINGLE_N:
+                    continue
+                shs = tx.shingle_hashes_from_tokens(th)
+                sig = tx.minhash_sig_from_shingles(shs)
+                ids.append(int(i))
+                shs_out.append(shs)
+                sigs.append(sig)
+                bands.append(tx.band_keys_from_sig(sig))
+            if not ids:
+                continue
+            S = np.stack(sigs)
+            B = np.stack(bands)
+            d = {id_col: np.asarray(ids, dtype=np.int64), "shs": shs_out}
+            for j in range(len(PERMS)):
+                d[f"m{j}"] = S[:, j]
+            for b in range(N_BANDS):
+                d[f"band{b}"] = B[:, b]
+            yield pd.DataFrame(d)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def minhash_lsh_pairs(
@@ -168,9 +227,12 @@ def minhash_lsh_pairs(
     # inputs spill instead of OOM). At true 10^12 scale callers materialize
     # signatures as a table instead; within one invocation this is the same
     # compute-once discipline.
-    sig = minhash_signatures(docs, id_col, text_col).persist()
+    # release BEFORE persist: identical lineage across invocations shares ONE
+    # CacheManager entry (semantic plan equality), so the reverse order
+    # silently dropped the fresh cache (see plans/curate.py, same fix)
     while _SIG_PREV:
         _SIG_PREV.pop().unpersist()
+    sig = minhash_signatures(docs, id_col, text_col).persist()
     _SIG_PREV.append(sig)
     # NOTE (r6, measured): an EAGER sig.count() here looked attractive (fill
     # the cache once before the multi-branch consumers) but benched WORSE

@@ -330,6 +330,13 @@ def apply_fields(routed: DataFrame, spec: TableSpec, tags_col: str = "tags") -> 
     return df.select(*cols, *derived)
 
 
+# build_tables persists its routed frame when several specs consume it; each
+# invocation releases its PREDECESSOR's cache BEFORE persisting (CacheManager
+# keys by semantic plan equality — see plans/curate.py, same fix), bounding
+# the footprint at one live instance.
+_ROUTE_PREV: list[DataFrame] = []
+
+
 def build_tables(
     elements: DataFrame,
     specs: list[TableSpec],
@@ -337,6 +344,17 @@ def build_tables(
     id_col: str = "id",
     tags_col: str = "tags",
 ) -> dict[str, DataFrame]:
-    """The full P1-P3/F* stage: route once, derive fields per table spec."""
+    """The full P1-P3/F* stage: route once, derive fields per table spec.
+
+    r6: "route once" is now physically true — with several specs, each
+    per-table apply_fields branch used to re-execute the routing join +
+    dedup aggregation (DataFrame branches share no work without a cache);
+    the routed frame is persisted across the branches (released on the next
+    invocation via _ROUTE_PREV)."""
+    while _ROUTE_PREV:
+        _ROUTE_PREV.pop().unpersist()
     routed = route(elements, specs, spark, id_col=id_col, tags_col=tags_col)
+    if len(specs) > 1:
+        routed = routed.persist()
+        _ROUTE_PREV.append(routed)
     return {s.name: apply_fields(routed, s, tags_col=tags_col) for s in specs}

@@ -145,9 +145,11 @@ def _bm25_inline(
     # consume this frame — unpersisted, the interpreted O(tokens x k) fold
     # ran twice over the corpus (r6, guide §5 caching; rows are id + one
     # small struct, so the cache is corpus-row-count bounded, never text)
-    base = docs.select(F.col(id_col), _doc_stats_expr(F.col(text_col), terms).alias("s")).persist()
+    # release BEFORE persist: identical lineage across invocations shares one
+    # CacheManager entry (see plans/curate.py, same fix)
     while _BM25_PREV:
         _BM25_PREV.pop().unpersist()
+    base = docs.select(F.col(id_col), _doc_stats_expr(F.col(text_col), terms).alias("s")).persist()
     _BM25_PREV.append(base)
     stats = F.broadcast(
         base.agg(

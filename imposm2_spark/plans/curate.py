@@ -65,14 +65,21 @@ def curate(
     # per branch would repeat the keepers hash-agg + semi-join (cheap next
     # to scoring, but free to avoid). Footprint stays bounded at one live
     # invocation via the predecessor-release holder above (module comment).
+    # Release the PREDECESSOR invocation's caches BEFORE persisting (r6,
+    # measured): CacheManager keys entries by SEMANTIC plan equality, and a
+    # repeated invocation builds identical lineage — persist-then-release
+    # made the new persist a no-op against the old entry and the release
+    # then dropped that shared entry, so every bench rep after the first ran
+    # fully uncached ("Asked to cache already cached data" warnings in the
+    # r5 bench logs were this bug).
+    while _CURATE_PREV:
+        _CURATE_PREV.pop().unpersist()
     gated = gated.persist()
     # exact dedup: keep the lowest id per content hash
     keepers = gated.groupBy(F.md5(text_col).alias("_h")).agg(
         F.min(id_col).alias(id_col)
     )
     exact = gated.join(keepers, id_col, "left_semi").persist()
-    while _CURATE_PREV:
-        _CURATE_PREV.pop().unpersist()
     _CURATE_PREV.extend([gated, exact])
     # near-dup: exact transitive clustering — keep the smallest id per
     # connected component of the verified pair graph

@@ -332,32 +332,32 @@ def make_union_fixture() -> tuple[list, list, list]:
 
 def union_osm_dfs(spark):
     nodes, ways, relations = make_union_fixture()
-    # coalesce(1): these are O(100)-row local fixtures — the default
-    # defaultParallelism slicing schedules 32 near-empty tasks per scan, and
-    # the fixture-scale import pipeline scans them across dozens of stages
-    # (r6, guide §6 small-inputs; partitioning should follow input size).
+    # NOTE (r6, measured): coalescing these O(100)-row fixture frames to 1
+    # partition looked like free scheduling savings but benched 2x SLOWER on
+    # the fixture import rows (import_pipeline_all_tables 8.0s -> 18.3s,
+    # generalized_landusages 4.3s -> 12.5s at local[32]) — the per-row Python
+    # kernels downstream lose all pre-shuffle parallelism. Kept as-is.
     return (
-        spark.createDataFrame(nodes, OSM_NODES_SCHEMA).coalesce(1),
-        spark.createDataFrame(ways, OSM_WAYS_SCHEMA).coalesce(1),
+        spark.createDataFrame(nodes, OSM_NODES_SCHEMA),
+        spark.createDataFrame(ways, OSM_WAYS_SCHEMA),
         spark.createDataFrame(
             [(rid, [{"ref": r, "type": t, "role": ro} for r, t, ro in m], tags)
              for rid, m, tags in relations],
             OSM_RELATIONS_SCHEMA,
-        ).coalesce(1),
+        ),
     )
 
 
 def osm_dfs(spark):
     nodes, ways, relations = make_osm_fixture()
-    # coalesce(1): see union_osm_dfs (O(100)-row local fixture frames)
     return (
-        spark.createDataFrame(nodes, OSM_NODES_SCHEMA).coalesce(1),
-        spark.createDataFrame(ways, OSM_WAYS_SCHEMA).coalesce(1),
+        spark.createDataFrame(nodes, OSM_NODES_SCHEMA),
+        spark.createDataFrame(ways, OSM_WAYS_SCHEMA),
         spark.createDataFrame(
             [(rid, [{"ref": r, "type": t, "role": ro} for r, t, ro in m], tags)
              for rid, m, tags in relations],
             OSM_RELATIONS_SCHEMA,
-        ).coalesce(1),
+        ),
     )
 
 
@@ -393,10 +393,9 @@ def make_world_octants(cell_level: int = 4) -> pd.DataFrame:
 
 
 def world_octants_df(spark, cell_level: int = 4):
-    # coalesce(1): 8 rows (see union_osm_dfs)
     return spark.createDataFrame(
         make_world_octants(cell_level), schema=POLYGONS_ADMIN_SCHEMA
-    ).coalesce(1)
+    )
 
 
 DOCUMENTS_WEB_SCHEMA = (
@@ -414,10 +413,9 @@ def documents_web_df(spark, n: int):
 
 
 def polygons_admin_df(spark, cell_level: int = 12):
-    # coalesce(1): 25 rows (see union_osm_dfs)
     return spark.createDataFrame(
         make_polygons_admin(cell_level), schema=POLYGONS_ADMIN_SCHEMA
-    ).coalesce(1)
+    )
 
 
 LINES_ROADS_SCHEMA = (
@@ -452,7 +450,4 @@ def make_lines_roads(n: int = 30) -> pd.DataFrame:
 
 
 def lines_roads_df(spark, n: int = 30):
-    # coalesce(1): n defaults to 30 rows (see union_osm_dfs)
-    return spark.createDataFrame(
-        make_lines_roads(n), schema=LINES_ROADS_SCHEMA
-    ).coalesce(1)
+    return spark.createDataFrame(make_lines_roads(n), schema=LINES_ROADS_SCHEMA)
