@@ -139,3 +139,17 @@ def simhash_from_tokens(th: np.ndarray) -> int:
     for b in range(32):
         fp = fp * 2 + (1 if 2 * counts[b] > n else 0)
     return fp
+
+
+def ngram_hashes_from_tokens(th: np.ndarray, n: int) -> np.ndarray:
+    """Word-n-gram rolling hashes, twin of curation.ngram_hashes: gram_i is
+    seeded with h_i and folds (acc*COMBINE + h_{i+j}) % MOD for j=1..n-1;
+    fewer than n tokens -> empty (generalizes shingle_hashes_from_tokens,
+    which is the n=3 case)."""
+    m = len(th) - (n - 1)
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    acc = th[:m].copy()
+    for j in range(1, n):
+        acc = (acc * _COMBINE + th[j : j + m]) % CHAR_MOD
+    return acc

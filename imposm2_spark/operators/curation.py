@@ -75,25 +75,71 @@ def text_ngram_hashes(text: F.Column, n: int) -> F.Column:
     )
 
 
+def _ngram_rows_kernel(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Exploded (id, _g) rows of per-doc DISTINCT n-gram hashes via the
+    NumPy texthash kernel — bit-identical to
+    explode(array_distinct(text_ngram_hashes(...))) (tests/test_texthash.py)
+    at a fraction of the interpreted-fold cost (guide §4.2)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import texthash as tx
+
+    def gen(batches):
+        for pdf in batches:
+            ids, grams = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                g = np.unique(
+                    tx.ngram_hashes_from_tokens(tx.token_hashes_doc(t), n)
+                )
+                if len(g):
+                    ids.append(np.full(len(g), int(i), dtype=np.int64))
+                    grams.append(g)
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids), "_g": np.concatenate(grams)}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, _g long"
+    )
+
+
 def contamination_hits(
     train: DataFrame,
     test: DataFrame,
     n: int = DECONTAM_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, n_hits): count of DISTINCT train-doc n-grams that appear anywhere
-    in the test set. Only contaminated docs appear (n_hits >= 1)."""
-    tr = train.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(text_ngram_hashes(F.col(text_col), n))
-        ).alias("_g"),
-    )
-    te = (
-        test.select(F.explode(text_ngram_hashes(F.col(text_col), n)).alias("_g"))
-        .distinct()
-    )
+    in the test set. Only contaminated docs appear (n_hits >= 1).
+
+    engine='arrow' (default, r6): the n-gram hashes come from the batched
+    NumPy kernel (values identical — the interpreted 12-step fold per gram
+    was the scan's dominant cost). engine='hof' keeps the expression path
+    (the oracle's textual twin; differential-tested equal)."""
+    if engine == "arrow":
+        tr = _ngram_rows_kernel(train, n, id_col, text_col)
+        te = _ngram_rows_kernel(test, n, id_col, text_col).select("_g").distinct()
+    elif engine == "hof":
+        tr = train.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(text_ngram_hashes(F.col(text_col), n))
+            ).alias("_g"),
+        )
+        te = (
+            test.select(F.explode(text_ngram_hashes(F.col(text_col), n)).alias("_g"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"engine must be 'arrow' or 'hof', got {engine!r}")
     return (
         tr.join(F.broadcast(te), "_g")
         .groupBy(id_col)

@@ -193,6 +193,52 @@ def _minhash_signatures_kernel(
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
+def shingle_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    engine: str = "arrow",
+) -> DataFrame:
+    """(id, shs): per-doc word-3-gram shingle hashes; <SHINGLE_N-token and
+    NULL-text docs dropped (the minhash_signatures row contract minus the
+    signature columns).
+
+    engine='arrow' (default, r6): batched NumPy kernel — bit-identical to
+    the HOF chain (tests/test_texthash.py) at ~4x the throughput (guide
+    §4.2; measured 2.17s -> 0.55s for the sf1.0 scan). engine='hof' keeps
+    the Catalyst expression formulation."""
+    if engine == "hof":
+        return (
+            docs.select(id_col, token_hashes(F.col(text_col)).alias("_th"))
+            .where(F.size("_th") >= SHINGLE_N)
+            .select(id_col, shingle_hashes(F.col("_th")).alias("shs"))
+        )
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'arrow' or 'hof', got {engine!r}")
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import texthash as tx
+
+    def gen(batches):
+        for pdf in batches:
+            ids, out = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                th = tx.token_hashes_doc(t)
+                if len(th) < SHINGLE_N:
+                    continue
+                ids.append(int(i))
+                out.append(tx.shingle_hashes_from_tokens(th))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: np.asarray(ids, dtype=np.int64), "shs": out}
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, shs array<long>"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

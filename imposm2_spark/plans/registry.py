@@ -1682,7 +1682,7 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """,
 )
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import SHINGLE_N, jaccard, shingle_hashes, token_hashes
+    from ..operators.dedup import jaccard, shingle_frame
 
     docs = load_spread(spark, sf_dir, "documents")
     # r6 optimization (guide §2.4/§1.2): the former a/b equi-self-join put the
@@ -1692,12 +1692,10 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus. Instead each doc emits its shingles once under BOTH pair keys
     # it participates in (key = doc_id as the 'a' side, key = doc_id - 1 as
     # the 'b' side) and ONE aggregation pairs them: one scan, one exchange,
-    # hash chain computed exactly once. Rows identical (oracle unchanged).
-    sh = (
-        docs.select("doc_id", token_hashes(F.col("text")).alias("th"))
-        .where(F.size("th") >= SHINGLE_N)
-        .select("doc_id", shingle_hashes(F.col("th")).alias("shs"))
-    )
+    # hash chain computed exactly once — by the bit-identical NumPy kernel
+    # (shingle_frame; guide §4.2). Rows identical (oracle unchanged); A/B at
+    # sf1.0: join+HOF 2.41s, agg+kernel 0.88s.
+    sh = shingle_frame(docs)
     sides = sh.select(
         F.explode(
             F.array(
@@ -2126,7 +2124,7 @@ def q_cell_geo_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the pattern; frees driver-window slots per the r4 verdict ask)."""
     from ..functions.spatial import cell_encode_col, cell_parent_col, haversine_m_col
 
-    pts = derived_points(spark, sf_dir)
+    pts = derived_points(spark, sf_dir, spread=True)
     cells = pts.select(
         "doc_id", cell_encode_col(F.col("lon"), F.col("lat"), 12).alias("cell")
     )
@@ -2179,7 +2177,9 @@ FROM events GROUP BY event_type
 """,
 )
 def q_events_time_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # load_spread: the json variant runs get_json_object over every event
+    # pre-shuffle, and the events file is a 4-split single parquet (§2.5)
+    ev = load_spread(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("window_start"),
         "event_type",
@@ -2696,7 +2696,7 @@ FROM xy JOIN patches p
 def q_raster_patch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tiles import raster_patch_join
 
-    pts = derived_points(spark, sf_dir)
+    pts = derived_points(spark, sf_dir, spread=True)
     patches = spark.range(6).select(
         F.col("id").alias("patch_id"),
         ((F.col("id") * 7) % 40).alias("x0"),

@@ -65,8 +65,13 @@ LON_MOD, LAT_MOD = 3_600_000, 1_700_000
 LON_MUL, LAT_MUL = 9973, 7919
 
 
-def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def derived_points(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """spread=True applies the load_spread parallelism floor (see
+    derived_points_dense); zero-shuffle consumers (tile-assign plan locks)
+    keep the raw scan."""
+    docs = (load_spread if spread else load)(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         ((F.col("doc_id") * LON_MUL) % LON_MOD / 10_000.0 - 180.0).alias("lon"),

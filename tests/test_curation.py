@@ -363,9 +363,19 @@ def test_curate_releases_predecessor_cache(spark):
     C.curate(docs).count()
     prev = C._CURATE_PREV[0]
     assert prev.storageLevel.useMemory
-    C.curate(docs).count()
+    # r6: predecessors release BEFORE the successor persists (CacheManager
+    # keys by semantic plan equality — releasing after dropped the fresh
+    # cache of an identical-input rerun). With a DIFFERENT input the old
+    # entry must be gone and the new one live: footprint = one invocation.
+    docs2 = docs.where(F.col("doc_id") % 2 == 0)
+    C.curate(docs2).count()
     assert not prev.storageLevel.useMemory
     assert C._CURATE_PREV and C._CURATE_PREV[0] is not prev
+    assert C._CURATE_PREV[0].storageLevel.useMemory
+    # identical-input rerun: the shared entry stays LIVE for the new frame
+    # (the old bug dropped it and every rep after the first ran uncached)
+    C.curate(docs2).count()
+    assert C._CURATE_PREV[0].storageLevel.useMemory
 
 
 def test_registry_window_guard_is_a_real_raise():

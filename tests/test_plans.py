@@ -194,11 +194,20 @@ def test_mapping_route_uses_broadcast(spark):
 
 
 def test_text_ops_stay_jvm_side(spark):
-    # text analysis + dedup hashing must not cross the Python boundary
-    for name in ("text_stats_family", "quality_classifier", "text_repetition",
-                 "dedup_simhash_clusters"):
+    """ADVICE r5 fix: the old assertion only checked ArrowEvalPython/
+    BatchEvalPython, so it was vacuous for rows that deliberately run
+    mapInPandas kernels (quality_classifier's arrow engine). Now: genuinely
+    JVM-only rows additionally forbid MapInPandas; rows with deliberate
+    Arrow-batched kernels still forbid row-at-a-time Python."""
+    for name in ("text_stats_family", "dedup_simhash_clusters"):
         p = plan_of(registry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+        assert "MapInPandas" not in p, name
+    for name in ("quality_classifier", "text_repetition",
+                 "dedup_ngram_jaccard_adjacent", "dedup_minhash_family",
+                 "decontaminate_train_test"):
+        p = plan_of(registry.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in p, name
 
 
 def test_spine_python_stages_are_arrow_batched(spark):

@@ -111,3 +111,38 @@ def test_minhash_signatures_engines_identical(spark):
     assert canon(minhash_signatures(docs, engine="arrow")) == canon(
         minhash_signatures(docs, engine="hof")
     )
+
+
+def test_contamination_hits_engines_identical(spark):
+    """The arrow decontamination engine equals the HOF/oracle twin."""
+    from imposm2_spark.operators.curation import contamination_hits
+    from pyspark.sql import functions as F2
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    test = docs.where(F2.col("doc_id") % 37 == 0)
+    train = docs.where(F2.col("doc_id") % 37 != 0).unionByName(
+        test.select((F2.col("doc_id") + F2.lit(1_000_000_000)).alias("doc_id"), "text")
+    )
+    a = sorted((r["doc_id"], r["n_hits"]) for r in contamination_hits(train, test).collect())
+    b = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_hits(train, test, engine="hof").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_shingle_frame_engines_identical(spark):
+    from imposm2_spark.operators.dedup import shingle_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(20_001, None), (20_002, ""), (20_003, "a b"), (20_004, "a b c")],
+            "doc_id long, text string",
+        )
+    )
+    canon = lambda df: sorted((r["doc_id"], tuple(r["shs"])) for r in df.collect())
+    assert canon(shingle_frame(docs)) == canon(shingle_frame(docs, engine="hof"))
