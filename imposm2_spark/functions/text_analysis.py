@@ -70,14 +70,10 @@ def _stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words))).cast("long")
 
 
-def lang_id(text: Column) -> Column:
-    """Stopword-ratio language heuristic over {en, de, fr, es}.
-
-    Winner = most stopword hits; ties break by LANG_ORDER; zero hits -> 'und'
-    (undetermined, BCP-47 convention).
-    """
-    toks = ws_tokens(text)
-    hits = {lang: _stopword_hits(toks, lang) for lang in LANG_ORDER}
+def lang_expr(hits: dict[str, Column]) -> Column:
+    """The lang argmax over precomputed per-language hit-count Columns —
+    shared by lang_id (HOF hits) and the r6 stats-kernel path so both build
+    the IDENTICAL expression tree (bit parity by construction)."""
     # lang wins iff it strictly beats all earlier langs and >= all later ones
     expr = F.lit(None).cast("string")
     for lang in reversed(LANG_ORDER):
@@ -88,6 +84,17 @@ def lang_id(text: Column) -> Column:
             cond = cond & (hits[lang] >= hits[later])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return F.coalesce(expr, F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-ratio language heuristic over {en, de, fr, es}.
+
+    Winner = most stopword hits; ties break by LANG_ORDER; zero hits -> 'und'
+    (undetermined, BCP-47 convention).
+    """
+    toks = ws_tokens(text)
+    hits = {lang: _stopword_hits(toks, lang) for lang in LANG_ORDER}
+    return lang_expr(hits)
 
 
 def quality_features(text: Column) -> dict[str, Column]:
@@ -125,6 +132,22 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def quality_expr(
+    alpha_ratio: Column, stopword_ratio: Column, n_tokens: Column,
+    punct_ratio: Column,
+) -> Column:
+    """The clamped weighted blend over precomputed ratio/count Columns —
+    shared by quality_score (HOF features) and the r6 stats-kernel path so
+    both build the IDENTICAL expression tree (bit parity by construction)."""
+    raw = (
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * stopword_ratio
+        + F.lit(0.2) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        - F.lit(0.5) * punct_ratio
+    )
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
 def quality_score(text: Column) -> Column:
     """Scalar quality score: weighted blend of the feature ratios.
 
@@ -132,13 +155,78 @@ def quality_score(text: Column) -> Column:
             - 0.5*punct_ratio,  clamped to [0, 1] (unrounded; round at output).
     """
     f = quality_features(text)
-    raw = (
-        F.lit(0.5) * f["alpha_ratio"]
-        + F.lit(0.3) * f["stopword_ratio"]
-        + F.lit(0.2) * F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
-        - F.lit(0.5) * f["punct_ratio"]
+    return quality_expr(
+        f["alpha_ratio"], f["stopword_ratio"], f["n_tokens"], f["punct_ratio"]
     )
-    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
+# ---------------------------------------------------------------------------
+# r6 stats kernel (guide §4.2): one Arrow-batched pandas UDF computes the
+# INTEGER features (kernels/textstats.py) the scoring scan needs; the float
+# ratios / blend / rounding / lang argmax then evaluate through the SAME
+# shared expression builders as the HOF chain (quality_expr / lang_expr /
+# feature ratios below), so the outputs are bit-identical by construction
+# (differential-tested in tests/test_textstats.py).
+# ---------------------------------------------------------------------------
+
+
+def doc_stats_udf():
+    """Arrow-batched struct UDF of kernels.textstats.doc_stats (all-NULL
+    struct fields for NULL text, mirroring the NULL propagation of the
+    expression chain). Marked non-deterministic so a filter on a derived
+    column cannot duplicate the evaluation below the pushed-down predicate
+    (guide §4.4)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..kernels import textstats as ts
+
+    schema = T.StructType(
+        [T.StructField(c, T.LongType()) for c in ts.STAT_COLS]
+    )
+    n_cols = len(ts.STAT_COLS)
+
+    def _stats(texts):  # pd.Series -> pd.DataFrame (struct); hints omitted —
+        # the explicit returnType drives the scalar-struct path (the hint
+        # checker rejects the Series->DataFrame spelling on Spark 4.1)
+        nulls, cols = ts.batch_stats(list(texts))
+        df = pd.DataFrame({c: cols[c] for c in ts.STAT_COLS})
+        if nulls.any():
+            df = df.astype("Int64")
+            df.loc[nulls, :] = pd.NA
+        return df
+
+    return F.pandas_udf(_stats, schema).asNondeterministic()
+
+
+def stats_ratio_features(s: Column) -> dict[str, Column]:
+    """quality_features twin over the kernel stats struct `s`: the same
+    ratio expressions (long/long -> double divisions, same greatest guards)
+    with the integer counts read from the struct instead of recomputed."""
+    n_chars = s.getField("n_chars")
+    n_tokens = s.getField("n_tokens")
+    safe_chars = F.greatest(n_chars, F.lit(1).cast("long"))
+    safe_toks = F.greatest(n_tokens, F.lit(1).cast("long"))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": s.getField("alpha_chars") / safe_chars,
+        "punct_ratio": s.getField("punct_chars") / safe_chars,
+        "stopword_ratio": s.getField("h_en") / safe_toks,
+    }
+
+
+def stats_quality(s: Column) -> Column:
+    """quality_score twin over the kernel stats struct (unrounded)."""
+    f = stats_ratio_features(s)
+    return quality_expr(
+        f["alpha_ratio"], f["stopword_ratio"], f["n_tokens"], f["punct_ratio"]
+    )
+
+
+def stats_lang(s: Column) -> Column:
+    """lang_id twin over the kernel stats struct."""
+    return lang_expr({lang: s.getField(f"h_{lang}") for lang in LANG_ORDER})
 
 
 # ---------------------------------------------------------------------------

@@ -405,11 +405,50 @@ def simhash(text: F.Column) -> F.Column:
 
 
 def simhash_clusters(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
-    """Docs sharing a SimHash fingerprint — near-dup clusters in one groupBy."""
-    th = docs.select(F.col(id_col), token_hashes(F.col(text_col)).alias("_th"))
-    fp = th.select(F.col(id_col), simhash_from_hashes(F.col("_th")).alias("simhash"))
+    """Docs sharing a SimHash fingerprint — near-dup clusters in one groupBy.
+
+    engine='arrow' (default, r6 — guide §4.2): fingerprints come from the
+    batched NumPy kernel (kernels/texthash.py::simhash_from_tokens, already
+    differential-tested bit-identical) instead of the interpreted 32-counter
+    zip_with fold — the fold was this operator's whole scan cost. NULL text
+    fingerprints as 0 on BOTH engines (the HOF outer fold over [NULL]
+    counts emits 0 per bit; the kernel's empty token array does the same —
+    engine-parity pytest incl. NULL rows). The groupBy shuffles
+    (simhash, partial agg) either way. engine='hof' keeps the Catalyst
+    formulation (the oracle's textual twin)."""
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        from ..kernels import texthash as tx
+
+        def gen(batches):
+            for pdf in batches:
+                fps = np.fromiter(
+                    (
+                        tx.simhash_from_tokens(tx.token_hashes_doc(t))
+                        for t in pdf[text_col]
+                    ),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), "simhash": fps}
+                )
+
+        fp = docs.select(id_col, text_col).mapInPandas(
+            gen, f"{id_col} long, simhash long"
+        )
+    elif engine == "hof":
+        th = docs.select(F.col(id_col), token_hashes(F.col(text_col)).alias("_th"))
+        fp = th.select(
+            F.col(id_col), simhash_from_hashes(F.col("_th")).alias("simhash")
+        )
+    else:
+        raise ValueError(f"engine must be 'arrow' or 'hof', got {engine!r}")
     return (
         fp.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))

@@ -39,6 +39,45 @@ def geotag_stage(docs: DataFrame) -> DataFrame:
     ).drop("_geo")
 
 
+def _enrich_fused_udf():
+    """ONE Arrow-batched struct UDF for the spine's Python stage (r6, guide
+    §4.1/§2.3): extraction + geotag run in a single crossing over (url,
+    html), and only (lon, lat, n_chars) return — the extracted text used to
+    ship back through Arrow in full just so the JVM could take length() of
+    it for sum_chars. n_chars = len(extracted) in Python == the codepoint
+    count Spark's length() computed (same string, byte-identical extractor —
+    parity pytest in tests/test_textx_geotag.py). Extraction still executes
+    per row inside the opaque UDF, so the flagship stage stays measured."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.geotag import geotag_pair
+    from ..functions.textx import extract_text_bytes
+
+    schema = T.StructType(
+        [
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def _f(url, html):  # pd.Series x2 -> pd.DataFrame (struct)
+        lons, lats, ncs = [], [], []
+        for u, h in zip(url, html):
+            lon, lat = geotag_pair(u, h)
+            t = extract_text_bytes(h)
+            lons.append(lon)
+            lats.append(lat)
+            ncs.append(None if t is None else len(t))
+        return pd.DataFrame(
+            {"lon": lons, "lat": lats,
+             "n_chars": pd.array(ncs, dtype="Int64")}
+        )
+
+    return F.pandas_udf(_f, schema)
+
+
 def spine(
     docs: DataFrame,
     polygons: DataFrame,
@@ -48,14 +87,22 @@ def spine(
 ) -> DataFrame:
     """Full M1 flow -> per-tile (z, x, y, n_docs, n_polygons, sum_chars).
 
-    sum_chars aggregates length(text_extracted) so the extraction stage is a
-    CONSUMED part of the plan — without a consumer Catalyst's column pruning
-    (correctly) deletes the extract UDF and the flagship query silently stops
-    measuring it.
+    sum_chars aggregates the extracted-text length so the extraction stage
+    is a CONSUMED part of the plan — without a consumer Catalyst's column
+    pruning (correctly) deletes the extract work and the flagship query
+    silently stops measuring it. r6: extract+geotag+length fuse into one
+    Arrow crossing (_enrich_fused_udf) — html crosses once, three scalars
+    return, tile rows unchanged (pytest-pinned vs the staged path).
     """
-    enriched = geotag_stage(extract_stage(docs)).withColumn(
-        "n_chars", F.length("text_extracted").cast("long")
-    )
+    fused = _enrich_fused_udf()
+    enriched = docs.withColumn(
+        "_g", fused(F.col("url"), F.col("html"))
+    ).select(
+        "*",
+        F.col("_g.lon").alias("lon"),
+        F.col("_g.lat").alias("lat"),
+        F.col("_g.n_chars").alias("n_chars"),
+    ).drop("_g")
     joined = pip_join(
         enriched,
         polygons,

@@ -1042,22 +1042,14 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one hash-agg with map-side combine + a single-partition top-k
     sort on the already-tiny aggregate — the groupBy shuffles only (gram,
     partial count) pairs, never text."""
-    from ..operators.dedup import shingle_hashes, token_hashes
+    from ..operators.dedup import shingle_frame
 
-    docs = load_spread(spark, sf_dir, "documents").select("text")
-    # bind the token-hash array once (HOF lambdas have no CSE; see
-    # curation.text_ngram_hashes) — shingle_hashes guards <3 tokens itself
-    grams = docs.select(
-        F.explode(
-            F.element_at(
-                F.transform(
-                    F.array(token_hashes(F.col("text"))),
-                    lambda th: shingle_hashes(th),
-                ),
-                1,
-            )
-        ).alias("g")
-    )
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    # r6 (guide §4.2): shingle hashes via the batched NumPy kernel (bit-
+    # identical to the bound-once HOF chain, tests/test_texthash.py) — the
+    # interpreted per-char fold was this scan's whole cost. Docs with <3
+    # tokens yield empty arrays on both engines and vanish in the explode.
+    grams = shingle_frame(docs).select(F.explode("shs").alias("g"))
     counted = grams.groupBy("g").agg(F.count("*").alias("n"))
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-50 +
     # driver merge, no global sort shuffle); the rank window then runs over
@@ -1242,30 +1234,40 @@ def q_text_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 + T8 (variant='quality'; the r4 fold already absorbed lang_id)
     plus T10 + T11 (variant='tokens'; absorbs token counts + fingerprint)
     in one driver row — post-r5 fold of `text_quality` +
-    `text_token_counts`."""
+    `text_token_counts`.
+
+    r6 (guide §4.2 + §2.4): both variants derive from ONE Arrow-batched
+    stats-kernel pass (kernels/textstats.py) instead of two full scans of
+    interpreted HOF chains (the union used to re-tokenize the corpus per
+    branch and the fingerprint re-folded every char); the variants explode
+    from a 2-struct array, so the scan runs once with zero extra
+    exchanges. Floats/rounding/lang stay in the shared Spark expressions —
+    bit-identical (tests/test_textstats.py; oracle unchanged)."""
     from ..functions import text_analysis as ta
 
     docs = load_spread(spark, sf_dir, "documents")
-    feats = ta.quality_features(F.col("text"))
+    stats = ta.doc_stats_udf()
+    base = docs.select("doc_id", stats(F.col("text")).alias("_s"))
+    f = ta.stats_ratio_features(F.col("_s"))
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
-    quality = docs.select(
+    quality = F.struct(
         F.lit("quality").alias("variant"),
-        "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
-        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
-        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(ta.quality_score(F.col("text")), 6).alias("score"),
-        ta.lang_id(F.col("text")).alias("lang_pred"),
+        F.col("doc_id"),
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(ta.stats_quality(F.col("_s")), 6).alias("score"),
+        ta.stats_lang(F.col("_s")).alias("lang_pred"),
         nl.alias("n_ws"),
         nl.alias("n_bpe"),
         nl.alias("fp"),
     )
-    tokens = docs.select(
+    tokens = F.struct(
         F.lit("tokens").alias("variant"),
-        "doc_id",
+        F.col("doc_id"),
         nl.alias("n_chars"),
         nl.alias("n_tokens"),
         nd.alias("alpha_ratio"),
@@ -1273,11 +1275,13 @@ def q_text_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("stopword_ratio"),
         nd.alias("score"),
         F.lit(None).cast("string").alias("lang_pred"),
-        ta.token_count_ws(F.col("text")).alias("n_ws"),
-        ta.token_count_bpe(F.col("text")).alias("n_bpe"),
-        ta.fingerprint(F.col("text")).alias("fp"),
+        F.col("_s.n_ws").alias("n_ws"),
+        F.col("_s.n_bpe").alias("n_bpe"),
+        F.col("_s.fp").alias("fp"),
     )
-    return quality.unionByName(tokens)
+    return base.select(
+        F.explode(F.array(quality, tokens)).alias("_r")
+    ).select("_r.*")
 
 
 # T31 linear quality-classifier scoring: frozen gram -> milli-weight table

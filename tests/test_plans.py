@@ -199,13 +199,17 @@ def test_text_ops_stay_jvm_side(spark):
     mapInPandas kernels (quality_classifier's arrow engine). Now: genuinely
     JVM-only rows additionally forbid MapInPandas; rows with deliberate
     Arrow-batched kernels still forbid row-at-a-time Python."""
-    for name in ("text_stats_family", "dedup_simhash_clusters"):
+    for name in ("text_tfidf_top3", "dedup_substrings", "dedup_exact"):
         p = plan_of(registry.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
         assert "MapInPandas" not in p, name
+    # r6: text_stats_family (stats struct UDF) and dedup_simhash_clusters
+    # (fingerprint kernel) moved to the deliberate Arrow-batched group
     for name in ("quality_classifier", "text_repetition",
                  "dedup_ngram_jaccard_adjacent", "dedup_minhash_family",
-                 "decontaminate_train_test"):
+                 "decontaminate_train_test", "text_stats_family",
+                 "dedup_simhash_clusters", "curate_corpus",
+                 "vocab_top_ngrams"):
         p = plan_of(registry.queries()[name](spark, SF))
         assert "BatchEvalPython" not in p, name
 
@@ -399,3 +403,31 @@ def test_dedup_substrings_jvm_only_combined_aggs(spark):
     assert p.count("partial_count") == 2  # block agg + per-doc agg combine
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_spine_fused_stage_matches_staged_path(spark):
+    """r6: the fused extract+geotag+length crossing must reproduce the
+    staged (extract_stage -> geotag_stage -> length) tile rows exactly."""
+    from imposm2_spark.operators.pip import pip_join
+    from imposm2_spark.operators.tiles import assign_point_tiles
+    from imposm2_spark.plans.pipeline import extract_stage, geotag_stage, spine
+
+    docs = testdata.synth_documents_web(testdata.load(spark, SF, "documents"))
+    polys = fixtures.world_octants_df(spark, cell_level=4)
+    fused = sorted(
+        map(tuple, spine(docs, polys, zooms=(2,), cell_level=4).collect())
+    )
+    enriched = geotag_stage(extract_stage(docs)).withColumn(
+        "n_chars", F.length("text_extracted").cast("long")
+    )
+    joined = pip_join(
+        enriched, polys, cell_level=4,
+        keep_point_cols=["url", "lon", "lat", "n_chars"],
+    )
+    tiled = assign_point_tiles(joined, [2])
+    staged = tiled.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("polygon_id").alias("n_polygons"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    assert fused == sorted(map(tuple, staged.collect())) and len(fused) > 0

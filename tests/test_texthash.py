@@ -146,3 +146,26 @@ def test_shingle_frame_engines_identical(spark):
     )
     canon = lambda df: sorted((r["doc_id"], tuple(r["shs"])) for r in df.collect())
     assert canon(shingle_frame(docs)) == canon(shingle_frame(docs, engine="hof"))
+
+
+def test_simhash_clusters_engines_agree(spark):
+    """r6: the arrow engine of simhash_clusters must match the HOF chain
+    row-for-row, including NULL-text docs (NULL fingerprints group
+    together on both engines)."""
+    from imposm2_spark.operators.dedup import simhash_clusters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, None), (900003, "a b c"), (900004, "a b c")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    hof = {
+        (r["simhash"], r["n_docs"], r["keeper_id"])
+        for r in simhash_clusters(df, engine="hof").collect()
+    }
+    arrow = {
+        (r["simhash"], r["n_docs"], r["keeper_id"])
+        for r in simhash_clusters(df, engine="arrow").collect()
+    }
+    assert hof == arrow and len(hof) > 0
