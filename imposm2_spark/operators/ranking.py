@@ -130,9 +130,68 @@ def _doc_stats_expr(text_col: F.Column, terms: list[str]) -> F.Column:
     )
 
 
+def _doc_stats_kernel(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """(id, s struct<dl, tfs>) via one Arrow-batched pass — the integer twin
+    of _doc_stats_expr (r6, guide §4.2: the interpreted fold zip_withs a
+    k-counter array per token; this is a dict lookup per token in C-backed
+    machinery). Tokenization pinned to the expression chain's semantics:
+    tokens are the maximal runs of non-\\s chars (Java \\s = the six ASCII
+    separators; trim strips only spaces and empties are filtered, so the
+    runs of the RAW text are exactly the surviving tokens). NULL text
+    yields NULL dl/tfs (the fold NPEs in codegen on NULL — the kernel is
+    the robust path; engine-parity pytest on non-null rows).
+
+    NOT the default (r6, measured): at 200k docs / 5 terms the kernel
+    benched 1.32s vs the fold's 0.97s on this host — the bound single-pass
+    fold is already cheap at small k, and the per-token Python dict walk
+    plus the Arrow list column costs more than it saves. Kept as the
+    engine='arrow' option for large k or dirty (nullable-text) corpora."""
+    import re
+
+    import pandas as pd
+
+    split_re = re.compile("[ \t\n\x0b\x0c\r]+")
+    term_idx = {t: i for i, t in enumerate(terms)}
+    k = len(terms)
+
+    def gen(batches):
+        for pdf in batches:
+            dls, tfss = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    dls.append(None)
+                    tfss.append(None)
+                    continue
+                toks = [x for x in split_re.split(t) if x]
+                tfs = [0] * k
+                for x in toks:
+                    i = term_idx.get(x)
+                    if i is not None:
+                        tfs[i] += 1
+                dls.append(len(toks))
+                tfss.append(tfs)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "dl": pd.array(dls, dtype="Int64"),
+                    "tfs": tfss,
+                }
+            )
+
+    mid = docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, dl long, tfs array<long>"
+    )
+    return mid.select(
+        id_col, F.struct(F.col("dl"), F.col("tfs")).alias("s")
+    )
+
+
 def _bm25_inline(
     docs: DataFrame, terms: list[str], *, id_col: str, text_col: str,
     k1: float, b: float, top_k: int, term_dp: int, score_dp: int,
+    engine: str = "hof",
 ) -> DataFrame:
     """Zero-shuffle BM25 for a driver-known term list: per-doc (dl, tfs)
     in-row, ALL corpus statistics (N, sum_dl, per-term df) in ONE
@@ -149,7 +208,14 @@ def _bm25_inline(
     # CacheManager entry (see plans/curate.py, same fix)
     while _BM25_PREV:
         _BM25_PREV.pop().unpersist()
-    base = docs.select(F.col(id_col), _doc_stats_expr(F.col(text_col), terms).alias("s")).persist()
+    if engine == "arrow":
+        base = _doc_stats_kernel(docs, terms, id_col, text_col).persist()
+    elif engine == "hof":
+        base = docs.select(
+            F.col(id_col), _doc_stats_expr(F.col(text_col), terms).alias("s")
+        ).persist()
+    else:
+        raise ValueError(f"engine must be 'arrow' or 'hof', got {engine!r}")
     _BM25_PREV.append(base)
     stats = F.broadcast(
         base.agg(

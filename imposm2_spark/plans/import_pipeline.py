@@ -122,7 +122,12 @@ def import_tables(
         rel_elements = rel_out.select(
             F.col("rel_id").alias("id"), "tags", "polygons", "area", "wkb"
         )
-        routed_rels = M.route(rel_elements, poly_specs, spark)
+        # cache (r6): every poly spec's table branch — and, through the
+        # way-pass union below, every downstream consumer of those tables —
+        # re-executed route()'s explode + broadcast join + min_by agg over
+        # the relation output; with 5 polygon specs that chain ran ~10x per
+        # import. Same rationale as the routed_pts/lines/polys caches.
+        routed_rels = _cached(M.route(rel_elements, poly_specs, spark))
         for s in poly_specs:
             out[s.name] = M.apply_fields(routed_rels, s)
 

@@ -122,3 +122,42 @@ def test_bm25_inline_matches_join_path(spark):
     e1 = bm25_rank(docs, _qterms(spark))
     e2 = bm25_rank(docs, _qterms(spark), max_inline_terms=0)
     assert e1.count() == 0 and e1.dtypes == e2.dtypes
+
+
+def test_bm25_doc_stats_engines_agree(spark):
+    """r6: the Arrow (dl, tfs) kernel must match the HOF fold row-for-row,
+    including NULL text, empty text, tab/space edge tokenization."""
+    from pyspark.sql import functions as F
+
+    from imposm2_spark.operators.ranking import (
+        _doc_stats_expr,
+        _doc_stats_kernel,
+    )
+
+    rows = [
+        (1, "spark fast spark  fast\tspark"),
+        (2, ""),
+        (4, "  fast  "),
+        (5, "\tfast\n"),
+        (6, "nomatch only here"),
+        (7, "fast" * 3),
+        (8, "a\x01b fast"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["fast", "spark", "a\x01b"]
+    hof = {
+        r["doc_id"]: (r["s"]["dl"], tuple(r["s"]["tfs"]) if r["s"]["tfs"] is not None else None)
+        for r in docs.select(
+            "doc_id", _doc_stats_expr(F.col("text"), terms).alias("s")
+        ).collect()
+    }
+    kern = {
+        r["doc_id"]: (r["s"]["dl"], tuple(r["s"]["tfs"]) if r["s"]["tfs"] is not None else None)
+        for r in _doc_stats_kernel(docs, terms, "doc_id", "text").collect()
+    }
+    assert hof == kern
+    # NULL text: the HOF fold NPEs in codegen (zip_with over a null array) —
+    # the kernel instead yields NULL dl/tfs, which the n_terms filter drops.
+    nd = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r = _doc_stats_kernel(nd, terms, "doc_id", "text").collect()[0]
+    assert r["s"]["dl"] is None and r["s"]["tfs"] is None
